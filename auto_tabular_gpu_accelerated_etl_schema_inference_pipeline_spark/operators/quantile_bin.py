@@ -1,0 +1,197 @@
+"""Equal-frequency quantile binning ("tabular tokenization") — the
+reference's entire behavioral surface (SURVEY.md §2.1 O4-O9):
+
+- reference CPU path: per-column ``pd.qcut(q=100, labels=False)``
+  (/root/reference/etl_benchmark.py:30-34)
+- reference GPU path: ``torch.quantile`` boundaries + ``torch.bucketize``
+  binary search + clamp (/root/reference/etl_benchmark.py:63-82)
+
+We ship three Spark-first backends with one standardized semantics
+(SURVEY.md §7 "hard parts" — the reference itself has 3 subtly different
+binning semantics; we pin ntile/equal-count semantics for the exact path
+and searchsorted-right semantics for the boundary paths):
+
+1. ``exact_quantile_bin`` — ``ntile(bins) OVER (ORDER BY col, tiebreak)``.
+   Bit-exact, deterministic (total order via tiebreak keys), DuckDB-oracle
+   matchable. NOT the scale path: an ORDER BY window without PARTITION BY
+   funnels the table through a single partition. Use for correctness
+   oracles and small data.
+
+2. ``fit_quantile_boundaries`` + ``bucketize`` — the 100 TB path.
+   Fit: ``df.approxQuantile`` (Greenwald-Khanna sketch, distributed,
+   one pass, merge-combinable; relativeError=0 → exact). The fitted
+   boundary vector (101 floats/col ≈ 16 KB for 20 cols) is driver-side
+   state — exactly the reference's fit/transform split
+   (etl_benchmark.py:74 then :79) — and is broadcast into a JVM-side
+   ``Bucketizer`` (binary search, whole-stage-codegen'd, no shuffle at
+   all in the transform: a map-only stage that scales linearly with
+   input splits).
+
+3. ``bucketize_pandas_udf`` — the Arrow/GPU lane (reference O7/O10 port):
+   the same boundaries applied via ``np.searchsorted`` inside an
+   Arrow-vectorized pandas_udf, with an optional torch-CUDA branch when a
+   GPU is present. Used to demonstrate the vectorized-Python path and as
+   the hook where RAPIDS/torch would slot in; parity-tested against (2).
+
+Scale notes (100 TB): fit is one distributed pass producing KB of state;
+transform is embarrassingly parallel map work with zero shuffle — the plan
+is `Scan parquet -> Project(bucketize)` and survives any scale-up. The
+only global op is the sketch merge on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BINS = 100
+
+#: lineitem's measure columns — the flagship tokenization target
+#: (FIXTURES.md: the fact table standing in for the reference's 20
+#: float cols at etl_benchmark.py:18).
+LINEITEM_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+LINEITEM_KEYS = ["l_orderkey", "l_linenumber"]
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact path — ntile window (oracle-matchable)
+# ---------------------------------------------------------------------------
+
+def exact_quantile_bin(
+    df: DataFrame,
+    cols: list[str],
+    bins: int = DEFAULT_BINS,
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Equal-count binning via ``ntile``: bin i gets ceil/floor(n/bins)
+    rows in sorted order — pd.qcut-equivalent on tie-free data, and
+    deterministic on tied data because ``tiebreak`` extends the sort to a
+    total order (l_quantity has only 50 distinct values — SURVEY §7)."""
+    keys = keys if keys is not None else []
+    tiebreak = tiebreak if tiebreak is not None else keys
+    out = [F.col(k) for k in keys]
+    for c in cols:
+        w = Window.orderBy(F.col(c).asc(), *[F.col(t).asc() for t in tiebreak])
+        out.append((F.ntile(bins).over(w) - F.lit(1)).cast("int").alias(f"{c}_bin"))
+    return df.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# 2. Scalable path — sketch fit + Bucketizer transform
+# ---------------------------------------------------------------------------
+
+def fit_quantile_boundaries(
+    df: DataFrame,
+    cols: list[str],
+    bins: int = DEFAULT_BINS,
+    relative_error: float = 0.0,
+) -> dict[str, list[float]]:
+    """One distributed pass -> bins+1 boundary floats per column
+    (reference O5, etl_benchmark.py:74). relative_error=0 gives exact
+    quantiles; >0 switches to the Greenwald-Khanna sketch whose memory is
+    O(1/err) per column regardless of row count — the 100 TB setting."""
+    probs = [i / bins for i in range(bins + 1)]
+    quantiles = df.stat.approxQuantile(cols, probs, relative_error)
+    return dict(zip(cols, quantiles))
+
+
+def _interior_splits(bounds: list[float]) -> list[float]:
+    """Strictly-increasing interior boundaries (drop 0%/100% endpoints and
+    duplicates — the reference's ``duplicates='drop'`` at
+    etl_benchmark.py:34 / Bucketizer's strictly-increasing requirement)."""
+    interior = sorted(set(bounds[1:-1]))
+    return interior
+
+
+def bucketize(
+    df: DataFrame,
+    boundaries: dict[str, list[float]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """JVM-side binary-search bucketize (reference O7 torch.bucketize,
+    etl_benchmark.py:79). Semantics: bin = #(interior boundaries <= v),
+    i.e. numpy ``searchsorted(interior, v, side='right')``. The ±inf
+    sentinel splits make clamping (reference O9, etl_benchmark.py:82)
+    unnecessary — every value lands in [0, n_bins-1].
+
+    Map-only stage: no shuffle, fully codegen'd, scales linearly.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    cols = list(boundaries)
+    splits_arr = [
+        [float("-inf")] + _interior_splits(boundaries[c]) + [float("inf")]
+        for c in cols
+    ]
+    raw_out = [f"__{c}_bin_raw" for c in cols]
+    model = Bucketizer(
+        inputCols=cols, outputCols=raw_out, splitsArray=splits_arr,
+        handleInvalid="keep",
+    )
+    keep = keep_cols if keep_cols is not None else []
+    out = model.transform(df).select(
+        *[F.col(k) for k in keep],
+        *[F.col(r).cast("int").alias(f"{c}_bin") for c, r in zip(cols, raw_out)],
+    )
+    return out
+
+
+def bucketize_pandas_udf(
+    df: DataFrame,
+    boundaries: dict[str, list[float]],
+    keep_cols: list[str] | None = None,
+    use_gpu: bool | None = None,
+) -> DataFrame:
+    """Arrow-vectorized bucketize — the port of the reference's GPU lane
+    (etl_benchmark.py:53,79: host->device transfer + torch.bucketize).
+    JVM->Python Arrow batches play the PCIe role; np.searchsorted is the
+    binary search; a torch.cuda branch engages when a GPU exists.
+
+    Same semantics as :func:`bucketize` (parity-tested). Prefer
+    :func:`bucketize` in production — it stays JVM-side; this lane exists
+    for custom-kernel extensibility (the reference's Numba kernel,
+    etl_benchmark_numba.py:39-50, would slot in here).
+    """
+    from ..functions.udf_kernels import make_searchsorted_udf
+
+    if use_gpu is None:
+        try:  # GPU optional; container has no CUDA — clean CPU fallback
+            import torch
+
+            use_gpu = torch.cuda.is_available()
+        except Exception:
+            use_gpu = False
+
+    keep = keep_cols if keep_cols is not None else []
+    out_exprs = [F.col(k) for k in keep]
+    for c in list(boundaries):
+        udf = make_searchsorted_udf(_interior_splits(boundaries[c]), use_gpu)
+        out_exprs.append(udf(F.col(c)).alias(f"{c}_bin"))
+    return df.select(*out_exprs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline (reference entry point: scan -> fit -> transform)
+# ---------------------------------------------------------------------------
+
+def tokenize_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    bins: int = DEFAULT_BINS,
+    keep_cols: list[str] | None = None,
+    relative_error: float = 0.0,
+    backend: str = "bucketizer",
+) -> DataFrame:
+    """scan -> fit(quantiles) -> transform(bucketize): the reference's whole
+    pipeline (etl_benchmark.py gpu_etl_pytorch) as one call."""
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+    bounds = fit_quantile_boundaries(df, cols, bins, relative_error)
+    if backend == "pandas_udf":
+        return bucketize_pandas_udf(df, bounds, keep_cols=keep_cols)
+    return bucketize(df, bounds, keep_cols=keep_cols)

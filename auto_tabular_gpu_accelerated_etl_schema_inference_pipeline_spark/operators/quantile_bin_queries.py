@@ -1,0 +1,84 @@
+"""queries()/oracle_sql() entries for the quantile-bin tokenizer
+(reference O4-O9 — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure_for_oracle, load_table
+from .quantile_bin import (
+    LINEITEM_KEYS,
+    LINEITEM_MEASURES,
+    exact_quantile_bin,
+    tokenize_table,
+)
+
+
+def q_quantile_bin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-count binning (ntile semantics) of lineitem measures.
+
+    Deterministic under ties: the window sort is extended to a total
+    order with (l_orderkey, l_linenumber), matching the oracle's ORDER BY
+    exactly. This is the oracle-grade variant of the reference's
+    pd.qcut loop (etl_benchmark.py:30-34)."""
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    return exact_quantile_bin(
+        df, LINEITEM_MEASURES, bins=100, keys=LINEITEM_KEYS, tiebreak=LINEITEM_KEYS
+    )
+
+
+def q_quantile_bin_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fit + Bucketizer transform — the 100 TB path (approx
+    boundary placement on tied data ⇒ rows-only check, SURVEY §7)."""
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    return tokenize_table(
+        df, cols=LINEITEM_MEASURES, keep_cols=LINEITEM_KEYS, relative_error=0.0001
+    )
+
+
+def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized searchsorted lane (the reference's GPU-kernel port;
+    parity with the Bucketizer lane is covered in tests)."""
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    return tokenize_table(
+        df,
+        cols=LINEITEM_MEASURES,
+        keep_cols=LINEITEM_KEYS,
+        relative_error=0.0001,
+        backend="pandas_udf",
+    )
+
+
+def q_tokenize_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference workload end-to-end (O1->O9): generate the randn table
+    with spark.range+randn, fit, bucketize. Rows-only (synthetic input is
+    engine-side, not a driver view)."""
+    from ..sources.generator import generate_normal_table
+
+    df = generate_normal_table(spark, rows=100_000, cols=8, seed=42)
+    return tokenize_table(df, relative_error=0.001)
+
+
+_NTILE_COLS = ",\n  ".join(
+    f"CAST(ntile(100) OVER (ORDER BY {c}, l_orderkey, l_linenumber) - 1 AS INTEGER)"
+    f" AS {c}_bin"
+    for c in LINEITEM_MEASURES
+)
+
+QUERIES = {
+    "quantile_bin_lineitem": q_quantile_bin_lineitem,
+    "quantile_bin_scalable": q_quantile_bin_scalable,
+    "quantile_bin_pandas_udf": q_quantile_bin_pandas_udf,
+    "tokenize_generated": q_tokenize_generated,
+}
+
+ORACLES = {
+    "quantile_bin_lineitem": f"""
+SELECT l_orderkey, l_linenumber,
+  {_NTILE_COLS}
+FROM lineitem
+""",
+}

@@ -1,0 +1,73 @@
+"""SparkSession bootstrap + fixture loading.
+
+Local-mode defaults are tuned for the driver's ``local[32]`` box but every
+config here is the one you'd also set on a 1000-executor cluster: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), Arrow on
+(vectorized JVM<->Python transfer — the analog of the reference's PCIe
+transfer at etl_benchmark.py:53), UTC session timezone (oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "auto-tabular-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "32")
+    shuffle = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Runtime settings every oracle-compared query needs regardless of who
+    built the session (the driver builds its own): UTC timestamps so Spark
+    renders the same instants DuckDB reads from the parquet footers, ANSI
+    off for permissive casts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (reference O3, etl_benchmark.py:27): schema comes from
+    the parquet footer; Catalyst pushes filters/projections into the scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,116 @@
+"""Phase-timed benchmark harness (reference O13, etl_benchmark.py:26-92).
+
+Runs the flagship tokenize pipeline with the reference's phase structure
+(read / fit / transform / write) plus every headline query from the
+registry, at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Spark is lazy, so each phase is forced with an action (the analog of the
+reference's cuda.synchronize() before/after timing — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries benchmarked if present in the registry.
+HEADLINE = [
+    "quantile_bin_scalable",
+    "quantile_bin_pandas_udf",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_per_group",
+    "events_tumbling_window",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_lang_id",
+    "similarity_topk_cosine",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+        get_spark,
+        load_table,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        LINEITEM_KEYS,
+        LINEITEM_MEASURES,
+        bucketize,
+        fit_quantile_boundaries,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+
+    # Warmup: JVM/codegen/Arrow init (the reference's timings likewise
+    # exclude interpreter + torch import/CUDA-context startup).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    load_table(spark, SF_DIR, "lineitem").limit(1000).count()
+
+    timings: dict[str, float] = {}
+
+    # --- flagship pipeline, phase-timed like etl_benchmark.py:87-90 ---
+    t0 = time.perf_counter()
+    df = load_table(spark, SF_DIR, "lineitem")
+    n = df.count()  # force the scan
+    t1 = time.perf_counter()
+    bounds = fit_quantile_boundaries(
+        df, LINEITEM_MEASURES, bins=100, relative_error=0.0001
+    )
+    t2 = time.perf_counter()
+    toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+    out_dir = tempfile.mkdtemp(prefix="bench_tokens_")
+    try:
+        toks.write.mode("overwrite").parquet(os.path.join(out_dir, "tokens"))
+        t3 = time.perf_counter()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings["flagship_read"] = t1 - t0
+    timings["flagship_fit"] = t2 - t1
+    timings["flagship_transform_write"] = t3 - t2
+    flagship_total = t3 - t0
+
+    # --- headline queries (forced via noop-equivalent count) ---
+    queries = entrymod.queries()
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            tq0 = time.perf_counter()
+            qdf = fn(spark, SF_DIR)
+            qdf.write.format("noop").mode("overwrite").save()
+            timings[name] = time.perf_counter() - tq0
+        except Exception as exc:  # a broken bench entry shouldn't kill the run
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": "flagship_tokenize_total",
+        "value": round(flagship_total, 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "rows": n,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

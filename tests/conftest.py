@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (  # noqa: E402
+    get_spark,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_CORRECT

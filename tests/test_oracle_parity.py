@@ -1,0 +1,40 @@
+"""Drive every queries() entry against its DuckDB oracle — the local
+mirror of the driver's CORRECTNESS gate. Any query added to the registry
+is automatically picked up here."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_harness import compare, duckdb_conn  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    assert name in QUERIES, f"oracle {name} has no query"
+    df = QUERIES[name](spark, sf_dir)
+    con = duckdb_conn(sf_dir)
+    try:
+        compare(df, con, ORACLES[name], name)
+    finally:
+        con.close()

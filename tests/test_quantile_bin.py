@@ -1,0 +1,82 @@
+"""Unit tests for the quantile-bin tokenizer: backend parity, bin-range
+invariants, equal-frequency property (the reference never verified its
+three implementations against each other — SURVEY.md §5; we do)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (  # noqa: E402
+    LINEITEM_KEYS,
+    LINEITEM_MEASURES,
+    bucketize,
+    bucketize_pandas_udf,
+    exact_quantile_bin,
+    fit_quantile_boundaries,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (  # noqa: E402
+    load_table,
+)
+
+
+def test_bins_in_range(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(df, LINEITEM_MEASURES, bins=100)
+    toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+    stats = toks.select(
+        *[F.min(f"{c}_bin").alias(f"min_{c}") for c in LINEITEM_MEASURES],
+        *[F.max(f"{c}_bin").alias(f"max_{c}") for c in LINEITEM_MEASURES],
+    ).collect()[0]
+    for c in LINEITEM_MEASURES:
+        assert stats[f"min_{c}"] >= 0
+        assert stats[f"max_{c}"] <= 99
+
+
+def test_backend_parity_bucketizer_vs_pandas_udf(spark, sf_dir):
+    """JVM Bucketizer and Arrow searchsorted implement one semantics."""
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(df, LINEITEM_MEASURES, bins=100)
+    a = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+    b = bucketize_pandas_udf(df, bounds, keep_cols=LINEITEM_KEYS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_exact_equal_frequency(spark, sf_dir):
+    """ntile bins differ in size by at most 1 row (equal-frequency)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    toks = exact_quantile_bin(
+        df, ["l_extendedprice"], bins=100, keys=LINEITEM_KEYS
+    )
+    sizes = (
+        toks.groupBy("l_extendedprice_bin").count().select("count").distinct().collect()
+    )
+    counts = sorted(r["count"] for r in sizes)
+    assert counts[-1] - counts[0] <= 1
+
+
+def test_tokenize_generated_roundtrip(spark, tmp_path):
+    """O1->O2->O3->fit->transform on the engine's own synthetic table."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        tokenize_table,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.generator import (
+        create_dummy_data,
+    )
+
+    path = str(tmp_path / "massive_data.parquet")
+    create_dummy_data(spark, path, rows=10_000, cols=4)
+    create_dummy_data(spark, path, rows=10_000, cols=4)  # idempotent
+    df = spark.read.parquet(path)
+    assert df.columns == [f"col_{i}" for i in range(4)]
+    toks = tokenize_table(df, relative_error=0.001)
+    row = toks.select(
+        F.max(F.greatest(*[F.col(f"col_{i}_bin") for i in range(4)])).alias("mx"),
+        F.min(F.least(*[F.col(f"col_{i}_bin") for i in range(4)])).alias("mn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert row["n"] == 10_000
+    assert 0 <= row["mn"] and row["mx"] <= 99
