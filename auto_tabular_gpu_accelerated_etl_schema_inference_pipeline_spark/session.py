@@ -71,3 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf, runtime-settable)
+    and truncate to microsecond timestamps — exactly what DuckDB's reader
+    does, so oracle comparisons line up. `div` (integer division) is
+    load-bearing: ns epoch values ~1.7e18 lose precision through double
+    division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -10,7 +10,9 @@ from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (  
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# sf0.01 mirrors the driver's correctness gate; override with
+# SPARK_GRAFT_TEST_SF=/root/testdata/sf0.001 for quick local iteration.
+SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

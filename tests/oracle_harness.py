@@ -32,7 +32,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # 15 significant digits ≈ bit-exact for doubles; queries are built
+        # on exact decimal arithmetic so both engines should agree fully.
+        return f"{v:.15g}"
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
