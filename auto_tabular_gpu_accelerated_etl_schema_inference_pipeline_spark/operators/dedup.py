@@ -1,0 +1,284 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash-LSH, SimHash (north-star LLM-pipeline surface; absent from the
+reference, SURVEY.md §2.2).
+
+Scale design (100 TB):
+- **exact**: group by md5(normalized text) — the shuffle key is a 16-byte
+  digest instead of the full document, so the exchange moves ~32 B/row
+  regardless of document size. Map-side partial aggregation applies.
+- **n-gram Jaccard (exact)**: inverted-index self-join (explode distinct
+  tokens -> pair counts -> Jaccard from set sizes). Quadratic in the df of
+  hot tokens — usable as the *verifier*; at scale you bound candidate
+  pairs first (df-threshold / prefix filtering) or use MinHash-LSH below.
+- **MinHash-LSH**: k minhashes from xxhash64 (JVM built-in, no UDF),
+  banded into b groups of r; candidate pairs agree on >= 1 band bucket —
+  the classic (1-(1-s^r)^b) S-curve. Shuffle is per-(band, bucket), so
+  work scales with collisions, not n^2. Candidates are verified with the
+  exact Jaccard join. xxhash64 has no DuckDB twin -> rows-only check;
+  the exact-Jaccard operator above is the oracle-graded ground truth.
+- **SimHash**: 64-bit signature via bit-vote over token hashes; near-dups
+  agree on most bits. Banding the 64 bits into 4x16 gives pigeonhole
+  candidate generation for hamming distance <= 3 entirely with equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+JACCARD_THRESHOLD = 0.95
+MINHASH_K = 32          # number of hash functions
+MINHASH_BANDS = 4       # bands of r = K/BANDS = 8 rows each: collision
+                        # prob at j=0.95 is 1-(1-0.95^8)^4 ≈ 0.96, at
+                        # j=0.85 only ≈ 0.66 — a sharp S-curve matters
+                        # here because the word-soup corpus is globally
+                        # similar (most pairs have j >= 0.8)
+SIMHASH_BITS = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_text():
+    return F.lower(F.trim(F.col("text")))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: representative = min(doc_id) per
+    distinct text, with the duplicate count."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(_norm_text().alias("text_norm"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("rep_doc_id", "n_copies")
+    )
+
+
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5 digest — the at-scale variant (32-byte
+    shuffle key instead of full text). Output identical to q_dedup_exact
+    whenever md5 is collision-free on the corpus."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(_norm_text()).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("fp", "rep_doc_id", "n_copies")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (j >= 0.95) via distributed
+    inverted-index self-join: |A∩B| falls out of the per-token pair
+    counts, |A∪B| = |A|+|B|-|A∩B|. Deterministic integer arithmetic ->
+    double division: oracle-matchable bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _minhash_sig_col(tokens_col, k: int):
+    """Array of k minhashes: min over tokens of xxhash64(token, seed=i).
+    Pure built-ins (transform + array_min + xxhash64) — no UDF, fully
+    codegen'd."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(i)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
+
+    sig: k=16 minhashes; bands: 4 bands x 4 rows hashed to a bucket key;
+    candidates: equi-join on (band, bucket); verify: exact token-set
+    Jaccard >= threshold on the candidate pairs only. At 100 TB the
+    verify join touches only colliding pairs — the LSH S-curve keeps that
+    near-linear for high thresholds. Rows-only check (xxhash64 is
+    Spark-specific); ground truth = dedup_ngram_jaccard."""
+    docs = _docs(spark, sf_dir)
+    r = MINHASH_K // MINHASH_BANDS
+    toks = F.array_distinct(F.split(_norm_text(), " "))
+    toks_df = docs.select("doc_id", toks.alias("toks"))
+    sigs = docs.select("doc_id", _minhash_sig_col(toks, MINHASH_K).alias("sig"))
+    # bands carry ONLY (doc_id, band, bucket): the candidate join must
+    # never shuffle token arrays — at scale the arrays dominate the row
+    # width and the bucket fan-out squares it.
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", i * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # verification: broadcast the token table (per-doc distinct tokens —
+    # MBs, not the quadratic pair set) so the exact-Jaccard check is a
+    # map-only stage over the candidates.
+    ta = F.broadcast(toks_df.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("toks_a")))
+    tb = F.broadcast(toks_df.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("toks_b")))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + hamming-<=4 near-dup pairs via
+    16-bit-band pigeonhole joins. Bit votes: for each bit position, +1 if
+    the token hash has the bit set else -1; sign of the total is the
+    signature bit. Rows-only (xxhash64)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    from functools import reduce
+
+    bit_terms = [
+        F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ]
+    sim = votes.select(
+        "doc_id",
+        reduce(lambda x, y: x.bitwiseOR(y), bit_terms).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.ckey")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 4)
+        .select("a_id", "b_id", "hamming")
+    )
+    return pairs
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+""",
+    "dedup_exact_hash": """
+SELECT md5(lower(trim(text))) AS fp,
+  min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    "dedup_ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  len(list_intersect(a.s, b.s))
+    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+    >= {JACCARD_THRESHOLD}
+""",
+}

@@ -1,0 +1,231 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+dim=64) — brute-force cosine top-k as the exact baseline, random-
+hyperplane LSH bucketing as the scale path, plus embedding-cosine
+near-duplicate pairs (north-star surface; absent from the reference).
+
+Determinism for the oracle gate: dot products are computed in DOUBLE
+with an identical sequential fold on both engines (Spark zip_with +
+aggregate; DuckDB list_sum over list_transform(list_zip(...)) — both
+left-to-right over the same 64 elements), verified bit-identical across
+all 2495 query-corpus pairs at sf0.01. Cross-ROW aggregation of doubles
+is never compared raw: norms are quantized to integer micro-units
+(round(x*1e6) -> BIGINT) whose sums are exact and order-independent.
+(Decimal quantization was rejected: DuckDB's float/double->DECIMAL cast
+rounds differently from Spark's near scale boundaries.)
+
+Scale design (100 TB):
+- Brute-force top-k is O(n_queries x n_corpus): correct answer machine
+  and fine when the query set is small (queries broadcast; corpus
+  streamed map-only, partial top-k per partition via the ranking window).
+- For all-pairs / large query sets: random-hyperplane LSH (signature =
+  sign pattern of h dot products against fixed pseudo-random planes)
+  buckets the corpus; candidates only within a bucket. Signatures are
+  built from deterministic md5-derived plane components, so the
+  operator needs no stored model — any executor can recompute the planes.
+- An IVF-style variant falls out of the same shape: cluster ids from
+  KMeans (pyspark.ml) instead of hash buckets; not included because the
+  fixtures are small enough that LSH demonstrates the partition story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+TOP_K = 5
+N_QUERIES = 5           # vec_id < 5 are the query vectors
+COSINE_DUP_THRESHOLD = 0.30   # fixture embeddings are near-orthogonal (max pair ~0.45); 0.30 marks the "suspiciously close" tail
+LSH_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dbl_vec(col):
+    """array<float> -> array<double> (exact widening, both engines)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Double dot product as a sequential left fold — bit-identical to
+    DuckDB's list_sum(list_transform(list_zip(a,b), ...)) because both
+    engines accumulate left-to-right over the same widened doubles."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (k=5) of the full corpus against the
+    query set vec_id < 5. Queries are broadcast -> the cross join is
+    map-only over the corpus; the ranking window shuffles only on the
+    tiny query key."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), _dbl_vec(F.col("embedding")).alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), _dbl_vec(F.col("embedding")).alias("q_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", _cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
+def q_similarity_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) on a
+    blocked subset (vec_id < 100 for the exact all-pairs check). The
+    full-corpus scale path is q_similarity_lsh_topk's bucketing."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("a_id"), _dbl_vec(F.col("embedding")).alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), _dbl_vec(F.col("embedding")).alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", _cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: signature bit j = sign(v . h_j) with
+    plane components h_j[i] derived from xxhash64(j, i) (deterministic,
+    recomputable executor-side, no model state). Candidates share the
+    full signature bucket; top-k within bucket. Approximate by design ->
+    rows-only check; ground truth = q_similarity_topk_cosine."""
+    emb = _emb(spark, sf_dir)
+
+    # Planes are computed ONCE driver-side (deterministic md5-derived ±1
+    # components) and embedded as literal arrays — the closure is a few
+    # hundred bytes, implicitly shipped with the task like a broadcast
+    # variable; signature evaluation is then a plain literal-array dot,
+    # not a 64-way CASE tree per component.
+    import hashlib
+
+    def plane(j: int) -> list[float]:
+        return [
+            1.0 if hashlib.md5(f"plane:{j}:{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(64)
+        ]
+
+    plane_lits = [F.array(*[F.lit(x) for x in plane(j)]) for j in range(LSH_PLANES)]
+
+    def sig_bit(vec, j: int):
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lits[j], lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    def signature(vec):
+        return F.concat(*[sig_bit(vec, j).cast("string") for j in range(LSH_PLANES)])
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        signature(F.col("embedding")).alias("sig"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        signature(F.col("embedding")).alias("sig"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), on="sig")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", _cosine(_dbl_vec(F.col("q_vec")), _dbl_vec(F.col("c_vec"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats: count + mean L2 norm. Norms (doubles,
+    bit-identical per row across engines) are quantized to integer
+    micro-units before the cross-row sum, which is then exact and
+    summation-order-independent."""
+    emb = _emb(spark, sf_dir)
+    v = _dbl_vec(F.col("embedding"))
+    norm_mu = F.round(F.sqrt(_dot(v, v)) * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        emb.withColumn("norm_mu", norm_mu)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("norm_mu") / F.lit(1_000_000.0) / F.count("*")).alias("mean_norm"),
+        )
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+QUERIES = {
+    "similarity_topk_cosine": q_similarity_topk_cosine,
+    "similarity_cosine_dedup": q_similarity_cosine_dedup,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "embedding_stats": q_embedding_stats,
+}
+
+ORACLES = {
+    "similarity_topk_cosine": f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT q_id, c_id, cosine,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    "similarity_cosine_dedup": f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+  AND {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+""",
+    "embedding_stats": f"""
+WITH n AS (
+  SELECT label,
+    CAST(round(sqrt({_DOT.format(a='embedding', b='embedding')}) * 1000000.0) AS BIGINT) AS norm_mu
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+  sum(norm_mu) / 1000000.0 / count(*) AS mean_norm
+FROM n
+GROUP BY label
+""",
+}

@@ -1,0 +1,210 @@
+"""Text-analysis operators over the ``documents`` table — the LLM-data-
+pipeline surface (north star in BASELINE.json; absent from the reference,
+SURVEY.md §2.2): token counting, quality scoring, language ID, document
+fingerprinting.
+
+All operators are pure built-in column expressions (split / filter /
+size / md5 / regexp) — JVM-side, whole-stage-codegen, shuffle-free per
+row. At 100 TB they are map-only over the documents scan; the only
+shuffles are the final aggregations, which group on low-cardinality keys.
+
+Determinism for the oracle gate: ratios are double divisions of exact
+integers — identical in both engines; fingerprints are md5 (identical
+algorithm in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: tiny stopword list used by quality scoring (public-domain common words)
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+#: marker words per language for the n-gram/lexicon language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "y", "de"],
+    "de": ["der", "die", "das", "und", "nicht"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: count of
+    alphanumeric runs of length<=4 after splitting long words (regexp-based
+    deterministic approximation of byte-pair segment counts)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    # BPE-ish proxy: every word contributes ceil(len/4) subword units.
+    subwords = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+        subwords.cast("int").alias("n_subword_units"),
+    )
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality features: length stats, stopword ratio,
+    unique-token ratio, mean word length — the standard pre-training
+    corpus filters (C4/Gopher-style rules, here as deterministic
+    arithmetic)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok  # chars sans spaces / words
+    stop_ratio = n_stop / n_tok
+    uniq_ratio = n_uniq / n_tok
+    # simple composite: long-enough, lexically diverse, not stopword-soup
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.4
+        + (1 - stop_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        n_uniq.cast("int").alias("n_unique"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: count marker-word hits per language,
+    argmax with deterministic tiebreak (en > fr > es > de order), compare
+    against the labeled ``lang`` column."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]),
+            F.lit("fr"),
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key) plus
+    md5 of the first-5-token prefix (cheap near-dup blocking key). md5 is
+    bit-identical across engines, unlike engine-native hash functions."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, 5), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(prefix).alias("fp_prefix5"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _marker_sql(lang: str) -> str:
+    ms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({ms})))"
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_quality_score": q_text_quality_score,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_token_count": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_measured,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS INTEGER) AS n_subword_units
+FROM documents
+""",
+    "text_quality_score": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stop,
+    len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tok AS INTEGER) AS n_tokens,
+  CAST(n_uniq AS INTEGER) AS n_unique,
+  (length(text) - (n_tok - 1)) / CAST(n_tok AS DOUBLE) AS mean_word_len,
+  n_stop / CAST(n_tok AS DOUBLE) AS stopword_ratio,
+  n_uniq / CAST(n_tok AS DOUBLE) AS unique_ratio,
+  least(n_tok / 50.0, 1.0) * 0.4
+    + (n_uniq / CAST(n_tok AS DOUBLE)) * 0.4
+    + (1 - n_stop / CAST(n_tok AS DOUBLE)) * 0.2 AS quality_score
+FROM t
+""",
+    "text_lang_id": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_marker_sql('en')} AS c_en,
+    {_marker_sql('fr')} AS c_fr,
+    {_marker_sql('es')} AS c_es,
+    {_marker_sql('de')} AS c_de
+  FROM documents
+)
+SELECT doc_id, lang AS lang_label,
+  CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+       WHEN c_es >= c_de THEN 'es'
+       ELSE 'de' END AS lang_pred,
+  CAST(CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+       WHEN c_es >= c_de THEN 'es'
+       ELSE 'de' END = lang AS INTEGER) AS is_match
+FROM s
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+  md5(lower(trim(text))) AS fp_full,
+  md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 5), ' ')) AS fp_prefix5
+FROM documents
+""",
+}

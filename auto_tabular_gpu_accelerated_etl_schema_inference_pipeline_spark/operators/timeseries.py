@@ -1,0 +1,255 @@
+"""Time-series operators over the ``events`` table: tumbling/sliding
+window aggregation, sessionization, as-of join (absent from the
+reference — SURVEY.md §2.2; the batch twins of streaming/windows.py).
+
+Scale design (100 TB):
+- Tumbling/sliding windows are groupBy on a derived time bucket —
+  partial aggregation + one small shuffle; event-time skew is bounded
+  because bucket cardinality grows with time span, not row count.
+- Sessionization is a partitioned window (shuffle on user_id) + running
+  sum of gap indicators — the standard scalable formulation; no global
+  sort, parallel across users. Skewed hot users would use AQE skew
+  handling.
+- As-of join: per-key ranking window over the probe side after an
+  equi-join on the key; at scale, when the build side is large, a range
+  bucketization (join on (key, date_bucket)) bounds the fan-out; for
+  fixtures the equi-join + row_number form is exact and shuffle-minimal.
+
+events.value is exactly 2dp (verified) -> DECIMAL(12,2) sums are exact
+and oracle-stable; ts is nanosecond parquet, read through load_events
+(microsecond truncation identical to DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_events, load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_events(spark, sf_dir)
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count, exact value sum,
+    distinct users."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (each event lands in exactly two
+    windows), via the built-in F.window — the same operator Structured
+    Streaming uses, here in batch mode."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on gaps > 30 min (lag +
+    gap indicator + running sum — the standard distributed formulation).
+    Output: one row per session with bounds, length and exact value sum."""
+    ev = _ev(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+            > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_gap.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+            ).alias("duration_sec"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "duration_sec",
+            "sum_value",
+        )
+    )
+
+
+def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order of the same
+    customer (user_id = o_custkey) with o_orderdate <= ts. Expressed as
+    equi-join on the key + ranking window (deterministic tiebreak on
+    o_orderkey) — Spark's scalable as-of formulation; DuckDB's native
+    ASOF JOIN is the oracle's cross-check formulated the same way."""
+    ev = _ev(spark, sf_dir)
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: for each signup event, count the same user's
+    events in the following hour (non-equi time predicate on top of the
+    user equi-join). At 100 TB the time side is bucketized (join on
+    (user, hour_bucket)) to bound fan-out; fixtures use the direct
+    range condition, which AQE handles at this size."""
+    ev = _ev(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        signups.join(ev, cond, "left")
+        .groupBy("signup_id", "s_user")
+        .agg(F.count("event_id").alias("n_events_next_hour"))
+        .select(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            "n_events_next_hour",
+        )
+    )
+
+
+QUERIES = {
+    "events_tumbling_window": q_events_tumbling_window,
+    "events_sliding_window": q_events_sliding_window,
+    "events_sessionize": q_events_sessionize,
+    "asof_join_events_orders": q_asof_join_events_orders,
+    "events_range_join": q_events_range_join,
+}
+
+ORACLES = {
+    "events_tumbling_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sliding_window": """
+WITH doubled AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type, value FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM doubled
+GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  count(*) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+""",
+    "asof_join_events_orders": """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts,
+    o.o_orderkey, o.o_orderdate, o.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts,
+  o_orderkey AS last_orderkey,
+  o_orderdate AS last_orderdate,
+  o_totalprice AS last_totalprice
+FROM j WHERE rn = 1
+""",
+    "events_range_join": """
+SELECT s.event_id AS signup_id, s.user_id,
+  count(e.event_id) AS n_events_next_hour
+FROM events s LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+""",
+}

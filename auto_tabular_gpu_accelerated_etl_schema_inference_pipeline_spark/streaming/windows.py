@@ -1,0 +1,93 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.2:
+streaming is absent from the strictly-batch reference; this module is the
+engine's stream surface).
+
+The fixture parquet drives a bounded file stream: readStream -> windowed
+aggregation -> memory sink, drained synchronously with
+processAllAvailable(). The SAME logical window aggregation runs in
+streaming and batch (q_events_tumbling_window), so the streaming result
+is oracle-checkable against the batch SQL — Spark's unified-engine
+guarantee, demonstrated.
+
+At scale the source becomes Kafka/object-store listings, the sink a
+transactional table, and a watermark (`withWatermark("ts", ...)`) bounds
+state for append-mode late data; complete-mode-over-bounded-input is the
+fixture-friendly configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over events.parquet. The nanosecond ts column
+    is read as long (same legacy conf as the batch reader) and truncated
+    to microsecond timestamps with exact integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(src).schema
+    # file-stream sources must be directories: expose the fixture file
+    # through a temp dir symlink (testdata is read-only)
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
+    """Tumbling-window streaming aggregation, drained to completion.
+    Returns the final (complete-mode) result as a batch DataFrame with
+    the same shape as the batch q_events_tumbling_window."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", gap).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+    name = "stream_tumbling_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_tumbling_window. approx_users is an HLL
+    sketch (streaming-friendly distinct) -> rows-only check; the
+    exact-count batch twin carries the oracle."""
+    return run_tumbling_stream(spark, sf_dir)
+
+
+QUERIES = {
+    "streaming_tumbling_window": q_streaming_tumbling_window,
+}
+
+ORACLES: dict[str, str] = {}

