@@ -34,7 +34,7 @@ def q_quantile_bin_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
     return tokenize_table(
-        df, cols=LINEITEM_MEASURES, keep_cols=LINEITEM_KEYS, relative_error=0.0001
+        df, cols=LINEITEM_MEASURES, keep_cols=LINEITEM_KEYS, relative_error=0.001
     )
 
 
@@ -47,7 +47,7 @@ def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         cols=LINEITEM_MEASURES,
         keep_cols=LINEITEM_KEYS,
-        relative_error=0.0001,
+        relative_error=0.001,
         backend="pandas_udf",
     )
 

@@ -70,7 +70,7 @@ def main() -> None:
     n = df.count()  # force the scan
     t1 = time.perf_counter()
     bounds = fit_quantile_boundaries(
-        df, LINEITEM_MEASURES, bins=100, relative_error=0.0001
+        df, LINEITEM_MEASURES, bins=100, relative_error=0.001
     )
     t2 = time.perf_counter()
     toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
@@ -100,6 +100,40 @@ def main() -> None:
         except Exception as exc:  # a broken bench entry shouldn't kill the run
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    # --- reference-scale workload: 10M rows x 20 cols, 100 bins — the
+    # exact shape behind BASELINE.md (etl_benchmark.py ROWS/COLS/BINS).
+    # Pipeline mirrors the reference's RAM-resident two-phase structure:
+    # load+persist (= pd.read_parquet into RAM), sampled fit (= quantile),
+    # bucketize (= torch.bucketize), forced with a noop sink.
+    if os.environ.get("SPARK_GRAFT_BENCH_REF", "1") != "0":
+        from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+            bucketize as _bucketize,
+            fit_quantile_boundaries_sampled,
+        )
+        from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.generator import (
+            create_dummy_data,
+        )
+
+        ref_path = "/tmp/spark_graft_massive_10m20.parquet"
+        tg0 = time.perf_counter()
+        create_dummy_data(spark, ref_path, rows=10_000_000, cols=20, seed=42)
+        timings["ref_generate"] = time.perf_counter() - tg0  # ~0 when cached on disk
+
+        ref_cols = [f"col_{i}" for i in range(20)]
+        tr0 = time.perf_counter()
+        rdf = spark.read.parquet(ref_path).persist()
+        rdf.count()  # first action materializes the whole cache (full decode)
+        tr1 = time.perf_counter()
+        rbounds = fit_quantile_boundaries_sampled(rdf, ref_cols, bins=100)
+        tr2 = time.perf_counter()
+        _bucketize(rdf, rbounds).write.format("noop").mode("overwrite").save()
+        tr3 = time.perf_counter()
+        rdf.unpersist()
+        timings["ref_load_cache"] = tr1 - tr0
+        timings["ref_fit"] = tr2 - tr1
+        timings["ref_transform"] = tr3 - tr2
+        timings["ref_total"] = tr3 - tr0
 
     result = {
         "metric": "flagship_tokenize_total",

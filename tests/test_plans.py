@@ -1,0 +1,87 @@
+"""Plan-shape guards: the scalable operators must produce the physical
+plans they were designed around (pushdown, pruning, broadcast, no global
+sorts). A correctness-green query with the wrong plan is still a bug at
+100 TB."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (  # noqa: E402
+    assert_broadcast_join,
+    assert_no_single_partition_window,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_whole_stage_codegen,
+)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational import (
+        q_tpch_q6,
+    )
+
+    df = q_tpch_q6(spark, sf_dir)
+    assert_pushed_filters(df, "l_discount")
+    assert_read_schema_pruned(df, 4)  # shipdate, discount, quantity, extendedprice
+    assert_whole_stage_codegen(df)
+
+
+def test_filter_project_pushdown_plan(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational import (
+        q_filter_project_pushdown,
+    )
+
+    df = q_filter_project_pushdown(spark, sf_dir)
+    assert_pushed_filters(df, "l_discount")
+    assert_read_schema_pruned(df, 3)
+
+
+def test_q3_q5_broadcast_dimensions(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational import (
+        q_tpch_q3,
+        q_tpch_q5,
+    )
+
+    assert_broadcast_join(q_tpch_q3(spark, sf_dir), 1)
+    assert_broadcast_join(q_tpch_q5(spark, sf_dir), 4)
+
+
+def test_scalable_tokenizer_no_global_sort(spark, sf_dir):
+    """The 100 TB tokenize path must be map-only: no shuffle at all in
+    the transform (the fit is a separate sketch pass)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        LINEITEM_KEYS,
+        LINEITEM_MEASURES,
+        bucketize,
+        fit_quantile_boundaries,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(df, LINEITEM_MEASURES, relative_error=0.001)
+    toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+    assert_no_single_partition_window(toks)
+    plan = formatted_plan(toks)
+    assert "Exchange" not in plan, f"transform stage should be shuffle-free:\n{plan}"
+
+
+def test_topk_brute_force_broadcasts_queries(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (
+        q_similarity_topk_cosine,
+    )
+
+    df = q_similarity_topk_cosine(spark, sf_dir)
+    # broadcast nested-loop join (non-equi condition) — corpus side never shuffles for the join
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, f"queries side must broadcast:\n{plan}"
