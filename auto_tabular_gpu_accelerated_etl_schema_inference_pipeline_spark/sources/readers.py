@@ -1,0 +1,89 @@
+"""Source connectors with schema inference — the reader half of the
+"Auto ... Schema-Inference" capability (SURVEY.md §1.4: the reference
+only ever consumes parquet's self-describing footer at
+etl_benchmark.py:27; CSV/JSON inference is declared by its name and
+provided here).
+
+Scale notes:
+- Parquet: schema from the footer, no inference cost; predicate pushdown
+  and column pruning built-in — the default at 100 TB.
+- CSV/JSON ``infer_schema=True`` runs an extra sampling pass over the
+  input; production pipelines at scale should infer once on a sample
+  (``samplingRatio``), freeze the schema with ``schema_of``, and pass it
+  explicitly thereafter — ``read_csv``/``read_json`` support both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Reference O3 (etl_benchmark.py:27): scan with footer schema."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer_schema: bool = True,
+    sampling_ratio: float = 1.0,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema).option(
+            "samplingRatio", sampling_ratio
+        )
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sampling_ratio: float = 1.0,
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("samplingRatio", sampling_ratio)
+    return reader.json(path)
+
+
+def schema_of(df: DataFrame) -> T.StructType:
+    """Freeze an inferred schema for reuse (infer once, apply many)."""
+    return df.schema
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source with partitioned parallel reads. No JDBC driver jar
+    ships in this container — the call constructs the reader (tested for
+    wiring) but executing it requires a driver on the classpath."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,63 @@
+"""Sink connectors (reference O2, etl_benchmark.py:19: a single parquet
+write with a create-if-absent guard — generalized to the formats and
+layouts a 100 TB pipeline needs).
+
+Scale notes:
+- ``partition_by`` produces hive-style directory partitioning so
+  downstream reads prune whole directories (partition pruning).
+- ``bucket_by`` + saveAsTable co-locates future equi-joins/aggs on the
+  bucket key without a shuffle (sort-merge-bucket reads).
+- ``max_records_per_file`` bounds file sizes so a 1000-executor write
+  neither produces 10^6 tiny files nor 100 GB monoliths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_parquet_if_absent(df: DataFrame, path: str) -> None:
+    """The reference's idempotent create (os.path.exists guard at
+    etl_benchmark.py:15) -> write mode 'ignore'."""
+    df.write.mode("ignore").parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: equi-joins/aggs on bucket_col read
+    co-located buckets with no exchange (the bucketing half of a
+    shuffle-free join strategy at scale)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,97 @@
+"""Source/sink round-trips: CSV/JSON schema inference recovers types,
+partitioned writes prune, bucketed tables join without exchange."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (  # noqa: E402
+    load_table,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources import (  # noqa: E402
+    readers,
+    sinks,
+)
+
+
+def test_csv_roundtrip_with_inference(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    p = str(tmp_path / "cust_csv")
+    sinks.write_csv(cust, p)
+    back = readers.read_csv(spark, p, infer_schema=True)
+    types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert types["c_custkey"] in ("int", "bigint")
+    assert types["c_acctbal"] == "double"
+    assert types["c_name"] == "string"
+    assert back.count() == cust.count()
+
+
+def test_json_roundtrip_with_inference(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_json")
+    sinks.write_json(nation, p)
+    back = readers.read_json(spark, p)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_frozen_schema_reuse(spark, sf_dir, tmp_path):
+    """Infer once, freeze, re-read with the explicit schema (no second
+    inference pass) — the at-scale pattern."""
+    cust = load_table(spark, sf_dir, "customer")
+    p = str(tmp_path / "cust_csv2")
+    sinks.write_csv(cust, p)
+    inferred = readers.schema_of(readers.read_csv(spark, p, infer_schema=True))
+    fixed = readers.read_csv(spark, p, schema=inferred)
+    assert fixed.schema == inferred
+    assert fixed.count() == cust.count()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_part")
+    sinks.write_parquet(orders, p, partition_by=["yr"])
+    assert any(d.startswith("yr=") for d in os.listdir(p))
+    pruned = spark.read.parquet(p).filter(F.col("yr") == 1996)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "yr" in plan
+
+
+def test_write_if_absent_idempotent(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    p = str(tmp_path / "region_pq")
+    sinks.write_parquet_if_absent(region, p)
+    sinks.write_parquet_if_absent(region.limit(1), p)  # ignored — already exists
+    assert spark.read.parquet(p).count() == region.count()
+
+
+def test_bucketed_table_join_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — use the session default (under cwd)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sinks.write_bucketed_table(orders, "b_orders", "o_orderkey", 8)
+    sinks.write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    joined = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    joined.write.format("noop").mode("overwrite").save()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        joined._jdf.queryExecution(), "formatted"
+    )
+    # bucket-colocated join: no shuffle exchange on either join input
+    join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "bucket" in plan.lower() or "Exchange hashpartitioning" not in join_section
