@@ -1,0 +1,103 @@
+"""End-to-end training-data-preparation pipeline — the composite a user
+of the reference actually wants at 100 TB: quality-filter -> dedup ->
+tokenize -> partitioned sink, each stage one of the engine's operators.
+
+Stage plan shapes (why this survives scale-up):
+1. quality filter: map-only column expressions over the documents scan;
+2. exact dedup: one shuffle keyed on a 16-byte digest (not the text);
+3. near-dedup: MinHash-LSH candidates + verified Jaccard (bounded
+   shuffles; see operators/dedup.py);
+4. numeric tokenize: sketch fit (KBs of driver state) + map-only
+   bucketize;
+5. sink: partitioned parquet so downstream reads prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
+from .operators.model import QuantileBinModel
+from .operators.text import STOPWORDS
+from .session import load_table
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.5,
+    min_unique_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate (map-only)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return docs.filter(
+        (n_tok >= min_tokens)
+        & (stop_ratio <= max_stopword_ratio)
+        & (uniq_ratio >= min_unique_ratio)
+    )
+
+
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative of each distinct normalized
+    text. Shuffle key = md5 digest, never the document body."""
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    reps = (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(reps, "doc_id", "left_semi")
+
+
+def dedup_near_remove(spark: SparkSession, docs: DataFrame, sf_dir: str) -> DataFrame:
+    """Drop the higher-id member of every verified near-dup pair
+    (MinHash-LSH candidates, exact-Jaccard verified >= threshold)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    drop = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def prepare_training_data(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str | None = None,
+    near_dedup: bool = True,
+) -> DataFrame:
+    """documents + lineitem-derived numeric features -> one tokenized,
+    deduped, quality-filtered training table."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = quality_filter(docs)
+    docs = dedup_exact_keep_first(docs)
+    if near_dedup:
+        docs = dedup_near_remove(spark, docs, sf_dir)
+
+    # numeric side: tokenize document stats (the reference op applied to
+    # derived features) — fit on the filtered corpus, map-only transform
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("f_tokens"),
+        F.length("text").cast("double").alias("f_chars"),
+    )
+    model = QuantileBinModel.fit(feats, ["f_tokens", "f_chars"], bins=20)
+    tokenized = model.transform(feats, keep_cols=["doc_id", "lang", "source"])
+    if out_path:
+        tokenized.write.mode("overwrite").partitionBy("lang").parquet(out_path)
+    return tokenized
+
+
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only: composition of oracle-covered stages +
+    an approximate near-dedup stage)."""
+    return prepare_training_data(spark, sf_dir, out_path=None)
+
+
+QUERIES = {"training_data_prep": q_training_data_prep}
+ORACLES: dict[str, str] = {}

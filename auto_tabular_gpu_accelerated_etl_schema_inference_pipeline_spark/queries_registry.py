@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = [
     "operators.quantile_bin_queries",
     "operators.relational",
+    "operators.relational_ext",
     "operators.text",
     "operators.dedup",
     "operators.similarity",
@@ -24,6 +25,8 @@ _MODULES = [
     "operators.schema_infer",
     "operators.multimodal",
     "streaming.windows",
+    "streaming.stateful",
+    "pipelines",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
