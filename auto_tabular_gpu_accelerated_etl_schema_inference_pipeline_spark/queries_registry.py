@@ -22,6 +22,7 @@ _MODULES = [
     "operators.dedup",
     "operators.similarity",
     "operators.timeseries",
+    "operators.asof_pandas",
     "operators.schema_infer",
     "operators.multimodal",
     "streaming.windows",

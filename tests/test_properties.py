@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the tokenizer's core
+invariants — the checks the reference never had for its three divergent
+binning implementations (SURVEY.md §5, §7 "hard parts"):
+
+1. bins stay in [0, bins-1] for ANY data (including constants, extreme
+   magnitudes, duplicate-heavy columns);
+2. bucketize is monotonic: x <= y  =>  bin(x) <= bin(y);
+3. duplicate boundary collapse (the reference's duplicates='drop')
+   yields fewer, still-valid bins on low-cardinality data;
+4. the Bucketizer lane and the Arrow searchsorted lane agree everywhere.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (  # noqa: E402
+    _interior_splits,
+    bucketize,
+    bucketize_pandas_udf,
+    fit_quantile_boundaries,
+)
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(finite_floats, min_size=4, max_size=200),
+    st.integers(min_value=2, max_value=20),
+)
+def test_bins_in_range_and_monotonic(spark, values, bins):
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "id long, x double")
+    bounds = fit_quantile_boundaries(df, ["x"], bins=bins, relative_error=0.0)
+    toks = bucketize(df, bounds, keep_cols=["id"])
+    rows = {r["id"]: r["x_bin"] for r in toks.collect()}
+    n_interior = len(_interior_splits(bounds["x"]))
+    for i, v in enumerate(values):
+        assert 0 <= rows[i] <= n_interior
+    # monotonic: sort by value, bins must be non-decreasing
+    by_val = [rows[i] for i, _ in sorted(enumerate(values), key=lambda t: t[1])]
+    assert all(a <= b for a, b in zip(by_val, by_val[1:]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.sampled_from([1.0, 2.0, 3.0]), min_size=10, max_size=100))
+def test_duplicate_boundaries_collapse(spark, values):
+    """<=3 distinct values with 10 requested bins: duplicate quantile
+    boundaries collapse (duplicates='drop' semantics — strictly fewer
+    splits than requested; exact count varies with percentile
+    interpolation) and every row still lands in a valid bin."""
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    bounds = fit_quantile_boundaries(df, ["x"], bins=10, relative_error=0.0)
+    interior = _interior_splits(bounds["x"])
+    assert len(interior) <= 9  # never more than bins-1; dups collapsed
+    toks = bucketize(df, bounds)
+    mx = toks.selectExpr("max(x_bin) AS m").collect()[0]["m"]
+    assert 0 <= mx <= len(interior)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite_floats, min_size=8, max_size=120))
+def test_backend_agreement(spark, values):
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "id long, x double")
+    bounds = fit_quantile_boundaries(df, ["x"], bins=8, relative_error=0.0)
+    a = bucketize(df, bounds, keep_cols=["id"])
+    b = bucketize_pandas_udf(df, bounds, keep_cols=["id"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

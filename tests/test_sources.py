@@ -73,9 +73,17 @@ def test_write_if_absent_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_bucketed_table_join_no_exchange(spark, sf_dir, tmp_path):
-    # warehouse dir is a static conf — use the session default (under cwd)
+    # warehouse dir is a static conf — use the session default (under cwd).
+    # A previous run's orphaned location blocks saveAsTable (the in-memory
+    # catalog forgets the table but not the directory) — clear both.
+    import shutil
+    from urllib.parse import urlparse
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     sinks.write_bucketed_table(orders, "b_orders", "o_orderkey", 8)
