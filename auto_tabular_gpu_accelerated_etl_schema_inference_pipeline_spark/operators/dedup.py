@@ -122,13 +122,18 @@ def _minhash_sig_col(tokens_col, k: int):
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
 
-    sig: k=16 minhashes; bands: 4 bands x 4 rows hashed to a bucket key;
+    sig: k=32 minhashes; bands: 4 bands x 8 rows hashed to a bucket key;
     candidates: equi-join on (band, bucket); verify: exact token-set
     Jaccard >= threshold on the candidate pairs only. At 100 TB the
     verify join touches only colliding pairs — the LSH S-curve keeps that
     near-linear for high thresholds. Rows-only check (xxhash64 is
     Spark-specific); ground truth = dedup_ngram_jaccard."""
-    docs = _docs(spark, sf_dir)
+    return minhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def minhash_near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs over any (doc_id, text) frame — see
+    q_dedup_minhash_lsh for the algorithm notes."""
     r = MINHASH_K // MINHASH_BANDS
     toks = F.array_distinct(F.split(_norm_text(), " "))
     toks_df = docs.select("doc_id", toks.alias("toks"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
+from .operators.dedup import minhash_near_dup_pairs
 from .operators.model import QuantileBinModel
 from .operators.text import STOPWORDS
 from .session import load_table
@@ -55,10 +55,12 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
     return docs.join(reps, "doc_id", "left_semi")
 
 
-def dedup_near_remove(spark: SparkSession, docs: DataFrame, sf_dir: str) -> DataFrame:
+def dedup_near_remove(docs: DataFrame) -> DataFrame:
     """Drop the higher-id member of every verified near-dup pair
-    (MinHash-LSH candidates, exact-Jaccard verified >= threshold)."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    (MinHash-LSH candidates, exact-Jaccard verified >= threshold).
+    Runs on the already-filtered/exact-deduped corpus — near-dedup of
+    rows that earlier stages discarded is wasted work."""
+    pairs = minhash_near_dup_pairs(docs)
     drop = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti")
 
@@ -73,9 +75,12 @@ def prepare_training_data(
     deduped, quality-filtered training table."""
     docs = load_table(spark, sf_dir, "documents")
     docs = quality_filter(docs)
-    docs = dedup_exact_keep_first(docs)
+    # persist: the near-dedup stage references this frame from several
+    # self-join branches (signatures, bands, verification) — without the
+    # cache each branch re-runs the filter+dedup lineage from parquet
+    docs = dedup_exact_keep_first(docs).persist()
     if near_dedup:
-        docs = dedup_near_remove(spark, docs, sf_dir)
+        docs = dedup_near_remove(docs)
 
     # numeric side: tokenize document stats (the reference op applied to
     # derived features) — fit on the filtered corpus, map-only transform

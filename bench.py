@@ -34,11 +34,17 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionize",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh runs inside training_data_prep below — timing it
+    # twice doubles the most expensive stage for no signal
     "text_quality_score",
     "text_lang_id",
     "similarity_topk_cosine",
     "similarity_lsh_topk",
+    "window_funcs_suite",
+    "asof_join_events_orders",
+    "multimodal_featurize",
+    "streaming_stateful_user_totals",
+    "training_data_prep",
 ]
 
 
