@@ -253,8 +253,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_dedup_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram shingle Jaccard (order-sensitive, unlike the
+    token-set variant: catches word-reordered near-dups as DIFFERENT) on
+    a blocked subset (doc_id < 100 -> exact all-pairs). Shingles built
+    with sequence+transform+substring — pure built-ins."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    txt = _norm_text()
+    n = F.length(txt)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+            lambda i: txt.substr(i, F.lit(5)),
+        )
+    )
+    s = docs.select("doc_id", shingles.alias("sh"))
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_char_shingle_jaccard": q_dedup_char_shingle_jaccard,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -272,6 +300,21 @@ SELECT md5(lower(trim(text))) AS fp,
   min(doc_id) AS rep_doc_id, count(*) AS n_copies
 FROM documents
 GROUP BY 1
+""",
+    "dedup_char_shingle_jaccard": """
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(length(lower(trim(text))) - 4, 1)),
+      i -> substr(lower(trim(text)), i, 5))) AS sh
+  FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  len(list_intersect(a.sh, b.sh))
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.25
 """,
     "dedup_ngram_jaccard": f"""
 WITH toks AS (

@@ -18,6 +18,7 @@ _MODULES = [
     "operators.quantile_bin_queries",
     "operators.relational",
     "operators.relational_ext",
+    "operators.tpch_more",
     "operators.text",
     "operators.dedup",
     "operators.similarity",
