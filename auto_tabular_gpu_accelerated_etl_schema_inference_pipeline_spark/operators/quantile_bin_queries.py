@@ -52,6 +52,28 @@ def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bin_exact_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-path semantics proven against the oracle: exact SQL
+    ``percentile`` fit (bit-identical to DuckDB ``quantile_cont`` — both
+    Type-7 linear interpolation) + Bucketizer transform, mirrored in SQL
+    by counting interior boundaries <= v. This gives the SCALABLE lane's
+    semantics an oracle (the ntile oracle only covers the exact lane);
+    the sketch-fit variant differs solely in boundary placement."""
+    from .quantile_bin import bucketize, fit_quantile_boundaries
+
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(df, LINEITEM_MEASURES, bins=100, relative_error=0.0)
+    # Round boundaries to 6dp before dedupe (mirrored in the oracle):
+    # interpolated quantiles differ between engines in final ulps, which
+    # makes the DEDUPED interior lists differ in LENGTH on low-cardinality
+    # columns (discount/tax). With 2dp data, 6dp-rounded boundaries are
+    # either exact data values (unchanged) or strictly between adjacent
+    # 2dp values — so no comparison b <= v can flip.
+    bounds = {c: [round(x, 6) for x in v] for c, v in bounds.items()}
+    return bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+
+
 def q_tokenize_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference workload end-to-end (O1->O9): generate the randn table
     with spark.range+randn, fit, bucketize. Rows-only (synthetic input is
@@ -68,8 +90,20 @@ _NTILE_COLS = ",\n  ".join(
     for c in LINEITEM_MEASURES
 )
 
+_PROBS = ",".join(str(i / 100) for i in range(101))
+_BND_COLS = ",\n    ".join(
+    f"list_sort(list_distinct(list_transform("
+    f"list_slice(quantile_cont({c}, [{_PROBS}]), 2, 100), x -> round(x, 6)))) AS b_{c}"
+    for c in LINEITEM_MEASURES
+)
+_BIN_COLS = ",\n  ".join(
+    f"CAST(len(list_filter(b.b_{c}, x -> x <= t.{c})) AS INTEGER) AS {c}_bin"
+    for c in LINEITEM_MEASURES
+)
+
 QUERIES = {
     "quantile_bin_lineitem": q_quantile_bin_lineitem,
+    "quantile_bin_exact_boundaries": q_quantile_bin_exact_boundaries,
     "quantile_bin_scalable": q_quantile_bin_scalable,
     "quantile_bin_pandas_udf": q_quantile_bin_pandas_udf,
     "tokenize_generated": q_tokenize_generated,
@@ -80,5 +114,15 @@ ORACLES = {
 SELECT l_orderkey, l_linenumber,
   {_NTILE_COLS}
 FROM lineitem
+""",
+    "quantile_bin_exact_boundaries": f"""
+WITH b AS (
+  SELECT
+    {_BND_COLS}
+  FROM lineitem
+)
+SELECT t.l_orderkey, t.l_linenumber,
+  {_BIN_COLS}
+FROM lineitem t, b
 """,
 }

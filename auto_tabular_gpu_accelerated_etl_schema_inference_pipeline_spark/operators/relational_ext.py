@@ -194,8 +194,40 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem measures from EXACT
+    integer-cent moments: corr = (n*sxy - sx*sy)/sqrt((n*sxx - sx^2)
+    (n*syy - sy^2)). Native corr() accumulates doubles in engine-specific
+    order; here every moment is a scale-0 decimal (values are 2dp ->
+    cents are exact integers), all products/differences stay exact, and
+    the final decimal(,0)->double casts are single correctly-rounded int
+    conversions — identical in both engines at any magnitude (unlike
+    scaled decimals, which double-round past 2^53)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = (F.col("l_quantity") * 100).cast("decimal(12,0)")
+    p = (F.col("l_extendedprice") * 100).cast("decimal(12,0)")
+    d = (F.col("l_discount") * 100).cast("decimal(12,0)")
+    n = F.count("*")
+
+    def moments(x, y):
+        sx, sy = F.sum(x), F.sum(y)
+        sxx, syy, sxy = F.sum(x * x), F.sum(y * y), F.sum(x * y)
+        num = (n * sxy - sx * sy).cast("double")
+        den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+            (n * syy - sy * sy).cast("double")
+        )
+        return num / den
+
+    return li.agg(
+        n.alias("n_rows"),
+        moments(q, p).alias("corr_qty_price"),
+        moments(q, d).alias("corr_qty_disc"),
+    )
+
+
 QUERIES = {
     "window_funcs_suite": q_window_funcs_suite,
+    "agg_correlation": q_agg_correlation,
     "pivot_orders": q_pivot_orders,
     "unpivot_lineitem": q_unpivot_lineitem,
     "grouping_sets": q_grouping_sets,
@@ -207,7 +239,20 @@ QUERIES = {
     "null_funcs": q_null_funcs,
 }
 
+_CORR = """(CAST((count(*) * sum({x} * {y}) - sum({x}) * sum({y})) AS DOUBLE)
+    / (sqrt(CAST(count(*) * sum({x} * {x}) - sum({x}) * sum({x}) AS DOUBLE))
+       * sqrt(CAST(count(*) * sum({y} * {y}) - sum({y}) * sum({y}) AS DOUBLE))))"""
+_QC = "CAST(l_quantity * 100 AS DECIMAL(12,0))"
+_PC = "CAST(l_extendedprice * 100 AS DECIMAL(12,0))"
+_DC = "CAST(l_discount * 100 AS DECIMAL(12,0))"
+
 ORACLES = {
+    "agg_correlation": f"""
+SELECT count(*) AS n_rows,
+  {_CORR.format(x=_QC, y=_PC)} AS corr_qty_price,
+  {_CORR.format(x=_QC, y=_DC)} AS corr_qty_disc
+FROM lineitem
+""",
     "window_funcs_suite": """
 SELECT o_custkey, o_orderkey,
   lag(o_totalprice, 1) OVER w AS prev_price,

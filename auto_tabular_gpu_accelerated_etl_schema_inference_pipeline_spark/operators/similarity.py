@@ -158,6 +158,61 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans (pyspark.ml) partitions the corpus into
+    nlist=16 cells; each query probes its nprobe=4 nearest centroids and
+    ranks only those cells' vectors. At 100 TB: centroids are a broadcast
+    model (KBs), cell assignment is map-only, and the search join touches
+    |corpus|/nlist * nprobe rows per query instead of the full corpus.
+    Approximate (recall < 1 when a true neighbor lives in an unprobed
+    cell) -> rows-only; subset-tested against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _emb(spark, sf_dir)
+    vecs = emb.select(
+        "vec_id", array_to_vector(_dbl_vec(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=16, seed=42, maxIter=20).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "features", F.col("prediction").alias("cell")
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    # query -> its nprobe nearest cells (tiny cross join: n_queries x 16)
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), vector_to_array("features").alias("q_vec")
+    )
+    qc = queries.crossJoin(F.broadcast(centers)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    probed = qc.withColumn("cr", F.row_number().over(wq)).filter(F.col("cr") <= 4).select(
+        "q_id", "q_vec", "cell"
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("c_id"), vector_to_array("features").alias("c_vec"), "cell"
+    )
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", _cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: count + mean L2 norm. Norms (doubles,
     bit-identical per row across engines) are quantized to integer
@@ -193,6 +248,7 @@ QUERIES = {
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_stats": q_embedding_stats,
 }
 

