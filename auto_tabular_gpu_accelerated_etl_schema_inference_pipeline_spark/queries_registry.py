@@ -20,6 +20,7 @@ _MODULES = [
     "operators.relational_ext",
     "operators.tpch_more",
     "operators.tpch_deep",
+    "operators.cdc",
     "operators.text",
     "operators.dedup",
     "operators.similarity",

@@ -31,8 +31,17 @@ def read_csv(
     infer_schema: bool = True,
     sampling_ratio: float = 1.0,
     header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
-    reader = spark.read.option("header", header)
+    """``mode``: PERMISSIVE (malformed fields -> null, row captured in
+    ``corrupt_column`` if given), DROPMALFORMED (row silently dropped),
+    or FAILFAST (first malformed row raises — the integrity gate a
+    100 TB ingest wants up front, not 6 hours in). The corrupt column
+    must be declared in the schema to materialize."""
+    reader = spark.read.option("header", header).option("mode", mode)
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -47,8 +56,12 @@ def read_json(
     path: str,
     schema: T.StructType | None = None,
     sampling_ratio: float = 1.0,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
-    reader = spark.read
+    reader = spark.read.option("mode", mode)
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -103,3 +103,60 @@ def test_bucketed_table_join_no_exchange(spark, sf_dir, tmp_path):
     # bucket-colocated join: no shuffle exchange on either join input
     join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
     assert "bucket" in plan.lower() or "Exchange hashpartitioning" not in join_section
+
+
+def test_reader_modes_malformed_csv(spark, tmp_path):
+    """PERMISSIVE nulls + captures malformed rows, DROPMALFORMED drops
+    them, FAILFAST raises on first touch — the ingest integrity gates."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,10\n2,not_a_number\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    perm = readers.read_csv(
+        spark, p, schema=schema, mode="PERMISSIVE", corrupt_column="_corrupt"
+    )
+    rows = {r["k"]: r for r in perm.collect()}
+    assert rows[2]["v"] is None and rows[2]["_corrupt"] == "2,not_a_number"
+    assert rows[1]["_corrupt"] is None and rows[3]["v"] == 30
+
+    strict_schema = T.StructType(schema.fields[:2])
+    dropped = readers.read_csv(spark, p, schema=strict_schema, mode="DROPMALFORMED")
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        readers.read_csv(spark, p, schema=strict_schema, mode="FAILFAST").collect()
+
+
+def test_reader_modes_malformed_json(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        f.write('{"k": 1, "v": 10}\n{"k": 2, "v": ???}\n{"k": 3, "v": 30}\n')
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    perm = readers.read_json(
+        spark, p, schema=schema, mode="PERMISSIVE", corrupt_column="_corrupt"
+    )
+    good = [r for r in perm.collect() if r["_corrupt"] is None]
+    bad = [r for r in perm.collect() if r["_corrupt"] is not None]
+    assert sorted(r["k"] for r in good) == [1, 3] and len(bad) == 1
+
+    strict_schema = T.StructType(schema.fields[:2])
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        readers.read_json(spark, p, schema=strict_schema, mode="FAILFAST").collect()
