@@ -213,6 +213,78 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus embedding near-duplicate pairs via banded hyperplane
+    LSH (the scale path q_similarity_cosine_dedup's blocked subset only
+    hints at). NB_BANDS=8 bands of BAND_BITS=2 sign bits: a pair collides
+    in a band with p = (1 - theta/pi)^2, so at cosine 0.30 overall recall
+    is ~0.97 while the candidate set stays near-linear (bucket sizes
+    concentrate at |corpus| / 2^bits per band).
+
+    At 100 TB: explode-by-band is map-only (8x row inflation of id+sig
+    only, not the vectors), the self-join shuffles on (band, sig) — a
+    well-spread key — and exact cosine runs only on candidates. Pairs
+    deduped across bands with a distinct on (a_id, b_id). Approximate
+    (misses pairs colliding in no band) -> rows-only; subset+recall
+    tested against the exact all-pairs path."""
+    emb = _emb(spark, sf_dir)
+    import hashlib
+
+    def plane(j: int) -> list[float]:
+        return [
+            1.0 if hashlib.md5(f"band-plane:{j}:{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(64)
+        ]
+
+    n_bands, band_bits = 8, 2
+    plane_lits = [
+        F.array(*[F.lit(x) for x in plane(j)]) for j in range(n_bands * band_bits)
+    ]
+
+    def sig_bit(vec, j: int):
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lits[j], lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    def band_sig(vec, b: int):
+        return F.concat(
+            *[sig_bit(vec, b * band_bits + k) for k in range(band_bits)]
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig(F.col("embedding"), b).alias("sig"))
+            for b in range(n_bands)
+        ]
+    )
+    tagged = (
+        emb.select("vec_id", "embedding", F.explode(bands).alias("bs"))
+        .select("vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), "band", "sig"
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine", _cosine(_dbl_vec(F.col("a_vec")), _dbl_vec(F.col("b_vec")))
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: count + mean L2 norm. Norms (doubles,
     bit-identical per row across engines) are quantized to integer
@@ -249,6 +321,7 @@ QUERIES = {
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_lsh_near_dup": q_similarity_lsh_near_dup,
     "embedding_stats": q_embedding_stats,
 }
 

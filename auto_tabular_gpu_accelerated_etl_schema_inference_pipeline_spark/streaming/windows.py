@@ -86,8 +86,45 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (the training-pipeline dedup op on
+    the stream side): watermarked dropDuplicates on (user_id, event_type)
+    in append mode — each key is emitted exactly once, state for keys
+    older than the watermark is evicted (bounded memory at 100 TB/day
+    ingest; without the watermark streaming dedup state grows forever).
+
+    WHICH physical row survives depends on arrival order, so the query
+    returns only the KEY COLUMNS — that set is deterministic and carries
+    a bit-exact DISTINCT oracle, proving streaming dedup == batch
+    distinct under Spark's unified engine."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "stream_dedup_out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling_window,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "streaming_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+}

@@ -67,3 +67,35 @@ def test_lsh_topk_subset_of_brute_force(spark, sf_dir):
         exact_cos = brute.get((r["q_id"], r["c_id"]))
         if exact_cos is not None:
             assert abs(exact_cos - r["cosine"]) < 1e-12
+
+
+def test_lsh_near_dup_full_corpus_recall(spark):
+    """Banded LSH near-dup pairs on the FULL corpus: every returned pair
+    must carry its exact cosine (>= threshold), and recall vs the exact
+    all-pairs set should be high (8 bands x 2 bits => ~0.97 expected at
+    cosine 0.30). Run at sf0.001 (500 vectors -> 125k exact pairs)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("a_id"), dv(F.col("embedding")).alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), dv(F.col("embedding")).alias("b_vec"))
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cosine", similarity._cosine(F.col("a_vec"), F.col("b_vec")))
+            .filter(F.col("cosine") >= similarity.COSINE_DUP_THRESHOLD)
+            .collect()
+        )
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in similarity.q_similarity_lsh_near_dup(spark, sf).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert abs(cos - exact[pair]) < 1e-12
+    if exact:
+        assert len(got) / len(exact) >= 0.7
