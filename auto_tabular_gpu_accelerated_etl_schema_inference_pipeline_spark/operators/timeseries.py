@@ -174,8 +174,34 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `F.session_window` (30-min gap) — Spark's built-in merging
+    session assignment, the streaming-capable formulation of
+    q_events_sessionize's hand-rolled islands. Semantics pinned by the
+    oracle: a session breaks when the inter-event gap is >= the window
+    gap (session_window spans [first_ts, last_ts + gap)); the islands SQL
+    states the same with lag + running sum, proving native == SQL
+    islands. Single shuffle on user_id."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_window": q_events_tumbling_window,
+    "events_session_window_native": q_events_session_window_native,
     "events_sliding_window": q_events_sliding_window,
     "events_sessionize": q_events_sessionize,
     "asof_join_events_orders": q_asof_join_events_orders,
@@ -183,6 +209,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_session_window_native": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+""",
     "events_tumbling_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(*) AS n_events,

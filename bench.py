@@ -41,6 +41,10 @@ HEADLINE = [
     "similarity_topk_cosine",
     "similarity_lsh_topk",
     "window_funcs_suite",
+    "tpch_q9_product_profit",
+    "tpch_q13_custdist",
+    "cdc_latest_snapshot",
+    "similarity_lsh_near_dup",
     "asof_join_events_orders",
     "multimodal_featurize",
     "streaming_stateful_user_totals",
