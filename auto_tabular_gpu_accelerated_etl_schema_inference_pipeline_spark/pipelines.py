@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup import minhash_near_dup_pairs
+from .operators.dedup import minhash_near_dup_drop_ids
 from .operators.model import QuantileBinModel
 from .operators.text import STOPWORDS
 from .session import load_table
@@ -56,12 +56,14 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
 
 
 def dedup_near_remove(docs: DataFrame) -> DataFrame:
-    """Drop the higher-id member of every verified near-dup pair
-    (MinHash-LSH candidates, exact-Jaccard verified >= threshold).
-    Runs on the already-filtered/exact-deduped corpus — near-dedup of
-    rows that earlier stages discarded is wasted work."""
-    pairs = minhash_near_dup_pairs(docs)
-    drop = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    """Drop near-duplicates of each LSH bucket's min-id representative
+    (MinHash-LSH buckets, exact-Jaccard verified >= threshold against
+    the representative only — linear in corpus size, vs the all-pairs
+    formulation that is quadratic in near-dup cluster size; see
+    minhash_near_dup_drop_ids). Runs on the already-filtered/exact-
+    deduped corpus — near-dedup of rows earlier stages discarded is
+    wasted work."""
+    drop = minhash_near_dup_drop_ids(docs)
     return docs.join(drop, "doc_id", "left_anti")
 
 

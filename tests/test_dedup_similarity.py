@@ -99,3 +99,28 @@ def test_lsh_near_dup_full_corpus_recall(spark):
         assert abs(cos - exact[pair]) < 1e-12
     if exact:
         assert len(got) / len(exact) >= 0.7
+
+
+def test_minhash_drop_ids_subset_and_recall(spark, sf_dir):
+    """The linear representative-based drop set is (a) precise: every
+    dropped doc has a verified smaller-id near-dup in the all-pairs set,
+    and (b) near-complete: recall vs the all-pairs drop set stays high
+    (representatives are themselves cluster members)."""
+    pairs = dedup.minhash_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    from pyspark.sql import functions as F
+
+    all_pairs_drop = {
+        r["doc_id"]
+        for r in pairs.select(F.col("b_id").alias("doc_id")).distinct().collect()
+    }
+    lin_drop = {
+        r["doc_id"]
+        for r in dedup.minhash_near_dup_drop_ids(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    }
+    assert lin_drop <= all_pairs_drop
+    if all_pairs_drop:
+        assert len(lin_drop) / len(all_pairs_drop) >= 0.9
