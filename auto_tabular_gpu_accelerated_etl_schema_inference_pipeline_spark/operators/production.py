@@ -1,0 +1,223 @@
+"""Production-pipeline operators: deterministic sampling, single-pass
+observed metrics, and delta-style incremental processing.
+
+The reference is a one-shot batch script (etl_benchmark.py:94-107) with
+none of the operational surface a recurring 100 TB pipeline needs; these
+operators supply it Spark-first (SURVEY.md §2.2 north-star extensions):
+
+- **Deterministic hash sampling** replaces `TABLESAMPLE`/`df.sample` for
+  pipelines that must be re-runnable and auditable: membership depends
+  only on the row key (md5 is bit-identical across engines), never on an
+  RNG stream, partition layout, or executor count. At 100 TB this is a
+  map-only scan-time filter — no shuffle, fully pushed into the scan
+  projection — and the same predicate selects the same rows on ANY
+  engine, which is what makes a cross-engine oracle possible at all.
+- **observe() metrics** piggyback data-quality aggregates on the SAME
+  pass that produces the output (Spark's AggregatingAccumulator), so a
+  10-hour scan doesn't become a 20-hour scan just to know the row count
+  and null rate. The driver-visible result is a one-row metrics frame.
+- **Incremental high-water-mark processing** is the batch analog of
+  structured streaming: each run processes only rows above the stored
+  watermark (a monotonic ingest id), then MERGEs the per-batch aggregate
+  into the running state. State merge is a full-outer join on the group
+  key — at scale the state table is bucketed on the key so the merge is
+  shuffle-free, and the watermark lives in the sink's transaction log.
+  The invariant (tested and oracle-checked): after N incremental
+  batches, state == the full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..session import configure_for_oracle, load_events, load_table
+
+# hex md5 prefixes are uniform in [0x00, 0xff]: prefix < '0d' keeps
+# 13/256 ~ 5.1% of rows, deterministically per key
+SAMPLE_THRESHOLD = "0d"
+INCREMENTAL_BATCHES = 4
+
+
+def _li_key() -> F.Column:
+    # (l_orderkey, l_linenumber) is the lineitem primary key; the string
+    # form must match the oracle's `||` rendering exactly
+    return F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% deterministic sample of lineitem keyed on the primary key.
+    Re-running, repartitioning, or porting engines yields the SAME rows —
+    unlike TABLESAMPLE/df.sample whose membership depends on the RNG and
+    partition layout. Map-only: the md5 predicate evaluates inside the
+    scan stage, no shuffle at any scale."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.filter(
+        F.substring(F.md5(_li_key()), 1, 2) < SAMPLE_THRESHOLD
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: per-stratum rates (A 25%, N 50%,
+    R 6.25%) via per-row hash thresholds — the hash-based equivalent of
+    df.sampleBy, but reproducible across engines/runs. Rebalancing class
+    frequency like this (downsample the over-represented stratum) is the
+    standard training-data curation move."""
+    df = load_table(spark, sf_dir, "lineitem")
+    thr = (
+        F.when(F.col("l_returnflag") == "A", F.lit("40"))
+        .when(F.col("l_returnflag") == "N", F.lit("80"))
+        .otherwise(F.lit("10"))
+    )
+    return (
+        df.filter(F.substring(F.md5(_li_key()), 1, 2) < thr)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+_METRICS_SCHEMA = StructType(
+    [
+        StructField("n_rows", LongType(), False),
+        StructField("n_high_discount", LongType(), False),
+        StructField("sum_price", DoubleType(), True),
+        StructField("n_null_flag", LongType(), False),
+    ]
+)
+
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via df.observe(): row count, predicate
+    count, exact decimal sum, and a null-count — collected by an
+    AggregatingAccumulator DURING the output pass (here a noop sink
+    stands in for the real one), not by a second scan. The observed
+    values are returned as a one-row frame; the oracle recomputes the
+    same aggregates relationally, proving observe() loses nothing."""
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_discount") > F.lit(0.05)).alias("n_high_discount"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count_if(F.col("l_returnflag").isNull()).alias("n_null_flag"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            Row(
+                n_rows=m["n_rows"],
+                n_high_discount=m["n_high_discount"],
+                sum_price=m["sum_price"],
+                n_null_flag=m["n_null_flag"],
+            )
+        ],
+        schema=_METRICS_SCHEMA,
+    )
+
+
+def incremental_user_totals(
+    spark: SparkSession, sf_dir: str, n_batches: int = INCREMENTAL_BATCHES
+) -> DataFrame:
+    """Per-user event totals built INCREMENTALLY: events arrive in
+    n_batches id-ranged chunks (event_id is the monotonic ingest id =
+    the high-water-mark column); each run aggregates only
+    `hwm < event_id <= new_hwm` and full-outer-MERGEs the partial into
+    the running state. Decimal partials keep the merged sum exact
+    regardless of batch boundaries. At scale: state is a bucketed table
+    keyed on user_id (merge becomes co-partitioned, shuffle-free) and
+    the hwm is committed atomically with the state write."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    span = (hi - lo + 1) if hi is not None else 0
+    step = max(1, span // n_batches + (1 if span % n_batches else 0))
+    state: DataFrame | None = None
+    hwm = lo - 1 if lo is not None else 0
+    while hwm < (hi if hi is not None else hwm):
+        new_hwm = min(hwm + step, hi)
+        batch = (
+            ev.filter((F.col("event_id") > hwm) & (F.col("event_id") <= new_hwm))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            )
+        )
+        if state is None:
+            state = batch
+        else:
+            s, b = state.alias("s"), batch.alias("b")
+            state = s.join(b, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce(F.col("s.n_events"), F.lit(0))
+                    + F.coalesce(F.col("b.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("s.sum_value"), F.lit(0).cast("decimal(12,2)"))
+                    + F.coalesce(F.col("b.sum_value"), F.lit(0).cast("decimal(12,2)"))
+                )
+                .cast("decimal(14,2)")
+                .alias("sum_value"),
+            )
+        hwm = new_hwm
+    assert state is not None, "events table is empty"
+    return state.select(
+        "user_id", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+def q_incremental_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return incremental_user_totals(spark, sf_dir)
+
+
+QUERIES = {
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "observe_metrics": q_observe_metrics,
+    "incremental_user_totals": q_incremental_user_totals,
+}
+
+ORACLES = {
+    "sample_hash": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '0d'
+""",
+    "sample_stratified": """
+SELECT l_returnflag,
+  count(*) AS n_sampled,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) <
+  CASE l_returnflag WHEN 'A' THEN '40' WHEN 'N' THEN '80' ELSE '10' END
+GROUP BY l_returnflag
+""",
+    "observe_metrics": """
+SELECT count(*) AS n_rows,
+  count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+  count(*) FILTER (WHERE l_returnflag IS NULL) AS n_null_flag
+FROM lineitem
+""",
+    "incremental_user_totals": """
+SELECT user_id,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+}

@@ -28,8 +28,10 @@ _MODULES = [
     "operators.asof_pandas",
     "operators.schema_infer",
     "operators.multimodal",
+    "operators.production",
     "streaming.windows",
     "streaming.stateful",
+    "streaming.joins",
     "pipelines",
 ]
 

@@ -1,0 +1,90 @@
+"""Stream-stream joins (Structured Streaming) over the events table.
+
+The reference is strictly batch (SURVEY.md §2.2); this module covers the
+remaining streaming-join surface: two live streams joined on a key plus
+an EVENT-TIME INTERVAL condition — the attribution workload (purchase
+within 2 h of a click) that at 100 TB/day runs as Kafka->Kafka with both
+sides watermarked.
+
+Why the time bound + watermarks matter at scale: an unbounded
+stream-stream inner join must buffer EVERY past row of both sides
+forever. The interval condition lets Spark derive a state-eviction bound
+(a click older than watermark - 2 h can never match a future purchase
+and is dropped from the join state), so state size is
+O(rate x window), not O(history). Inner joins emit matches immediately;
+the watermark exists purely to bound state.
+
+The fixture drives both sides from the same bounded file stream; the
+oracle is the equivalent batch self-join — unified-engine semantics,
+checked bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle
+from .windows import _events_stream
+
+
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to the same user's purchases that happen within
+    [click.ts, click.ts + 2 hours] — both sides streams, both
+    watermarked 1 hour. Output is ids + user (timestamps omitted: the
+    ns->us truncation is engine-side, ids are the stable identity)."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    name = "stream_click_purchase_out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+QUERIES = {
+    "streaming_click_purchase_join": q_streaming_click_purchase_join,
+}
+
+ORACLES = {
+    "streaming_click_purchase_join": """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+}

@@ -117,6 +117,12 @@ def main() -> None:
     # load+persist (= pd.read_parquet into RAM), sampled fit (= quantile),
     # bucketize (= torch.bucketize), forced with a noop sink.
     if os.environ.get("SPARK_GRAFT_BENCH_REF", "1") != "0":
+        # Headline queries leave persisted frames behind (e.g. the
+        # training pipeline's deduped corpus); evict them so the 10M x 20
+        # cache below gets the full storage pool instead of spilling
+        # (measured: leftover cache pressure turns the 4 s transform into
+        # a 35 s one re-decoding parquet).
+        spark.catalog.clearCache()
         from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
             bucketize as _bucketize,
             fit_quantile_boundaries_sampled,
