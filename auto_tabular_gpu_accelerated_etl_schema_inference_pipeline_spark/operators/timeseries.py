@@ -199,7 +199,45 @@ def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/month rollups
+    where each coarser granularity is computed FROM the next finer one,
+    never by rescanning the raw table — the TimescaleDB/materialized-
+    rollup pattern. At 100 TB this is the difference between one raw
+    scan (hourly) + two tiny aggregations, and three raw scans; the
+    hourly aggregate is also what you'd persist and incrementally
+    refresh (see production.incremental_user_totals for the refresh
+    mechanics). Decimal partials make the re-aggregation exact; distinct
+    counts are intentionally absent (not mergeable — at scale they'd be
+    HLL sketches merged upward)."""
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_v"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v").alias("sum_v"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v").alias("sum_v"))
+    out_cols = [
+        "granularity",
+        "bucket_start",
+        "n_events",
+        F.col("sum_v").cast("double").alias("sum_value"),
+    ]
+    return (
+        hourly.withColumn("granularity", F.lit("hour")).select(*out_cols)
+        .unionByName(daily.withColumn("granularity", F.lit("day")).select(*out_cols))
+        .unionByName(monthly.withColumn("granularity", F.lit("month")).select(*out_cols))
+    )
+
+
 QUERIES = {
+    "events_hypertable_rollup": q_events_hypertable_rollup,
     "events_tumbling_window": q_events_tumbling_window,
     "events_session_window_native": q_events_session_window_native,
     "events_sliding_window": q_events_sliding_window,
@@ -209,6 +247,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hypertable_rollup": """
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+    count(*) AS n_events,
+    sum(CAST(value AS DECIMAL(12,2))) AS sum_v
+  FROM events GROUP BY 1
+), d AS (
+  SELECT CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
+    CAST(sum(n_events) AS BIGINT) AS n_events, sum(sum_v) AS sum_v
+  FROM h GROUP BY 1
+), m AS (
+  SELECT CAST(date_trunc('month', bucket_start) AS TIMESTAMP) AS bucket_start,
+    CAST(sum(n_events) AS BIGINT) AS n_events, sum(sum_v) AS sum_v
+  FROM d GROUP BY 1
+)
+SELECT 'hour' AS granularity, bucket_start,
+  CAST(n_events AS BIGINT) AS n_events, CAST(sum_v AS DOUBLE) AS sum_value FROM h
+UNION ALL
+SELECT 'day', bucket_start, n_events, CAST(sum_v AS DOUBLE) FROM d
+UNION ALL
+SELECT 'month', bucket_start, n_events, CAST(sum_v AS DOUBLE) FROM m
+""",
     "events_session_window_native": """
 WITH g AS (
   SELECT user_id, event_id, ts, value,

@@ -1,0 +1,55 @@
+"""Queries exercising the Python UDTF surface (functions/udtfs.py).
+
+Scale note: a LATERAL UDTF is map-side only — no shuffle is introduced
+by the expansion itself; the downstream groupBy shuffles the (much
+smaller) aggregated bigram counts. Arrow transfer is enabled for the
+UDTF so token batches cross the JVM/Python boundary columnar, not
+pickled row-by-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.udtfs import BigramUDTF
+from ..session import configure_for_oracle, load_table
+
+MIN_BIGRAM_COUNT = 5
+
+
+def q_udtf_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary via a LATERAL Python UDTF: explode every
+    document into word bigrams, keep those seen >= MIN_BIGRAM_COUNT
+    times — the vocabulary-induction step of n-gram tokenization."""
+    configure_for_oracle(spark)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("bigrams", BigramUDTF)
+    return spark.sql(
+        f"""
+        SELECT b.ngram, count(*) AS n
+        FROM udtf_docs d, LATERAL bigrams(d.text) b
+        GROUP BY b.ngram
+        HAVING count(*) >= {MIN_BIGRAM_COUNT}
+        """
+    )
+
+
+QUERIES = {
+    "udtf_bigram_vocab": q_udtf_bigram_vocab,
+}
+
+ORACLES = {
+    "udtf_bigram_vocab": """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS n
+FROM pairs
+GROUP BY ngram
+HAVING count(*) >= 5
+""",
+}

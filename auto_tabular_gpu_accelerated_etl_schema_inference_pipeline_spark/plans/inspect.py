@@ -71,3 +71,16 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     assert "Found" in plan and "WholeStageCodegen" in plan, (
         f"no codegen subtrees:\n{plan[:2000]}"
     )
+
+
+def assert_bloom_filter_pruning(df: DataFrame) -> None:
+    """A runtime bloom-filter (row-level runtime filter) must be injected
+    on the fact-side scan: the build side aggregates a bloom_filter_agg
+    over its join keys, the probe side filters rows through
+    might_contain BEFORE the shuffle — at 100 TB this prunes most of the
+    shuffle write when the dimension filter is selective but the join is
+    too big to broadcast."""
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+        f"no runtime bloom filter in plan:\n{plan[:2000]}"
+    )

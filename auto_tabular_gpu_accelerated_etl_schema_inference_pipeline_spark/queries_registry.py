@@ -29,6 +29,7 @@ _MODULES = [
     "operators.schema_infer",
     "operators.multimodal",
     "operators.production",
+    "operators.udtf_queries",
     "streaming.windows",
     "streaming.stateful",
     "streaming.joins",

@@ -100,3 +100,9 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema from file footer, filter/column pushdown like
+    parquet (same DataSource V2 scan machinery)."""
+    return spark.read.orc(path)

@@ -61,3 +61,11 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default). ORC is the remaining self-describing
+    columnar format in the Hadoop ecosystem; like the parquet sink it
+    carries predicate-pushdown indexes (min/max, bloom) so scans stay
+    prunable."""
+    df.write.mode(mode).orc(path)

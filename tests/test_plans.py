@@ -85,3 +85,42 @@ def test_topk_brute_force_broadcasts_queries(spark, sf_dir):
 
     plan = formatted_plan(df)
     assert "Broadcast" in plan, f"queries side must broadcast:\n{plan}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """When the dim side is filtered but the join can't broadcast, the
+    optimizer must inject a runtime bloom filter that prunes fact rows
+    before the shuffle (the 100 TB shuffle-reduction lever). Broadcast
+    is disabled only to force the shuffle-join regime the feature
+    targets; thresholds are floored because fixture scans are tiny."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_bloom_filter_pruning,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        assert_bloom_filter_pruning(j)
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -160,3 +160,30 @@ def test_reader_modes_malformed_json(spark, tmp_path):
     strict_schema = T.StructType(schema.fields[:2])
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         readers.read_json(spark, p, schema=strict_schema, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves schema + values; the ORC scan accepts
+    pushed filters like the parquet one (same DSv2 machinery)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.readers import (
+        read_orc,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.sinks import (
+        write_orc,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(back.o_orderstatus == "F").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan and "PushedFilters" in plan
+    a = sorted(r[0] for r in filtered.collect())
+    b = sorted(
+        r[0]
+        for r in src.filter(src.o_orderstatus == "F").select("o_orderkey").collect()
+    )
+    assert a == b
