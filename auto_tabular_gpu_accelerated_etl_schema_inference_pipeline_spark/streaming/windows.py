@@ -118,13 +118,60 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_session_window_native: the SAME
+    F.session_window(30 min) aggregation run as a stream (merging
+    session state across micro-batches), drained in complete mode.
+    Carries the same islands-SQL oracle as the batch query — the
+    unified-engine guarantee for MERGING (variable-length) windows, a
+    strictly stronger claim than the tumbling case because session
+    boundaries depend on cross-batch state merges. In production this
+    runs append-mode with a watermark so closed sessions emit and state
+    evicts; complete-mode-over-bounded-input is the fixture-friendly
+    configuration (same trade as run_tumbling_stream)."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "stream_session_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling_window,
     "streaming_dedup_keys": q_streaming_dedup_keys,
+    "streaming_session_window": q_streaming_session_window,
 }
+
+from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
 
 ORACLES: dict[str, str] = {
     "streaming_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
+    # byte-identical oracle to the batch native session_window query:
+    # streaming and batch must agree with the islands SQL
+    "streaming_session_window": _TS_ORACLES["events_session_window_native"],
 }
