@@ -49,6 +49,10 @@ HEADLINE = [
     "multimodal_featurize",
     "streaming_stateful_user_totals",
     "training_data_prep",
+    "events_hypertable_rollup",
+    "incremental_user_totals",
+    "sample_stratified",
+    "udtf_bigram_vocab",
 ]
 
 
