@@ -172,8 +172,14 @@ def fit_quantile_boundaries_head_sample(
 def _interior_splits(bounds: list[float]) -> list[float]:
     """Strictly-increasing interior boundaries (drop 0%/100% endpoints and
     duplicates — the reference's ``duplicates='drop'`` at
-    etl_benchmark.py:34 / Bucketizer's strictly-increasing requirement)."""
-    interior = sorted(set(bounds[1:-1]))
+    etl_benchmark.py:34 / Bucketizer's strictly-increasing requirement).
+
+    ``b + 0.0`` canonicalizes -0.0 to +0.0: the JVM Bucketizer binary-
+    searches with Double.compare's TOTAL order (-0.0 < 0.0) while the
+    numpy/torch kernels use IEEE comparison (-0.0 == 0.0) — a -0.0
+    boundary or value would make the lanes disagree by one bin (found by
+    hypothesis). Values are canonicalized the same way in bucketize()."""
+    interior = sorted(set(b + 0.0 for b in bounds[1:-1]))
     return interior
 
 
@@ -197,13 +203,20 @@ def bucketize(
         [float("-inf")] + _interior_splits(boundaries[c]) + [float("inf")]
         for c in cols
     ]
+    # +0.0 canonicalizes -0.0 so the JVM's Double.compare total order
+    # agrees with the kernels' IEEE comparison (see _interior_splits);
+    # one codegen'd add, no effect on any other value
+    norm_in = [f"__{c}_norm" for c in cols]
+    normed = df.withColumns(
+        {t: F.col(c) + F.lit(0.0) for c, t in zip(cols, norm_in)}
+    )
     raw_out = [f"__{c}_bin_raw" for c in cols]
     model = Bucketizer(
-        inputCols=cols, outputCols=raw_out, splitsArray=splits_arr,
+        inputCols=norm_in, outputCols=raw_out, splitsArray=splits_arr,
         handleInvalid="keep",
     )
     keep = keep_cols if keep_cols is not None else []
-    out = model.transform(df).select(
+    out = model.transform(normed).select(
         *[F.col(k) for k in keep],
         *[F.col(r).cast("int").alias(f"{c}_bin") for c, r in zip(cols, raw_out)],
     )
