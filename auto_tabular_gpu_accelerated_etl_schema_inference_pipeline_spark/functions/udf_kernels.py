@@ -18,7 +18,12 @@ from pyspark.sql.types import IntegerType
 
 def make_searchsorted_udf(interior, use_gpu=False):
     """bin = #(interior boundaries <= v) — binary search, identical
-    semantics to the Bucketizer lane (see operators/quantile_bin.py)."""
+    semantics to the Bucketizer lane (see operators/quantile_bin.py).
+
+    NaN/null: ``to_numpy(dtype=float64)`` coerces null to NaN, and
+    searchsorted places NaN after every boundary -> len(interior) — the
+    LAST bin. Same pinned semantics as the JVM lane (which pre-maps
+    NaN/null to +inf); parity-tested with NaN/null rows."""
     bounds = np.asarray(interior, dtype=np.float64)
 
     if use_gpu:

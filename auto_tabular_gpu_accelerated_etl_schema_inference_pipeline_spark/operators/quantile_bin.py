@@ -68,9 +68,19 @@ def exact_quantile_bin(
     """Equal-count binning via ``ntile``: bin i gets ceil/floor(n/bins)
     rows in sorted order — pd.qcut-equivalent on tie-free data, and
     deterministic on tied data because ``tiebreak`` extends the sort to a
-    total order (l_quantity has only 50 distinct values — SURVEY §7)."""
+    total order (l_quantity has only 50 distinct values — SURVEY §7).
+
+    Raises ``ValueError`` when neither ``keys`` nor ``tiebreak`` is given:
+    an ``ORDER BY col`` alone is not a total order on tied values, so bin
+    assignment would silently vary run-to-run."""
     keys = keys if keys is not None else []
     tiebreak = tiebreak if tiebreak is not None else keys
+    if not tiebreak:
+        raise ValueError(
+            "exact_quantile_bin needs a total sort order: pass tiebreak= "
+            "(or keys=) columns that uniquely identify rows; ties on the "
+            "binned column are otherwise assigned nondeterministically"
+        )
     out = [F.col(k) for k in keys]
     for c in cols:
         w = Window.orderBy(F.col(c).asc(), *[F.col(t).asc() for t in tiebreak])
@@ -164,7 +174,32 @@ def fit_quantile_boundaries_head_sample(
     etl_benchmark.py:74)."""
     import numpy as np
 
-    pdf = df.select(cols).limit(sample_rows).toPandas()
+    # limit().toPandas() is a trap: Arrow collect executes the FULL scan
+    # (CollectLimit's incremental short-circuit only applies to row-based
+    # actions like count/take — measured 14 s vs 1 s on a 10M-row table).
+    # Instead read just enough leading part-files to cover sample_rows:
+    # decodes ~one file instead of the whole table, works identically on
+    # HDFS/S3 paths, and is the same deterministic prefix.
+    pdf = None
+    files = sorted(df.inputFiles())
+    if files:
+        spark = df.sparkSession
+        frames = []
+        got = 0
+        for f in files:
+            part = (
+                spark.read.schema(df.schema).parquet(f)
+                .select(cols).limit(sample_rows - got).toPandas()
+            )
+            frames.append(part)
+            got += len(part)
+            if got >= sample_rows:
+                break
+        import pandas as pd
+
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    if pdf is None:  # not a plain file scan (e.g. a derived frame)
+        pdf = df.select(cols).limit(sample_rows).toPandas()
     probs = np.linspace(0.0, 1.0, bins + 1)
     return {c: [float(x) for x in np.quantile(pdf[c].to_numpy(), probs)] for c in cols}
 
@@ -192,7 +227,15 @@ def bucketize(
     etl_benchmark.py:79). Semantics: bin = #(interior boundaries <= v),
     i.e. numpy ``searchsorted(interior, v, side='right')``. The ±inf
     sentinel splits make clamping (reference O9, etl_benchmark.py:82)
-    unnecessary — every value lands in [0, n_bins-1].
+    unnecessary — every finite value lands in [0, n_bins-1].
+
+    NaN/null semantics (pinned, parity-tested across both lanes): NaN and
+    null map to the LAST bin, n_bins-1 — the reference's own behavior
+    (torch: bucketize(NaN)=len(bounds) then clamp to BINS-1,
+    etl_benchmark.py:79-82; Numba: no threshold exceeds NaN so the
+    default bins-1 sticks, etl_benchmark_numba.py:45-49). We pre-map
+    NaN/null to +inf so nothing is "invalid" by the time the JVM
+    Bucketizer sees it (handleInvalid='error' enforces that claim).
 
     Map-only stage: no shuffle, fully codegen'd, scales linearly.
     """
@@ -205,15 +248,21 @@ def bucketize(
     ]
     # +0.0 canonicalizes -0.0 so the JVM's Double.compare total order
     # agrees with the kernels' IEEE comparison (see _interior_splits);
-    # one codegen'd add, no effect on any other value
+    # NaN/null -> +inf lands them in the last bucket (splits' top bucket
+    # is upper-inclusive), matching np.searchsorted's NaN-at-end result
     norm_in = [f"__{c}_norm" for c in cols]
     normed = df.withColumns(
-        {t: F.col(c) + F.lit(0.0) for c, t in zip(cols, norm_in)}
+        {
+            t: F.when(
+                F.col(c).isNull() | F.isnan(F.col(c)), F.lit(float("inf"))
+            ).otherwise(F.col(c) + F.lit(0.0))
+            for c, t in zip(cols, norm_in)
+        }
     )
     raw_out = [f"__{c}_bin_raw" for c in cols]
     model = Bucketizer(
         inputCols=norm_in, outputCols=raw_out, splitsArray=splits_arr,
-        handleInvalid="keep",
+        handleInvalid="error",
     )
     keep = keep_cols if keep_cols is not None else []
     out = model.transform(normed).select(

@@ -193,16 +193,16 @@ def auto_tokenize(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
             out_cols.append(F.md5(F.col(c)).alias(f"{c}_fp"))
         elif k in ("json", "vector"):
             out_cols.append(F.col(c).cast("string").alias(f"{c}_raw"))
-    tokenized = df.select(*out_cols)
-    if cont:
-        bounds = fit_quantile_boundaries(df, cont, bins=100, relative_error=0.001)
-        binned = bucketize(
-            df, bounds, keep_cols=[c for c in classes if classes[c] == "identifier"]
-        )
-        key_cols = [c for c in classes if classes[c] == "identifier"]
-        if key_cols:
-            tokenized = tokenized.join(binned, key_cols)
-    return tokenized
+    if not cont:
+        return df.select(*out_cols)
+    # Single-pass: run the Bucketizer over the full frame (keeping every
+    # original column so the non-continuous token expressions still
+    # resolve), then select tokens + bin codes together. No join — works
+    # for tables with no identifier column (the reference's canonical
+    # all-numeric col_0..col_19 shape) and keeps the plan map-only.
+    bounds = fit_quantile_boundaries(df, cont, bins=100, relative_error=0.001)
+    binned = bucketize(df, bounds, keep_cols=list(df.columns))
+    return binned.select(*out_cols, *[F.col(f"{c}_bin") for c in cont])
 
 
 def q_auto_tokenize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

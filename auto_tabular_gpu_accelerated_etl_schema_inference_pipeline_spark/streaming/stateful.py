@@ -15,6 +15,7 @@ timeout fires.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 
@@ -73,6 +74,7 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)  # checkpoint is single-use
     # update-mode memory sink may hold multiple emits per key (one per
     # micro-batch): the final state per user is the max n_events row
     result = spark.table(name)

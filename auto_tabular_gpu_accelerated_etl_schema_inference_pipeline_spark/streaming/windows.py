@@ -33,10 +33,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(src).schema
     # file-stream sources must be directories: expose the fixture file
-    # through a temp dir symlink (testdata is read-only)
+    # through a symlink in a per-sf_dir cached dir (deterministic name ->
+    # created once, reused by every later stream over the same fixtures;
+    # no per-call mkdtemp leak)
+    import hashlib
     import tempfile
 
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)

@@ -82,6 +82,59 @@ def test_tokenize_generated_roundtrip(spark, tmp_path):
     assert 0 <= row["mn"] and row["mx"] <= 99
 
 
+def test_nan_null_pinned_to_last_bin_both_lanes(spark):
+    """ADVICE r1: NaN and null must land in bin n_bins-1 in BOTH lanes
+    (the reference clamps NaN into BINS-1; we pre-map NaN/null to +inf
+    JVM-side and searchsorted puts NaN at the end Arrow-side)."""
+    rows = [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, float("nan")), (6, None)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    bounds = {"v": [1.0, 2.0, 3.0, 4.0]}  # 4 bins: interior = [2.0, 3.0]
+    a = {r["id"]: r["v_bin"] for r in bucketize(df, bounds, keep_cols=["id"]).collect()}
+    b = {
+        r["id"]: r["v_bin"]
+        for r in bucketize_pandas_udf(df, bounds, keep_cols=["id"]).collect()
+    }
+    n_bins = len(bounds["v"]) - 1
+    assert a == b
+    assert a[5] == n_bins - 1 and a[6] == n_bins - 1
+    assert a[1] == 0 and a[4] == n_bins - 1
+
+
+def test_exact_quantile_bin_requires_total_order(spark):
+    """ADVICE r1: without keys/tiebreak the window order is not total on
+    tied values -> must raise instead of silently being nondeterministic."""
+    import pytest
+
+    df = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="total sort order"):
+        exact_quantile_bin(df, ["v"], bins=2)
+
+
+def test_auto_tokenize_all_continuous_table(spark, tmp_path):
+    """ADVICE r1: a table with no identifier column (the reference's
+    canonical col_0..col_19 shape) must still return the bin codes."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.schema_infer import (
+        auto_tokenize,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.generator import (
+        create_dummy_data,
+    )
+
+    path = str(tmp_path / "allcont.parquet")
+    create_dummy_data(spark, path, rows=5_000, cols=3)
+    df = spark.read.parquet(path)
+    toks = auto_tokenize(spark, df, "allcont")
+    bin_cols = [c for c in toks.columns if c.endswith("_bin")]
+    assert len(bin_cols) == 3, f"expected 3 bin columns, got {toks.columns}"
+    row = toks.select(
+        F.count("*").alias("n"),
+        F.max(F.greatest(*[F.col(c) for c in bin_cols])).alias("mx"),
+        F.min(F.least(*[F.col(c) for c in bin_cols])).alias("mn"),
+    ).collect()[0]
+    assert row["n"] == 5_000
+    assert 0 <= row["mn"] and row["mx"] <= 99
+
+
 def test_head_sample_fit_close_to_bernoulli(spark, sf_dir):
     """Prefix-sample boundaries must agree with Bernoulli-sample
     boundaries within sampling error on i.i.d.-ordered data (lineitem
