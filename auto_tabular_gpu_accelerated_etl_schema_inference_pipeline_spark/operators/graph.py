@@ -1,0 +1,120 @@
+"""Connected components over near-duplicate pairs — the clustering step a
+training-data dedup pipeline runs AFTER pair generation (pairs say "a~b",
+"b~c"; the pipeline must drop {b, c} as one duplicate CLUSTER of a, which
+requires the transitive closure, not the pair list).
+
+Absent from the reference (batch tokenizer only — SURVEY.md §2.2 north
+star). Spark-first design: hash-min label propagation — every vertex
+starts labeled with its own id; each round takes the min label over its
+neighborhood; converges to min(id in component) in O(component diameter)
+rounds. This is the standard scale-out CC formulation (GraphX/GraphFrames
+use the same idea with the large-star/small-star optimization to cut
+round count); each round is ONE edge-join shuffle keyed by vertex id, so
+a 1000-executor cluster runs it with bounded state per round and no
+driver materialization. Near-dup clusters have tiny diameters (usually
+<= 3), so the loop exits after 2-4 rounds.
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive closure over the same edge
+set — min reachable id == the fixpoint label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import JACCARD_THRESHOLD, q_dedup_ngram_jaccard
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Hash-min label propagation. ``vertices``: one column ``id``;
+    ``edges``: columns ``src``/``dst``, undirected (one direction given).
+    Returns (id, component_id) where component_id = min id in component.
+
+    Each round: symmetric edge join -> per-vertex min over neighbor
+    labels -> least(own, neighbor-min). ``localCheckpoint`` truncates the
+    lineage so plan size stays constant across rounds (without it each
+    iteration's plan embeds all previous ones and analysis time blows up
+    — the classic iterative-DataFrame pitfall)."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component_id"))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters on documents: edges = exact n-gram Jaccard pairs
+    (j >= 0.95, the oracle-graded pair generator), vertices = every doc.
+    Output one row per doc with its cluster's canonical (min) doc_id —
+    the table a dedup pipeline joins against to keep one doc per
+    cluster."""
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(verts, edges)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
+QUERIES = {
+    "dedup_components": q_dedup_components,
+}
+
+ORACLES = {
+    # min reachable doc_id along near-dup edges == hash-min fixpoint
+    "dedup_components": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))
+      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS component_id
+FROM reach GROUP BY id
+""",
+}

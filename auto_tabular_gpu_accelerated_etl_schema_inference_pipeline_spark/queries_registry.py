@@ -23,6 +23,7 @@ _MODULES = [
     "operators.cdc",
     "operators.text",
     "operators.dedup",
+    "operators.graph",
     "operators.similarity",
     "operators.timeseries",
     "operators.asof_pandas",

@@ -124,3 +124,21 @@ def test_minhash_drop_ids_subset_and_recall(spark, sf_dir):
     assert lin_drop <= all_pairs_drop
     if all_pairs_drop:
         assert len(lin_drop) / len(all_pairs_drop) >= 0.9
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, pair 10-11, isolates 20/21: labels converge to the
+    min id of each component; isolates keep their own id."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "id bigint"
+    )
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "src bigint, dst bigint")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
