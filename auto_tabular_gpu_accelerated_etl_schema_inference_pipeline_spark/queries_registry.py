@@ -24,6 +24,7 @@ _MODULES = [
     "operators.text",
     "operators.dedup",
     "operators.graph",
+    "operators.variant_json",
     "operators.similarity",
     "operators.timeseries",
     "operators.asof_pandas",
@@ -33,6 +34,7 @@ _MODULES = [
     "operators.udtf_queries",
     "streaming.windows",
     "streaming.stateful",
+    "streaming.stateful_v2",
     "streaming.joins",
     "pipelines",
 ]

@@ -187,3 +187,28 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         for r in src.filter(src.o_orderstatus == "F").select("o_orderkey").collect()
     )
     assert a == b
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python DataSource API: registered format plans one task
+    per shard, rows are deterministic across runs and shard counts."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("rows", 500).option("shards", 8).option("seed", 7).load())
+    assert df.columns == ["doc_id", "text", "lang", "n_chars"]
+    assert df.count() == 500
+    assert df.select("doc_id").distinct().count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    # determinism: same seed, different shard count -> identical rows
+    df2 = (spark.read.format("synthetic_docs")
+           .option("rows", 500).option("shards", 3).option("seed", 7).load())
+    assert df.exceptAll(df2).count() == 0 and df2.exceptAll(df).count() == 0
+    # n_chars really is the text length (executor-side generation sanity)
+    bad = df.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0

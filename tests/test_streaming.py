@@ -25,3 +25,54 @@ def test_stream_equals_batch(spark, sf_dir):
         for r in run_tumbling_stream(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_tws_processor_logic_pure_pandas():
+    """transformWithStateInPandas needs protobuf (absent in this
+    container — see stateful_v2.tws_available); the StatefulProcessor's
+    accumulation logic is still unit-tested here by driving
+    handleInputRows with a mocked ValueState."""
+    import pandas as pd
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.stateful_v2 import (
+        UserStatsProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self, st):
+            self.st = st
+        def getValueState(self, name, schema):
+            return self.st
+
+    st = FakeState()
+    proc = UserStatsProcessor()
+    proc.init(FakeHandle(st))
+    out1 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [1.0, 2.5]})]), None))
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [4.0]})]), None))
+    assert st.v == (3, 7.5, 4.0)
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 7.5, "max_value": 4.0}
+    assert out1[0].iloc[0]["n_events"] == 2
+
+
+def test_tws_query_registered_iff_protobuf():
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming import (
+        stateful_v2,
+    )
+
+    assert ("streaming_tws_user_stats" in stateful_v2.QUERIES) == (
+        stateful_v2.tws_available()
+    )
+    assert set(stateful_v2.ORACLES) <= set(stateful_v2.QUERIES)
