@@ -80,9 +80,17 @@ def prepare_training_data(
     # persist: the near-dedup stage references this frame from several
     # self-join branches (signatures, bands, verification) — without the
     # cache each branch re-runs the filter+dedup lineage from parquet
-    docs = dedup_exact_keep_first(docs).persist()
+    base = dedup_exact_keep_first(docs).persist()
+    docs = base
     if near_dedup:
-        docs = dedup_near_remove(docs)
+        # persist the near-deduped corpus too: fit, transform and the
+        # sink are three separate actions — uncached, EACH re-ran the
+        # whole MinHash drop computation (measured 3x ~10 s at sf0.1).
+        # Materialize it eagerly so the pre-dedup cache can be released
+        # before the downstream stages run.
+        docs = dedup_near_remove(base).persist()
+        docs.count()
+        base.unpersist()
 
     # numeric side: tokenize document stats (the reference op applied to
     # derived features) — fit on the filtered corpus, map-only transform
