@@ -184,7 +184,26 @@ def q_incremental_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_user_totals(spark, sf_dir)
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment keyed on
+    md5(doc_id) — the split every training pipeline needs, engineered so
+    membership is a pure function of the key: re-runs, repartitions,
+    engine ports, and incremental appends all agree (a doc added next
+    month lands in the same split it would have today — no leakage
+    between refreshes). Map-only at any scale; thresholds are hex-prefix
+    compares like q_sample_hash (cc/256 = 79.7% train, e6/256 = 89.8%
+    cumulative val)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
 QUERIES = {
+    "train_val_test_split": q_train_val_test_split,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "observe_metrics": q_observe_metrics,
@@ -192,6 +211,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "train_val_test_split": """
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
     "sample_hash": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem

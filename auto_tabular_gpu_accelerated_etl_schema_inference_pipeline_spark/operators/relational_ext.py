@@ -70,6 +70,18 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.stat.crosstab("o_orderstatus", "o_orderpriority")
 
 
+def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via df.stat.freqItems (Karp-Shenker-Papadimitriou
+    single-pass counters — the streaming-friendly sketch for "what are
+    the frequent values" over a column you can't groupBy-count at 100 TB
+    without a full shuffle). Approximate by contract (may include false
+    positives, never false negatives above the support threshold) ->
+    rows-only gate; the no-false-negative guarantee is pinned by
+    tests/test_properties.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+
+
 def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the four measures into (key, measure, value) rows
     via stack — the inverse of pivot; per-measure global stats after."""
@@ -308,6 +320,7 @@ QUERIES = {
     "agg_correlation": q_agg_correlation,
     "pivot_orders": q_pivot_orders,
     "stat_crosstab": q_stat_crosstab,
+    "stat_freq_items": q_stat_freq_items,
     "unpivot_lineitem": q_unpivot_lineitem,
     "grouping_sets": q_grouping_sets,
     "exists_subquery": q_exists_subquery,

@@ -138,6 +138,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word and duplicate-
+    bigram fractions per document (templated/spammy text repeats n-grams;
+    these two cheap ratios are the standard pre-training quality gates
+    alongside q_text_quality_score's length/stopword heuristics).
+    Map-only array expressions — no shuffle, no UDF."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"), n.alias("n"), bigrams.alias("bg"))
+        # n >= 2: Spark's sequence(1, 0) counts DOWN ([1,0]) instead of
+        # returning empty — 1-token docs must never build the bigram list
+        .filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("toks")) / F.col("n"), 6
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("bg")) / (F.col("n") - 1), 6
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
@@ -147,6 +179,7 @@ def _marker_sql(lang: str) -> str:
 
 
 QUERIES = {
+    "text_repetition": q_text_repetition,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
@@ -154,6 +187,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition": """
+WITH t AS (
+  SELECT doc_id,
+    string_split(lower(trim(text)), ' ') AS toks,
+    len(string_split(lower(trim(text)), ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_tokens,
+  round(1.0 - len(list_distinct(toks)) / CAST(n AS DOUBLE), 6) AS dup_word_ratio,
+  round(1.0 - len(list_distinct(list_transform(generate_series(1, n - 1),
+      i -> toks[i] || ' ' || toks[i + 1]))) / CAST(n - 1 AS DOUBLE), 6)
+    AS dup_bigram_ratio
+FROM t WHERE n >= 2
+""",
     "text_token_count": """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -71,3 +71,25 @@ def test_backend_agreement(spark, values):
     a = bucketize(df, bounds, keep_cols=["id"])
     b = bucketize_pandas_udf(df, bounds, keep_cols=["id"])
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    """freqItems contract: every value with frequency > support*n must
+    appear in the result list (false positives allowed, negatives not)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational_ext import (
+        q_stat_freq_items,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    row = q_stat_freq_items(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    for col, out_field in (
+        ("o_orderpriority", "o_orderpriority_freqItems"),
+        ("o_orderstatus", "o_orderstatus_freqItems"),
+    ):
+        counts = orders.groupBy(col).count().collect()
+        must_have = {r[col] for r in counts if r["count"] > 0.2 * n}
+        assert must_have <= set(row[out_field]), (col, must_have, row[out_field])
