@@ -87,11 +87,82 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 64
+MAX_FRAMES = 5
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_checksum string"
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling over binary payloads — the video/audio pattern
+    (decode container -> sample k frames -> per-frame features), with the
+    codec stubbed to fixed-size byte windows (a real impl swaps in
+    cv2.VideoCapture / torchaudio frame iteration; see decode_audio).
+    1-to-N batch shape: each input row yields up to MAX_FRAMES output
+    rows — the Arrow batch EXPLODES inside mapInPandas, which is exactly
+    how per-frame extraction avoids materializing a frames table first."""
+    for pdf in batches:
+        out_doc, out_idx, out_n, out_ck = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = min(-(-len(payload) // FRAME_BYTES), MAX_FRAMES)
+            for i in range(n_frames):
+                chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_n.append(len(chunk))
+                out_ck.append(hashlib.md5(chunk).hexdigest()[:8])
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_idx": out_idx,
+                "frame_bytes": out_n,
+                "frame_checksum": out_ck,
+            }
+        )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload frame sampling via exploding mapInPandas. Deterministic
+    byte-window "codec" -> fully oracle-checkable (fixture text is ASCII,
+    so DuckDB's char-indexed substr sees the same bytes)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_binary_payload(docs)
+    return blobs.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None):
+    """Blob INGESTION: the binaryFile source reads raw files as
+    (path, modificationTime, length, content) rows — how image/audio
+    corpora enter the engine before with_binary_payload-style processing.
+    Scale note: one task per file (combined for small files), metadata
+    columns filterable without touching content; cap single-blob size via
+    spark.sql.sources.binaryFile.maxLength."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 QUERIES = {
     "multimodal_featurize": q_multimodal_featurize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
+    "multimodal_frame_sample": f"""
+WITH frames AS (
+  SELECT doc_id, i AS frame_idx,
+    substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+  FROM documents,
+    generate_series(0, {MAX_FRAMES - 1}) AS t(i)
+  WHERE i * {FRAME_BYTES} < length(text)
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(length(chunk) AS INTEGER) AS frame_bytes,
+  substr(md5(chunk), 1, 8) AS frame_checksum
+FROM frames
+""",
     "multimodal_featurize": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

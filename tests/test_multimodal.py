@@ -43,3 +43,23 @@ def test_binary_payload_schema(spark, sf_dir):
     types = {f.name: f.dataType.simpleString() for f in blobs.schema.fields}
     assert types["payload"] == "binary"
     assert types["payload_size"] == "int"
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: raw blobs -> (path, length, content) rows;
+    content survives byte-exact and metadata filters don't touch
+    payloads."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.multimodal import (
+        read_binary_files,
+    )
+
+    blobs = {"a.bin": b"\x00\x01\x02" * 100, "b.bin": b"xyz", "skip.txt": b"nope"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == blobs["a.bin"]
+    assert rows["a.bin"]["length"] == 300
+    big = df.filter("length > 100").count()
+    assert big == 1
