@@ -306,6 +306,54 @@ def bucketize_pandas_udf(
     return df.select(*out_exprs)
 
 
+def bucketize_map_in_arrow(
+    df: DataFrame,
+    boundaries: dict[str, list[float]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucketize via ``mapInArrow`` — the lowest-overhead Python lane:
+    raw pyarrow RecordBatches in and out, no pandas Series construction
+    at all (the pandas_udf lane pays a Series wrap/unwrap per column per
+    batch). Same pinned semantics as :func:`bucketize` /
+    :func:`bucketize_pandas_udf`: bin = #(interior <= v) after -0.0
+    canonicalization; NaN/null -> last bin (parity-tested).
+
+    This is where a zero-copy GPU kernel would mount with minimal glue:
+    Arrow buffers -> cupy/torch dlpack without a pandas detour."""
+    import numpy as np
+
+    cols = list(boundaries)
+    keep = keep_cols if keep_cols is not None else []
+    interiors = {
+        c: np.asarray(_interior_splits(boundaries[c]), dtype=np.float64)
+        for c in cols
+    }
+    out_fields = [(k, df.schema[k].dataType.simpleString()) for k in keep] + [
+        (f"{c}_bin", "int") for c in cols
+    ]
+    schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            arrays = [batch.column(batch.schema.get_field_index(k)) for k in keep]
+            names = list(keep)
+            for c in cols:
+                vals = batch.column(batch.schema.get_field_index(c)).to_numpy(
+                    zero_copy_only=False
+                )  # nulls -> NaN; NaN sorts after every boundary -> last bin
+                vals = vals + 0.0  # canonicalize -0.0 (see _interior_splits)
+                bins = np.searchsorted(interiors[c], vals, side="right").astype(
+                    "int32"
+                )
+                arrays.append(pa.array(bins))
+                names.append(f"{c}_bin")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(*keep, *cols).mapInArrow(kernel, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pipeline (reference entry point: scan -> fit -> transform)
 # ---------------------------------------------------------------------------

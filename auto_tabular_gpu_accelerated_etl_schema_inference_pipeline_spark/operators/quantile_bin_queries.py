@@ -101,8 +101,23 @@ _BIN_COLS = ",\n  ".join(
     for c in LINEITEM_MEASURES
 )
 
+def q_quantile_bin_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-Arrow kernel lane (mapInArrow — no pandas layer; see
+    bucketize_map_in_arrow). Rows-only like the other approx-fit lanes;
+    parity with the Bucketizer lane incl. NaN/null is test-pinned."""
+    from .quantile_bin import bucketize_map_in_arrow, fit_quantile_boundaries
+
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(
+        df, LINEITEM_MEASURES, bins=100, relative_error=0.001
+    )
+    return bucketize_map_in_arrow(df, bounds, keep_cols=LINEITEM_KEYS)
+
+
 QUERIES = {
     "quantile_bin_lineitem": q_quantile_bin_lineitem,
+    "quantile_bin_map_in_arrow": q_quantile_bin_map_in_arrow,
     "quantile_bin_exact_boundaries": q_quantile_bin_exact_boundaries,
     "quantile_bin_scalable": q_quantile_bin_scalable,
     "quantile_bin_pandas_udf": q_quantile_bin_pandas_udf,

@@ -82,6 +82,23 @@ def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
 
 
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: tokens WITH their position — the
+    table-generating-function surface with ordinality (explode alone
+    loses position; builds positional inverted indexes / n-gram offset
+    tables). Map-side row expansion, no shuffle."""
+    configure_for_oracle(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(pos AS INT) AS pos, tok
+        FROM v_docs
+        LATERAL VIEW posexplode(split(lower(trim(text)), ' ')) t AS pos, tok
+        WHERE doc_id < 100
+        """
+    )
+
+
 def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the four measures into (key, measure, value) rows
     via stack — the inverse of pivot; per-measure global stats after."""
@@ -321,6 +338,7 @@ QUERIES = {
     "pivot_orders": q_pivot_orders,
     "stat_crosstab": q_stat_crosstab,
     "stat_freq_items": q_stat_freq_items,
+    "lateral_posexplode": q_lateral_posexplode,
     "unpivot_lineitem": q_unpivot_lineitem,
     "grouping_sets": q_grouping_sets,
     "exists_subquery": q_exists_subquery,
@@ -339,6 +357,15 @@ _PC = "CAST(l_extendedprice * 100 AS DECIMAL(12,0))"
 _DC = "CAST(l_discount * 100 AS DECIMAL(12,0))"
 
 ORACLES = {
+    "lateral_posexplode": """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+FROM t, generate_series(1, 1000) AS g(i)
+WHERE i <= len(toks)
+""",
     "window_range_frame": """
 SELECT o_custkey, o_orderkey,
   count(*) OVER w AS n_orders_30d,

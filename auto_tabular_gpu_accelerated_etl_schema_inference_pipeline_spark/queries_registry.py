@@ -35,6 +35,7 @@ _MODULES = [
     "streaming.windows",
     "streaming.stateful",
     "streaming.stateful_v2",
+    "streaming.foreach_batch",
     "streaming.joins",
     "pipelines",
 ]

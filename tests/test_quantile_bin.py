@@ -82,10 +82,14 @@ def test_tokenize_generated_roundtrip(spark, tmp_path):
     assert 0 <= row["mn"] and row["mx"] <= 99
 
 
-def test_nan_null_pinned_to_last_bin_both_lanes(spark):
-    """ADVICE r1: NaN and null must land in bin n_bins-1 in BOTH lanes
+def test_nan_null_pinned_to_last_bin_all_lanes(spark):
+    """ADVICE r1: NaN and null must land in bin n_bins-1 in EVERY lane
     (the reference clamps NaN into BINS-1; we pre-map NaN/null to +inf
-    JVM-side and searchsorted puts NaN at the end Arrow-side)."""
+    JVM-side and searchsorted puts NaN at the end in the Arrow lanes)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        bucketize_map_in_arrow,
+    )
+
     rows = [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, float("nan")), (6, None)]
     df = spark.createDataFrame(rows, "id bigint, v double")
     bounds = {"v": [1.0, 2.0, 3.0, 4.0]}  # 4 bins: interior = [2.0, 3.0]
@@ -94,10 +98,28 @@ def test_nan_null_pinned_to_last_bin_both_lanes(spark):
         r["id"]: r["v_bin"]
         for r in bucketize_pandas_udf(df, bounds, keep_cols=["id"]).collect()
     }
+    c = {
+        r["id"]: r["v_bin"]
+        for r in bucketize_map_in_arrow(df, bounds, keep_cols=["id"]).collect()
+    }
     n_bins = len(bounds["v"]) - 1
-    assert a == b
+    assert a == b == c
     assert a[5] == n_bins - 1 and a[6] == n_bins - 1
     assert a[1] == 0 and a[4] == n_bins - 1
+
+
+def test_backend_parity_map_in_arrow(spark, sf_dir):
+    """mapInArrow kernel lane agrees with the JVM Bucketizer lane."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        bucketize_map_in_arrow,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(df, LINEITEM_MEASURES, bins=100)
+    a = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+    b = bucketize_map_in_arrow(df, bounds, keep_cols=LINEITEM_KEYS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
 
 
 def test_exact_quantile_bin_requires_total_order(spark):
