@@ -1,0 +1,118 @@
+"""Second extended-coverage batch: map-typed column functions and
+time-series gap-fill (resample + forward fill) — the dense-grid shape
+every metrics/feature pipeline needs before training on regular
+intervals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_events
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: build a per-user event_type->count map
+    (map_from_entries over sorted entries — deterministic key order),
+    then navigate it with size / element_at / map_keys. Maps are the
+    natural shape for sparse per-entity feature bags; building them from
+    a grouped aggregate is one shuffle."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    g = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return g.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.array_join(F.map_keys("m"), ",").alias("types_joined"),
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + gap-fill: per-user HOURLY grid from first to last
+    activity (sequence + explode builds the dense grid distributed — no
+    driver loop), empty hours get n_events=0 and a forward-filled
+    last-known cumulative value via last(ignorenulls) over an unbounded-
+    preceding frame. Hours are epoch-hour ints end to end: grid algebra
+    and the cross-engine compare stay integer-exact (no timestamp
+    tz/precision hazards). Scale: grid size = active span per user, the
+    explode is map-side, the ffill window is partitioned per user —
+    nothing global."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = (
+        ev.select("user_id", hour.alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    filled = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(
+            F.last(F.col("sum_value").cast("double"), ignorenulls=True).over(w), 2
+        ).alias("ffill_sum_value"),
+    )
+
+
+QUERIES = {
+    "map_funcs": q_map_funcs,
+    "events_gap_fill": q_events_gap_fill,
+}
+
+ORACLES = {
+    "map_funcs": """
+SELECT user_id,
+  CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+  CASE WHEN count(*) FILTER (WHERE event_type = 'click') > 0
+       THEN count(*) FILTER (WHERE event_type = 'click') END AS n_clicks,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_joined
+FROM events WHERE user_id < 50
+GROUP BY user_id
+""",
+    "events_gap_fill": """
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+    count(*) AS n_events,
+    sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT s.user_id, s.h0 + i AS h
+  FROM span s, generate_series(0, 2000) AS g(i)
+  WHERE s.h0 + i <= s.h1
+)
+SELECT g.user_id, g.h,
+  coalesce(hy.n_events, 0) AS n_events,
+  round(last_value(CAST(hy.sum_value AS DOUBLE) IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill_sum_value
+FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+""",
+}

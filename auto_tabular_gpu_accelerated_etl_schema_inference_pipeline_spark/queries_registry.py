@@ -18,6 +18,7 @@ _MODULES = [
     "operators.quantile_bin_queries",
     "operators.relational",
     "operators.relational_ext",
+    "operators.relational_ext2",
     "operators.tpch_more",
     "operators.tpch_deep",
     "operators.cdc",
