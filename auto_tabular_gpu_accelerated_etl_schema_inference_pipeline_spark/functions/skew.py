@@ -39,3 +39,35 @@ def salted_join(
     )
     out = salted_large.join(salted_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def q_join_skew_salted(spark, sf_dir: str):
+    """Salted fact-dim join registered as a first-class query: events
+    (large, user_id moderately hot) x per-user dim from customer, salted
+    8 ways, then aggregated by market segment. The salt is provably
+    result-neutral — the oracle is the PLAIN join's aggregate."""
+    from ..session import configure_for_oracle, load_events, load_table
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "user_id", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+QUERIES = {"join_skew_salted": q_join_skew_salted}
+
+ORACLES = {
+    "join_skew_salted": """
+SELECT c.c_mktsegment,
+  count(*) AS n_events,
+  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+}

@@ -86,8 +86,69 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component_id")
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank_fixed(
+    vertices: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """PageRank, FIXED iteration count (deterministic -> exactly
+    oracle-checkable by unrolling the same iterations in SQL; production
+    runs until delta < eps instead). Same per-round shape as
+    connected_components: join ranks to edges on src, aggregate by dst —
+    one shuffle per round, rank state is one double per vertex.
+    Dangling vertices (no out-edges) keep the teleport term only, the
+    textbook simplification."""
+    n = vertices.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            vertices.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized near-dup graph (3 iterations,
+    d=0.85): within a duplicate cluster, rank concentrates on the most-
+    connected doc — a principled 'canonical document' score that, unlike
+    min-id, prefers the best-linked member. Rounded to 9dp (sum order
+    differs between engines)."""
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    sym = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    pr = pagerank_fixed(verts, sym)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 9).alias("pagerank")
+    )
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES = {
@@ -116,5 +177,62 @@ reach(id, label) AS (
 )
 SELECT id AS doc_id, min(label) AS component_id
 FROM reach GROUP BY id
+""",
+    # the 3 PageRank iterations unrolled; float expressions written in
+    # the same shape Spark computes them ((1.0 - 0.85), not 0.15 — the
+    # two differ in the last ulp)
+    "graph_pagerank": f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))
+      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
+i1 AS (
+  SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
+  FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT v.doc_id AS id,
+    (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+      + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank
+  FROM documents v LEFT JOIN i1 i ON v.doc_id = i.id
+),
+i2 AS (
+  SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
+  FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT v.doc_id AS id,
+    (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+      + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank
+  FROM documents v LEFT JOIN i2 i ON v.doc_id = i.id
+),
+i3 AS (
+  SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
+  FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT v.doc_id AS id,
+    (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+      + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank
+  FROM documents v LEFT JOIN i3 i ON v.doc_id = i.id
+)
+SELECT id AS doc_id, round(rank, 9) AS pagerank FROM r3
 """,
 }

@@ -38,6 +38,7 @@ _MODULES = [
     "streaming.stateful_v2",
     "streaming.foreach_batch",
     "streaming.joins",
+    "functions.skew",
     "pipelines",
 ]
 
