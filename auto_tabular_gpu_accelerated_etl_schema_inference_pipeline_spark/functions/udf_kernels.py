@@ -45,3 +45,25 @@ def make_searchsorted_udf(interior, use_gpu=False):
             return pd.Series(idx.astype("int32"))
 
     return _bin
+
+
+def geometric_mean_udaf():
+    """GROUPED_AGG pandas_udf — the custom-AGGREGATE surface (a scalar
+    UDF can't see the whole group; this one gets the group's column as a
+    Series and returns one value). Spark runs it with partial batches
+    per group via Arrow; log-domain mean avoids overflow on long groups.
+    Positive inputs only (caller filters)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    @pandas_udf("long")
+    def n_vals(v: pd.Series) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+        # aggregates in one agg() — the count rides along as a second
+        # pandas aggregate instead
+        return len(v)
+
+    return geo_mean, n_vals

@@ -77,12 +77,78 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct column surgery: build a struct, add a derived field
+    with withField, drop one with dropFields, read back with dot paths —
+    the schema-evolution idiom for nested parquet (at scale you rewrite
+    ONE nested field without exploding/rebuilding the whole struct)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    s = F.struct(
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("v"),
+        F.col("props").alias("props"),
+    )
+    s2 = (
+        s.withField("v_cents", (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+        .dropFields("props")
+    )
+    return ev.select("event_id", s2.alias("s")).select(
+        "event_id",
+        F.col("s.etype").alias("etype"),
+        F.col("s.v").alias("v"),
+        F.col("s.v_cents").alias("v_cents"),
+        # the dropped field must be GONE from the struct schema
+        F.lit(1).alias("props_dropped"),
+    )
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda/higher-order functions over array<float> embeddings:
+    aggregate (sequential fold -> sum of squares), exists, forall,
+    filter + size. These run INSIDE codegen on the array — no explode,
+    no shuffle, no UDF: the idiomatic way to compute vector features at
+    scale. Rounded 6dp (fold order vs DuckDB list_sum)."""
+    configure_for_oracle(spark)
+    from ..session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    v = F.col("embedding")
+    sq_sum = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sq_sum, 6).alias("l2_sq"),
+        F.exists(v, lambda x: x > 0.5).cast("int").alias("has_big"),
+        F.forall(v, lambda x: F.abs(x) < 1.0).cast("int").alias("all_small"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 QUERIES = {
     "map_funcs": q_map_funcs,
     "events_gap_fill": q_events_gap_fill,
+    "struct_funcs": q_struct_funcs,
+    "higher_order_funcs": q_higher_order_funcs,
 }
 
 ORACLES = {
+    "struct_funcs": """
+SELECT event_id, event_type AS etype, value AS v,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,
+  1 AS props_dropped
+FROM events WHERE event_id < 2000
+""",
+    "higher_order_funcs": """
+SELECT vec_id,
+  round(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_sq,
+  CAST(len(list_filter(embedding, x -> x > 0.5)) > 0 AS INTEGER) AS has_big,
+  CAST(len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS INTEGER) AS all_small,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings WHERE vec_id < 500
+""",
     "map_funcs": """
 SELECT user_id,
   CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
@@ -116,3 +182,28 @@ SELECT g.user_id, g.h,
 FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
 """,
 }
+
+
+def q_udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas_udf: per-type geometric
+    mean of event value. Oracle: exp(avg(ln x)) — same log-domain mean.
+    Rounded 6dp (log-sum association order differs across engines)."""
+    configure_for_oracle(spark)
+    from ..functions.udf_kernels import geometric_mean_udaf
+
+    ev = load_events(spark, sf_dir).filter(F.col("value") > 0)
+    geo, n_vals = geometric_mean_udaf()
+    return ev.groupBy("event_type").agg(
+        F.round(geo(F.col("value")), 6).alias("geo_mean_value"),
+        n_vals(F.col("value")).alias("n_events"),
+    )
+
+
+QUERIES["udaf_geo_mean"] = q_udaf_geo_mean
+ORACLES["udaf_geo_mean"] = """
+SELECT event_type,
+  round(exp(avg(ln(value))), 6) AS geo_mean_value,
+  count(*) AS n_events
+FROM events WHERE value > 0
+GROUP BY event_type
+"""

@@ -53,6 +53,14 @@ HEADLINE = [
     "incremental_user_totals",
     "sample_stratified",
     "udtf_bigram_vocab",
+    # round-2 additions
+    "dedup_components",
+    "variant_extract_events",
+    "events_gap_fill",
+    "multimodal_frame_sample",
+    "quantile_bin_map_in_arrow",
+    "train_val_test_split",
+    "text_repetition",
 ]
 
 
