@@ -124,3 +124,42 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_variant_extract_prunes_scan(spark, sf_dir):
+    """The VARIANT query must read only event_type + props (column
+    pruning through parse_json)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.variant_json import (
+        q_variant_extract_events,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_read_schema_pruned,
+    )
+
+    assert_read_schema_pruned(q_variant_extract_events(spark, sf_dir), 2)
+
+
+def test_gap_fill_no_global_window(spark, sf_dir):
+    """The forward-fill window is per-user partitioned — a single-
+    partition window here would serialize the whole grid."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational_ext2 import (
+        q_events_gap_fill,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_no_single_partition_window,
+    )
+
+    assert_no_single_partition_window(q_events_gap_fill(spark, sf_dir))
+
+
+def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
+    """The n_salt-replicated dim must still broadcast (replication keeps
+    it tiny); a shuffle join would defeat the point at fixture scale."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.functions.skew import (
+        q_join_skew_salted,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_broadcast_join,
+    )
+
+    assert_broadcast_join(q_join_skew_salted(spark, sf_dir), 1)
