@@ -131,6 +131,42 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
 
 
+RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes_in int, n_bytes_out int, resized_checksum string"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize plumbing: payload -> smaller payload (every RESIZE_STRIDEth
+    byte — the 1-D analog of nearest-neighbor downsampling; a real image
+    pipeline swaps in PIL.Image.resize via decode_image). Shows the
+    shrink-before-shuffle discipline: at 100 TB you resize INSIDE the
+    scan stage so only thumbnails ever move."""
+    for pdf in batches:
+        outs = [bytes(p[::RESIZE_STRIDE]) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": [len(p) for p in pdf["payload"]],
+                "n_bytes_out": [len(o) for o in outs],
+                "resized_checksum": [hashlib.md5(o).hexdigest()[:8] for o in outs],
+            }
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'resize' over binary payloads via mapInPandas
+    (ASCII fixture text -> DuckDB mirrors the byte decimation with
+    char indexing)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None):
     """Blob INGESTION: the binaryFile source reads raw files as
     (path, modificationTime, length, content) rows — how image/audio
@@ -147,9 +183,23 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None):
 QUERIES = {
     "multimodal_featurize": q_multimodal_featurize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
+    "multimodal_resize": f"""
+WITH r AS (
+  SELECT doc_id, length(text) AS n_in,
+    array_to_string(list_transform(
+      generate_series(1, 100000, {RESIZE_STRIDE}),
+      i -> substr(text, i, 1)), '') AS resized
+  FROM documents
+)
+SELECT doc_id, CAST(n_in AS INTEGER) AS n_bytes_in,
+  CAST(length(resized) AS INTEGER) AS n_bytes_out,
+  substr(md5(resized), 1, 8) AS resized_checksum
+FROM r
+""",
     "multimodal_frame_sample": f"""
 WITH frames AS (
   SELECT doc_id, i AS frame_idx,
