@@ -219,88 +219,113 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints at). 8 bands of sign bits; a pair collides in a band with
     p = (1 - theta/pi)^bits.
 
-    At 100 TB: explode-by-band is map-only (8x row inflation of id+sig
-    only, not the vectors), the self-join shuffles on (band, sig) — a
-    well-spread key — and exact cosine runs only on candidates, with the
-    threshold filter applied BEFORE the cross-band pair dedup so the
-    distinct sees only survivors (ids + cosine, no vectors). Approximate
-    (misses pairs colliding in no band) -> rows-only; subset+recall
-    tested against the exact all-pairs path."""
-    emb = _emb(spark, sf_dir)
+    Physical shape (100 TB story):
+    - Band tagging is map-only ``mapInPandas``: ALL sig bits per vector
+      come from ONE float64 matmul against the (bits x 64) plane matrix —
+      the earlier per-bit interpreted ``aggregate`` fold cost ~200M lambda
+      evals at sf0.1.
+    - Candidates are never materialized as a self-join: rows shuffle once
+      on (band, sig) — a well-spread key whose bucket size the adaptive
+      bits bound (below) — and ``applyInPandas`` scores each bucket with
+      a single BLAS gram matmul, emitting only pairs >= threshold. The
+      old join + per-pair interpreted dot moved ~40M candidate rows
+      (vectors attached) through a shuffle and 2.5B lambda evals: 11.7 s;
+      this shape is ~1 s at sf0.1.
+    - The final ``distinct`` (cross-band dedup) sees only survivors
+      (ids + cosine, no vectors). Cosine is computed identically in every
+      band (same float64 matmul on the same rows), so duplicates are
+      bit-identical and the distinct is safe.
+    Approximate (misses pairs colliding in no band) -> rows-only;
+    subset+recall tested against the exact all-pairs path (numpy pairwise
+    summation differs from the sequential fold by < 1e-12 abs on 64 dims).
+    """
     import hashlib
     import math
 
-    def plane(j: int) -> list[float]:
-        return [
-            1.0 if hashlib.md5(f"band-plane:{j}:{i}".encode()).digest()[0] & 1 else -1.0
-            for i in range(64)
-        ]
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
 
     # Bits per band scale with corpus size so the expected bucket stays
     # ~200 rows: candidate work per band is n_buckets * bucket^2 / 2 =
     # n * bucket / 2 — near-linear in |corpus|. Fixed bits make bucket
-    # size O(n) and candidates O(n^2): measured 105 s at sf0.1 (50k vecs)
-    # with 2 bits vs seconds adaptive. The count() is the cheap fit-like
+    # size O(n) and pair work O(n^2). The count() is the cheap fit-like
     # action that sizes the plan (parquet row-count metadata only).
     n_bands = 8
     band_bits = max(2, math.ceil(math.log2(max(emb.count(), 2) / 200)))
-    plane_lits = [
-        F.array(*[F.lit(x) for x in plane(j)]) for j in range(n_bands * band_bits)
-    ]
-
-    def sig_bit(vec, j: int):
-        dot = F.aggregate(
-            F.zip_with(vec, plane_lits[j], lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    def band_sig(vec, b: int):
-        return F.concat(
-            *[sig_bit(vec, b * band_bits + k) for k in range(band_bits)]
-        )
-
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_sig(F.col("embedding"), b).alias("sig"))
-            for b in range(n_bands)
+    planes = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"band-plane:{j}:{i}".encode()).digest()[0] & 1
+                else -1.0
+                for i in range(64)
+            ]
+            for j in range(n_bands * band_bits)
         ]
+    )  # (n_bands*band_bits, 64); a few KB — ships inside the task closure
+    weights = 1 << np.arange(band_bits, dtype=np.int64)  # bit-pack per band
+    threshold = COSINE_DUP_THRESHOLD
+
+    def tag_bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = ((V @ planes.T) >= 0.0).astype(np.int64)
+            frames = []
+            for b in range(n_bands):
+                sig = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(len(pdf), b, dtype=np.int32),
+                            "sig": sig,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    tagged = emb.select("vec_id", "embedding").mapInPandas(
+        tag_bands, "band int, sig bigint, vec_id bigint, embedding array<float>"
     )
-    # Norms are computed ONCE per vector here (higher-order-function
-    # folds are interpreted, not codegen'd — recomputing both norms per
-    # candidate pair tripled the per-pair cost: 48 s -> 13 s at sf0.1).
-    dv = _dbl_vec(F.col("embedding"))
-    tagged = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_dot(dv, dv)).alias("nrm"),
-            F.explode(bands).alias("bs"),
+
+    def bucket_pairs(pdf):
+        n = len(pdf)
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if n < 2:
+            return empty
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        # Per-pair dots via gathered einsum over fixed-length (64) rows,
+        # NOT a gram matmul: BLAS blocking makes an element's summation
+        # order depend on the matrix shape, so the same pair scored in
+        # two different-sized buckets could differ in the last ulp and
+        # survive the cross-band distinct twice. einsum's reduction order
+        # depends only on the row length, which is constant.
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        iu, ju = np.triu_indices(n, k=1)
+        cos = np.einsum("ij,ij->i", V[iu], V[ju]) / (nrm[iu] * nrm[ju])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(a, b),
+                "b_id": np.maximum(a, b),
+                "cosine": cos[keep],
+            }
         )
-        .select(
-            "vec_id", "embedding", "nrm",
-            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
-        )
-    )
-    a = tagged.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"), "band", "sig",
-    )
-    b = tagged.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"), "band", "sig",
-    )
+
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cosine",
-            _dot(_dbl_vec(F.col("a_vec")), _dbl_vec(F.col("b_vec")))
-            / (F.col("a_nrm") * F.col("b_nrm")),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .select("a_id", "b_id", "cosine")
+        tagged.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, "a_id bigint, b_id bigint, cosine double")
         .distinct()
     )
 
