@@ -1,0 +1,366 @@
+"""LLM training-data preparation operators — the pipeline stages between
+a raw crawled corpus and a tokenizer-ready dataset (north star in
+BASELINE.json; entirely absent from the reference, whose surface is the
+numeric tokenize pipeline of SURVEY.md §2.1): PII redaction,
+train/eval decontamination, sequence packing, BM25-ish salient terms,
+per-group deterministic sampling, and int8 embedding quantization.
+
+Scale design (100 TB):
+- pii_redact, embedding_quantize, group_sample are map-only column
+  expressions (sample adds one narrow per-group window) — shuffle-free
+  or single-key-shuffle stages that trivially scale out.
+- decontaminate shuffles only (doc_id, shingle) pairs — never document
+  text — and the eval side (a few % of the corpus) is broadcast, so the
+  contamination check is a map-side hash probe per shingle.
+- sequence_packing is the one genuinely sequential op (greedy first-fit
+  depends on every earlier document); it is sequential PER SOURCE only,
+  so `applyInPandas` gives per-group parallelism — the standard way LLM
+  pipelines shard packing (one worker per shard, deterministic order
+  within a shard).
+
+Determinism for the oracle gate: BM25-ish idf uses NO transcendental
+functions — scores are single IEEE divisions of exact small integers
+(+0.5), bit-identical across engines; ranking happens on the quantized
+integer score so last-ulp differences cannot reorder ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_events, load_table
+
+#: regexes shared verbatim by Spark (Java regex) and DuckDB (RE2) — the
+#: subset syntax below parses identically in both.
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_NUMBER_RUN = "[0-9]{2,}"
+
+#: token budget per packed training sequence
+PACK_BUDGET = 64
+
+#: every doc_id ending in 00..04 is "eval"; the rest are "train"
+EVAL_MOD = 100
+EVAL_CUT = 5
+
+TOP_TERMS = 3
+GROUP_SAMPLE_N = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub PII-shaped substrings from free text: emails -> <EMAIL>,
+    multi-digit runs (phone/account/ip fragments) -> <NUM>. Runs over
+    ``events.props`` (the fixture's only digit-bearing text; the word-soup
+    ``documents.text`` has none — the email lane is exercised by the unit
+    test's inline frame). Map-only regexp_replace, whole-stage codegen;
+    at 100 TB this is a pure scan-transform with zero shuffle."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), RE_EMAIL, "<EMAIL>"),
+            RE_NUMBER_RUN,
+            "<NUM>",
+        ).alias("clean_props"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit(RE_NUMBER_RUN), F.lit(0)))
+        .cast("int")
+        .alias("n_number_runs"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit(RE_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag train documents sharing any word
+    trigram with the eval split (doc_id % 100 < 5). The LLM-pipeline
+    guard against benchmark leakage (memorized eval answers inside
+    training text).
+
+    Physical shape: both sides explode to (doc_id, shingle) — text never
+    leaves the scan — and the eval side is a few percent of the corpus,
+    so its distinct shingle set broadcasts; the probe is a map-side hash
+    semi-join followed by one count-distinct shuffle on train doc_id."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    # guard: Spark sequence(1, n) counts DOWN when n < 1, and element_at
+    # past the end throws under ANSI — docs with < 3 tokens contribute no
+    # trigrams at all (explode of the empty array drops the row, matching
+    # the oracle's empty generate_series)
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.select(
+        "doc_id", (F.col("doc_id") % EVAL_MOD < EVAL_CUT).alias("is_eval"),
+        F.explode(tris).alias("shingle"),
+    )
+    evals = shingled.filter("is_eval").select("shingle").distinct()
+    train = shingled.filter(~F.col("is_eval"))
+    return (
+        train.join(F.broadcast(evals), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared_shingles"))
+    )
+
+
+def _pack_fn(budget: int):
+    """Greedy first-fit fold over one source shard, doc_id order."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fills = [], []
+        pack_id, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                pack_id += 1
+                fill = 0
+            fill += t
+            pack_ids.append(pack_id)
+            fills.append(fill)
+        pdf["pack_id"] = pd.array(pack_ids, dtype="int32")
+        pdf["pack_fill_after"] = pd.array(fills, dtype="int32")
+        return pdf
+
+    return pack
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing: within each source shard, walk
+    documents in doc_id order and append to the current pack while the
+    whitespace-token total stays <= PACK_BUDGET; else start a new pack.
+    (An over-budget single document occupies a pack alone.) The standard
+    pre-training step that concatenates short documents into fixed-size
+    context windows.
+
+    Inherently sequential per shard -> ``applyInPandas`` per source (the
+    unit of parallelism real packing jobs use); emits (doc_id, pack_id,
+    n_tokens, pack_fill_after). Oracle: per-source recursive CTE
+    replaying the same fold."""
+    docs = _docs(spark, sf_dir)
+    with_tok = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens")
+    )
+    return (
+        with_tok.groupBy("source")
+        .applyInPandas(
+            _pack_fn(PACK_BUDGET),
+            "doc_id bigint, source string, n_tokens int, pack_id int, pack_fill_after int",
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: tf * BM25-ish idf, top-3 per doc.
+    idf = (N - df + 0.5) / (df + 0.5) — deliberately log-free so the
+    score is a single IEEE division of exact integers (bit-identical in
+    both engines; ln() differs by ulps between JVM and libm). Ranking
+    runs on the micro-unit-quantized integer score, so cross-engine tie
+    order is pinned.
+
+    Physical shape: one explode + two hash aggregations (tf on
+    (doc_id, term), df on term); df output is tiny (vocabulary) and
+    broadcasts back onto tf; the ranking window shuffles on doc_id."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # parquet metadata count — the cheap "fit"
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("score_mu"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_mu").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "rank", "term", "score_mu")
+    )
+
+
+def q_group_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-N sample per source: rank by md5(doc_id) (a
+    uniform, partition-layout-invariant order) and keep the first
+    GROUP_SAMPLE_N rows of each source. The per-shard "inspect a handful
+    of examples" op; re-runs and cluster layout cannot change the
+    sample. Single narrow window shuffle on the source key."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= GROUP_SAMPLE_N)
+        .select("source", "rk", "doc_id", "lang")
+    )
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). The storage/serving compression step for
+    embedding corpora (4x smaller, dot products in int arithmetic).
+    Map-only array expressions (transform / array_max / round) —
+    shuffle-free at any scale. Scale and max reconstruction error are
+    reported in micro-units (exact integers; the doubles they quantize
+    are bit-identical across engines: |x|, max, one division)."""
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(dv, lambda x: F.round(x / scale).cast("int"))
+    # max |x - q*scale| over the vector, in micro-units
+    err = F.array_max(
+        F.zip_with(dv, q, lambda x, qi: F.abs(x - qi.cast("double") * scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale * F.lit(1_000_000.0)).cast("bigint").alias("scale_mu"),
+        q.alias("q8"),
+        F.round(err * F.lit(1_000_000.0)).cast("bigint").alias("max_err_mu"),
+    )
+
+
+QUERIES = {
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "sequence_packing": q_sequence_packing,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "group_sample_fixed_n": q_group_sample_fixed_n,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+}
+
+ORACLES = {
+    "pii_redact": f"""
+SELECT event_id,
+  regexp_replace(regexp_replace(props, '{RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{RE_NUMBER_RUN}', '<NUM>', 'g') AS clean_props,
+  CAST(len(regexp_extract_all(props, '{RE_NUMBER_RUN}')) AS INTEGER) AS n_number_runs,
+  CAST(len(regexp_extract_all(props, '{RE_EMAIL}')) AS INTEGER) AS n_emails
+FROM events
+""",
+    "decontaminate": f"""
+WITH sh AS (
+  SELECT doc_id, doc_id % {EVAL_MOD} < {EVAL_CUT} AS is_eval,
+    unnest(list_distinct(list_transform(
+      generate_series(1, len(string_split(lower(trim(text)), ' ')) - 2),
+      i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+           string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+           string_split(lower(trim(text)), ' ')[i+2]))) AS shingle
+  FROM documents
+)
+SELECT t.doc_id, CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles
+FROM (SELECT * FROM sh WHERE NOT is_eval) t
+WHERE t.shingle IN (SELECT shingle FROM sh WHERE is_eval)
+GROUP BY t.doc_id
+""",
+    "sequence_packing": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT doc_id, source, n_tokens, rn,
+    0 AS pack_id, n_tokens AS pack_fill_after
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+    CASE WHEN w.pack_fill_after > 0
+              AND w.pack_fill_after + t.n_tokens > {PACK_BUDGET}
+         THEN w.pack_id + 1 ELSE w.pack_id END,
+    CASE WHEN w.pack_fill_after > 0
+              AND w.pack_fill_after + t.n_tokens > {PACK_BUDGET}
+         THEN t.n_tokens ELSE w.pack_fill_after + t.n_tokens END
+  FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens,
+  CAST(pack_id AS INTEGER) AS pack_id,
+  CAST(pack_fill_after AS INTEGER) AS pack_fill_after
+FROM walk
+""",
+    "tfidf_top_terms": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(tf.tf * (CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
+               / (df.df + 0.5) * 1000000.0) AS BIGINT) AS score_mu
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id
+       ORDER BY score_mu DESC, term ASC) AS INTEGER) AS rank,
+  term, score_mu
+FROM scored
+QUALIFY rank <= {TOP_TERMS}
+""",
+    "group_sample_fixed_n": f"""
+SELECT source,
+  CAST(row_number() OVER (PARTITION BY source
+       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk,
+  doc_id, lang
+FROM documents
+QUALIFY rk <= {GROUP_SAMPLE_N}
+""",
+    "embedding_quantize_int8": """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, dv,
+    list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, dv, scale,
+    list_transform(dv, x -> CAST(round(x / scale) AS INTEGER)) AS q8
+  FROM s
+)
+SELECT vec_id,
+  CAST(round(scale * 1000000.0) AS BIGINT) AS scale_mu,
+  q8,
+  CAST(round(list_max(list_transform(
+      generate_series(1, len(dv)),
+      i -> abs(dv[i] - CAST(q8[i] AS DOUBLE) * scale))) * 1000000.0) AS BIGINT)
+    AS max_err_mu
+FROM q
+""",
+}

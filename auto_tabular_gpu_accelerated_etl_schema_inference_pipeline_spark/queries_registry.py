@@ -33,6 +33,7 @@ _MODULES = [
     "operators.multimodal",
     "operators.production",
     "operators.udtf_queries",
+    "operators.llm_prep",
     "streaming.windows",
     "streaming.stateful",
     "streaming.stateful_v2",
