@@ -34,11 +34,13 @@ _MODULES = [
     "operators.production",
     "operators.udtf_queries",
     "operators.llm_prep",
+    "operators.llm_prep2",
     "streaming.windows",
     "streaming.stateful",
     "streaming.stateful_v2",
     "streaming.foreach_batch",
     "streaming.joins",
+    "streaming.enrich",
     "functions.skew",
     "pipelines",
 ]

@@ -46,7 +46,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql.types import LongType
+
+    if isinstance(batch_schema["ts"].dataType, LongType):  # nanos-as-long vintage
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # native micros arrive as TIMESTAMP_NTZ; normalize to TIMESTAMP
+        # (UTC session -> same instant), matching the batch reader
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
