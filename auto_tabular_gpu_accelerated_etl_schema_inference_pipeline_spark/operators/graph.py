@@ -37,11 +37,25 @@ def connected_components(
     labels -> least(own, neighbor-min). ``localCheckpoint`` truncates the
     lineage so plan size stays constant across rounds (without it each
     iteration's plan embeds all previous ones and analysis time blows up
-    — the classic iterative-DataFrame pitfall)."""
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    — the classic iterative-DataFrame pitfall).
+
+    Two materialization rules make this viable when ``edges`` is itself
+    an expensive pipeline (here: the n-gram Jaccard similarity join):
+    1. the symmetric edge set is checkpointed ONCE before the loop —
+       without it every round (and every round's convergence count)
+       re-executes the whole upstream pair-generation job (measured
+       959 s -> ~60 s at sf0.1);
+    2. the loop runs only over vertices that appear in some edge —
+       isolated vertices are their own component by definition and are
+       union'd back at the end, so round state is proportional to the
+       near-dup population, not the corpus."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+    active = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    labels = active.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -67,7 +81,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("component_id"))
+    # isolated vertices: component of themselves
+    return (
+        vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("label", "id").alias("component_id"))
+    )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,9 +119,12 @@ def pagerank_fixed(
     connected_components: join ranks to edges on src, aggregate by dst —
     one shuffle per round, rank state is one double per vertex.
     Dangling vertices (no out-edges) keep the teleport term only, the
-    textbook simplification."""
+    textbook simplification. Edges and degrees are checkpointed once up
+    front — when ``edges`` is an expensive pipeline, every iteration
+    would otherwise re-run it (same fix as connected_components)."""
     n = vertices.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.select("src", "dst").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (

@@ -61,6 +61,10 @@ HEADLINE = [
     "quantile_bin_map_in_arrow",
     "train_val_test_split",
     "text_repetition",
+    "doc_chunk_overlap",
+    "zscore_normalize",
+    "agg_salted_sum",
+    "streaming_static_enrich",
 ]
 
 

@@ -152,6 +152,36 @@ def test_gap_fill_no_global_window(spark, sf_dir):
     assert_no_single_partition_window(q_events_gap_fill(spark, sf_dir))
 
 
+def test_doc_chunk_overlap_map_only(spark, sf_dir):
+    """The chunker is a pure 1-to-N map-side expansion: zero Exchange in
+    the plan, and the scan reads only (doc_id, text)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep2 import (
+        q_doc_chunk_overlap,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_read_schema_pruned,
+        formatted_plan,
+    )
+
+    df = q_doc_chunk_overlap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, f"chunker must be shuffle-free:\n{plan}"
+    assert_read_schema_pruned(df, 2)
+
+
+def test_zscore_transform_broadcasts_stats(spark, sf_dir):
+    """The z-score transform enriches every row with the 1-row fitted
+    stats via broadcast — the lineitem side must not shuffle for it."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep2 import (
+        q_zscore_normalize,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
+        assert_broadcast_join,
+    )
+
+    assert_broadcast_join(q_zscore_normalize(spark, sf_dir), 1)
+
+
 def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
     """The n_salt-replicated dim must still broadcast (replication keeps
     it tiny); a shuffle join would defeat the point at fixture scale."""
