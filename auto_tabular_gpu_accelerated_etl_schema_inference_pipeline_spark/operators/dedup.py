@@ -38,6 +38,10 @@ MINHASH_BANDS = 4       # bands of r = K/BANDS = 8 rows each: collision
 SIMHASH_BITS = 64
 VERIFY_TOP_M = 10       # exact-verify budget per doc in the linear
                         # drop-ids path (see minhash_near_dup_drop_ids)
+REPS_PER_BUCKET = 16    # candidate partners per (band, bucket) in the
+                        # drop-ids path: each doc pairs only with the
+                        # bucket's 16 smallest ids, so giant LSH buckets
+                        # cost O(bucket * 16) instead of O(bucket^2)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +287,22 @@ def minhash_near_dup_drop_ids(docs: DataFrame) -> DataFrame:
        1 (exact verify gates every drop); recall tested >= 0.9 against
        the all-pairs drop set."""
     toks_df, bands = _minhash_toks_bands(docs, carry_sig=True)
-    a = bands.select(
+    # GIANT-BUCKET CAP: the droppable side pairs only with its bucket's
+    # REPS_PER_BUCKET smallest ids. Near-dup families land in the same
+    # buckets, so a family of K docs would otherwise emit K^2 in-bucket
+    # pairs per band (measured: 1600-doc families -> 10M candidate rows
+    # x 260 B of carried signature at sf0.1 = the near-dedup stage's
+    # whole cost). Capping the partner set keeps the join linear in
+    # bucket size; recall survives (tested >= 0.9 vs the all-pairs drop
+    # set) because any family member verifies against the family's
+    # smallest ids, which are exactly the docs the dedup keeps.
+    rep_w = Window.partitionBy("band", "bucket").orderBy(F.col("doc_id").asc())
+    reps = (
+        bands.withColumn("rep_rk", F.row_number().over(rep_w))
+        .filter(F.col("rep_rk") <= REPS_PER_BUCKET)
+        .drop("rep_rk")
+    )
+    a = reps.select(
         F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
         F.col("sz").alias("sz_a"), "band", "bucket",
     )
