@@ -448,8 +448,49 @@ def q_dedup_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 4
+
+
+def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join over the DISTINCT name
+    vocabulary — the entity-resolution primitive ("same product,
+    differently spelled") where token-set Jaccard is too coarse.
+
+    Scale design: rows are first collapsed to distinct values with
+    counts (one hash aggregation — the vocabulary is orders of magnitude
+    smaller than the row count; here 20k parts share ~100 names), THEN
+    the quadratic fuzzy comparison runs on the vocabulary only, blocked
+    by the head noun (last word) so candidates form within blocks via an
+    equi-join. Canonicalize-the-vocabulary-then-map-back is how real ER
+    pipelines avoid row-level O(n^2); a row-level variant of this query
+    measured 42 s at sf0.1 for a quadratically-exploding pair table.
+    levenshtein() is the textbook DP in both engines -> exact integer
+    oracle."""
+    configure_for_oracle(spark)
+    parts = load_table(spark, sf_dir, "part")
+    names = (
+        parts.groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("a_name"), F.col("n_parts").alias("n_parts_a"), "block"
+    )
+    b = names.select(
+        F.col("p_name").alias("b_name"), F.col("n_parts").alias("n_parts_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_name") < F.col("b_name"))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name").cast("int"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("a_name", "b_name", "edit_dist", "n_parts_a", "n_parts_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "fuzzy_join_parts": q_fuzzy_join_parts,
     "dedup_char_shingle_jaccard": q_dedup_char_shingle_jaccard,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -458,6 +499,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_join_parts": f"""
+WITH names AS (
+  SELECT p_name, count(*) AS n_parts,
+    string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS a_name, b.p_name AS b_name,
+  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b USING (block)
+WHERE a.p_name < b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+""",
     "dedup_exact": """
 SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
 FROM documents

@@ -126,14 +126,59 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_expr(a: str, b: str, bits: int = 16) -> str:
+    """Bit-interleave SQL for the z-value of (a, b), identical text in
+    Spark SQL and DuckDB: a's bit i lands at 2i, b's at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    lakehouse data-layout primitive: sorting/bucketing a table by the
+    interleaved z-value co-locates rows close in BOTH dimensions, so
+    min/max file statistics prune scans filtered on either key (a plain
+    sort by partkey leaves suppkey scattered). zbucket = top 8 z-bits ==
+    the target file id a layout job would write.
+
+    Map-only bit arithmetic (one shared expression string runs in both
+    engines), shuffle-free; the real layout job adds
+    repartitionByRange(zval) + sortWithinPartitions, which this query
+    deliberately leaves out so the transform stays a pure scan-transform
+    (the write policy, not the operator, owns partitioning)."""
+    configure_for_oracle(spark)
+    from ..session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    z = _zorder_expr("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(z).cast("bigint").alias("zval"),
+        F.expr(f"({z}) >> 24").cast("int").alias("zbucket"),
+    )
+
+
 QUERIES = {
     "map_funcs": q_map_funcs,
     "events_gap_fill": q_events_gap_fill,
     "struct_funcs": q_struct_funcs,
     "higher_order_funcs": q_higher_order_funcs,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES = {
+    "zorder_layout": f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  CAST({_zorder_expr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS BIGINT) AS zval,
+  CAST(({_zorder_expr("(l_partkey % 65536)", "(l_suppkey % 65536)")}) >> 24 AS INTEGER) AS zbucket
+FROM lineitem WHERE l_orderkey < 5000
+""",
     "struct_funcs": """
 SELECT event_id, event_type AS etype, value AS v,
   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,

@@ -53,6 +53,22 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     from .windows import _events_stream
 
+    # one state store is initialized per shuffle partition per micro-
+    # batch; with 150 distinct keys 32 stores are pure setup overhead
+    # (measured ~2 s of the query). A real deployment sizes this to key
+    # cardinality / cluster width; the partition count is baked into the
+    # checkpoint, so it is set before the query starts, like production.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_stateful_inner(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_stateful_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .windows import _events_stream
+
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_state,

@@ -65,6 +65,7 @@ HEADLINE = [
     "zscore_normalize",
     "agg_salted_sum",
     "streaming_static_enrich",
+    "fuzzy_join_parts",
 ]
 
 
