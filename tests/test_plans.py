@@ -176,10 +176,13 @@ def test_zscore_transform_broadcasts_stats(spark, sf_dir):
         q_zscore_normalize,
     )
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (
-        assert_broadcast_join,
+        formatted_plan,
     )
 
-    assert_broadcast_join(q_zscore_normalize(spark, sf_dir), 1)
+    plan = formatted_plan(q_zscore_normalize(spark, sf_dir))
+    # keyless 1-row join compiles to BroadcastNestedLoopJoin — what
+    # matters is that the FACT side never shuffles for the enrich
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
 def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
