@@ -19,8 +19,27 @@ ingest a real system.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon",
+          "zeta", "eta", "theta", "iota", "kappa"]
+
+
+def _gen_row(seed: int, doc_id: int):
+    """Deterministic per (seed, doc_id): re-running a failed task — or
+    replaying a streaming offset range after restart — regenerates
+    identical rows (idempotent retries / exactly-once replay)."""
+    import random
+
+    rng = random.Random(seed * 1_000_003 + doc_id)
+    text = " ".join(rng.choices(_WORDS, k=rng.randint(5, 30)))
+    return (doc_id, text, rng.choice(["en", "de", "fr"]), len(text))
 
 
 class _DocShard(InputPartition):
@@ -46,16 +65,40 @@ class SyntheticDocsReader(DataSourceReader):
         ]
 
     def read(self, partition: _DocShard):
-        # executor-side: deterministic per (seed, doc_id) — re-running a
-        # failed task regenerates identical rows (idempotent retries)
-        import random
-
-        words = ["alpha", "beta", "gamma", "delta", "epsilon",
-                 "zeta", "eta", "theta", "iota", "kappa"]
         for doc_id in range(partition.start, partition.end):
-            rng = random.Random(partition.seed * 1_000_003 + doc_id)
-            text = " ".join(rng.choices(words, k=rng.randint(5, 30)))
-            yield (doc_id, text, rng.choice(["en", "de", "fr"]), len(text))
+            yield _gen_row(partition.seed, doc_id)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (Spark 4 Python DataSource
+    streaming API): offsets are row positions; each micro-batch emits
+    the next ``batch_rows`` rows until ``max_rows``. readBetweenOffsets
+    replays any committed range bit-identically (the generator is keyed
+    on (seed, doc_id)), which is exactly the contract a restartable
+    exactly-once source must honor. Stands in for a cursor/changefeed
+    ingest; swap the generator for an API poll."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.max_rows = int(options.get("max_rows", 100))
+        self.batch_rows = int(options.get("batch_rows", 37))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = min(s + self.batch_rows, self.max_rows)
+        return (
+            iter([_gen_row(self.seed, i) for i in range(s, e)]),
+            {"offset": e},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_gen_row(self.seed, i)
+             for i in range(int(start["offset"]), int(end["offset"]))]
+        )
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -68,6 +111,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticDocsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -212,3 +212,43 @@ def test_python_datasource_synthetic_docs(spark):
     # n_chars really is the text length (executor-side generation sanity)
     bad = df.filter(F.length("text") != F.col("n_chars")).count()
     assert bad == 0
+
+
+def test_python_datasource_streaming_matches_batch(spark):
+    """The connector's streaming half (SimpleDataSourceStreamReader):
+    draining the bounded offset range through micro-batches yields
+    EXACTLY the batch read's rows — the custom-source version of the
+    unified-engine guarantee, and proof the offset/replay contract is
+    deterministic."""
+    import tempfile
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("max_rows", 200).option("batch_rows", 37).option("seed", 7)
+        .load()
+    )
+    name = "synth_docs_stream_out"
+    with tempfile.TemporaryDirectory(prefix="ckpt_pyds_") as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    got = spark.table(name)
+    batch = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 200).option("shards", 4).option("seed", 7).load()
+    )
+    assert got.count() == 200
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
