@@ -137,10 +137,110 @@ def q_agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-level) exact dedup: chunk every document
+    with q_doc_chunk_overlap's map-only chunker, then group by the chunk
+    digest — the finer-grained dedup pass that catches boilerplate
+    repeated INSIDE otherwise-distinct documents (headers, license
+    blocks, navigation text), which document-level dedup structurally
+    cannot see. Shuffle key is the 32-hex digest, never the chunk text;
+    output is each repeated chunk's canonical location + frequency."""
+    chunks = q_doc_chunk_overlap(spark, sf_dir)
+    # lexicographic argmin as one integer key (chunk_idx < 100000 by
+    # construction) — the same expression computes the same canonical
+    # location in any engine, no struct-ordering semantics needed
+    loc_key = F.col("doc_id") * 100_000 + F.col("chunk_idx")
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("chunk_fp"))
+        .agg(
+            F.min(loc_key).alias("loc"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "chunk_fp",
+            F.expr("loc div 100000").alias("rep_doc_id"),
+            (F.col("loc") % 100_000).cast("int").alias("rep_chunk_idx"),
+            "n_copies",
+        )
+    )
+
+
+#: quality-gate thresholds (mirrors pipelines.quality_filter, but emits
+#: a verdict per document instead of silently filtering)
+GATE_MIN_TOKENS = 20
+GATE_MAX_UPPER_RATIO = 0.3
+GATE_MIN_UNIQUE_RATIO = 0.3
+
+
+def q_quality_gate_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused keep/drop verdict per document with per-rule flags — the
+    auditable form of a quality gate (a pipeline that only emits the
+    kept rows can't answer 'WHY did we drop 12% yesterday?'). Three
+    Gopher/C4-style rules on exact integer/rational arithmetic: token
+    count, uppercase-character ratio, distinct-token ratio. Map-only
+    column expressions; the flags compress to one int so downstream can
+    GROUP BY drop-reason over 100 TB without re-running the rules."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    n_chars = F.length(F.col("text"))
+    n_uniq = F.size(F.array_distinct(toks))
+    # rational comparisons: a/b >= r  <=>  a*denom >= r_num*b (ints)
+    too_short = (n_tok < GATE_MIN_TOKENS).cast("int")
+    too_upper = (n_upper * 10 > F.lit(3) * n_chars).cast("int")
+    too_repetitive = (n_uniq * 10 < F.lit(3) * n_tok).cast("int")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        too_short.alias("flag_short"),
+        too_upper.alias("flag_upper"),
+        too_repetitive.alias("flag_repetitive"),
+        (
+            (too_short + too_upper + too_repetitive) == 0
+        ).cast("int").alias("keep"),
+    )
+
+
+#: docs with doc_id below this fraction boundary are the "historical"
+#: corpus; the rest are "new" (stands in for yesterday's snapshot)
+HIST_MOD = 10
+HIST_CUT = 7
+
+
+def q_dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: drop NEW documents whose normalized-text
+    digest already exists in the HISTORICAL corpus (doc_id % 10 < 7 =
+    history, rest = today's crawl). The production shape: history is
+    touched only as a distinct-digest set (32 B/doc), which broadcasts
+    (or becomes a bloom filter at 100 TB) so the new slice is filtered
+    map-side — the full historical text is never re-read, never
+    shuffled. Output: surviving new docs."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = (
+        docs.filter(F.col("doc_id") % HIST_MOD < HIST_CUT)
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % HIST_MOD >= HIST_CUT).select(
+        "doc_id", fp.alias("fp"), "lang", "source"
+    )
+    return new.join(F.broadcast(hist), "fp", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 QUERIES = {
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "zscore_normalize": q_zscore_normalize,
     "agg_salted_sum": q_agg_salted_sum,
+    "chunk_dedup": q_chunk_dedup,
+    "quality_gate_verdict": q_quality_gate_verdict,
+    "dedup_incremental_vs_history": q_dedup_incremental_vs_history,
 }
 
 ORACLES = {
@@ -194,5 +294,57 @@ SELECT event_type,
   count(*) AS n_events
 FROM events
 GROUP BY event_type
+""",
+    "chunk_dedup": f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS st
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+    CAST((st - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+    array_to_string(list_slice(toks, st, st + {CHUNK_TOKENS} - 1), ' ')
+      AS chunk_text
+  FROM s
+)
+SELECT md5(chunk_text) AS chunk_fp,
+  min(doc_id * 100000 + chunk_idx) // 100000 AS rep_doc_id,
+  CAST(min(doc_id * 100000 + chunk_idx) % 100000 AS INTEGER) AS rep_chunk_idx,
+  count(*) AS n_copies
+FROM chunks
+GROUP BY chunk_fp
+HAVING count(*) > 1
+""",
+    "quality_gate_verdict": f"""
+WITH d AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+    length(text) AS n_chars,
+    len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_tokens < {GATE_MIN_TOKENS} AS INTEGER) AS flag_short,
+  CAST(n_upper * 10 > 3 * n_chars AS INTEGER) AS flag_upper,
+  CAST(n_uniq * 10 < 3 * n_tokens AS INTEGER) AS flag_repetitive,
+  CAST((CAST(n_tokens < {GATE_MIN_TOKENS} AS INTEGER)
+      + CAST(n_upper * 10 > 3 * n_chars AS INTEGER)
+      + CAST(n_uniq * 10 < 3 * n_tokens AS INTEGER)) = 0 AS INTEGER) AS keep
+FROM d
+""",
+    "dedup_incremental_vs_history": f"""
+WITH hist AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % {HIST_MOD} < {HIST_CUT}
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % {HIST_MOD} >= {HIST_CUT}
+  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM hist)
 """,
 }

@@ -66,6 +66,10 @@ HEADLINE = [
     "agg_salted_sum",
     "streaming_static_enrich",
     "fuzzy_join_parts",
+    "chunk_dedup",
+    "quality_gate_verdict",
+    "dedup_incremental_vs_history",
+    "zorder_layout",
 ]
 
 
