@@ -236,8 +236,40 @@ def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour rolling aggregate at event granularity —
+    the time-interval RANGE frame (each row's window is [ts-1h, ts], not
+    a row count): the feature-engineering shape behind rate limiting,
+    burst detection, and 'activity in the last hour' model features.
+
+    The frame is expressed on unix MICROS (a long) in both engines, so
+    the interval arithmetic is exact integer comparison — no timestamp-
+    vs-interval semantics to disagree on. Partitioned by user_id: the
+    sort and frame scan run per-user within the shuffle partition, no
+    global sort at any scale. Sum runs in decimal (order-proof), events
+    restricted to user_id < 40 to keep the gate query small."""
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") < 40)
+    mic = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(mic)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        mic.alias("ts_us"),
+        F.count("*").over(w).alias("n_last_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    )
+
+
 QUERIES = {
     "events_hypertable_rollup": q_events_hypertable_rollup,
+    "events_rolling_1h": q_events_rolling_1h,
     "events_tumbling_window": q_events_tumbling_window,
     "events_session_window_native": q_events_session_window_native,
     "events_sliding_window": q_events_sliding_window,
@@ -247,6 +279,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_1h": """
+SELECT event_id, user_id,
+  epoch_us(ts) AS ts_us,
+  count(*) OVER w AS n_last_1h,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_value_1h
+FROM events
+WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
     "events_hypertable_rollup": """
 WITH h AS (
   SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
