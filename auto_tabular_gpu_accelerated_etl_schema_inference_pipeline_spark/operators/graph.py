@@ -168,12 +168,59 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ONE SQL text that runs VERBATIM on Spark (WITH RECURSIVE, Spark 4)
+#: and DuckDB — the strongest parity claim possible (same bytes, not two
+#: translations). Acyclic by construction (rn -> rn+1 chain), which is
+#: required on the Spark side: Spark 4 recursion supports UNION ALL
+#: only, so a cyclic-graph closure (see dedup_components' oracle) would
+#: not terminate — the DataFrame hash-min loop remains the right tool
+#: for cyclic reachability, recursion the right tool for chains/DAGs.
+_RCTE_ORDER_CHAIN_SQL = """
+WITH RECURSIVE o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 200
+),
+walk(o_custkey, o_orderkey, rn, chain_total_cents) AS (
+  SELECT o_custkey, o_orderkey, rn,
+    CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.o_custkey, t.o_orderkey, t.rn,
+    w.chain_total_cents + CAST(round(t.o_totalprice * 100) AS BIGINT)
+  FROM walk w JOIN o t ON t.o_custkey = w.o_custkey AND t.rn = w.rn + 1
+)
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS chain_pos,
+  chain_total_cents
+FROM walk
+"""
+
+
+def q_recursive_cte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linked-list traversal as ONE recursive SQL query (Spark 4's WITH
+    RECURSIVE): walk each customer's orders in date order accumulating
+    an exact running total in cents. The recursion text is byte-
+    identical on both engines. Iteration as a PLAN (not a driver loop)
+    is the right surface for chain/DAG walks — org hierarchies, BOM
+    explosions, event funnels; for cyclic graphs Spark's UNION-ALL-only
+    recursion diverges, and the DataFrame hash-min loop in
+    connected_components() is the scalable alternative."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RCTE_ORDER_CHAIN_SQL)
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "graph_pagerank": q_graph_pagerank,
+    "recursive_cte_order_chain": q_recursive_cte_order_chain,
 }
 
 ORACLES = {
+    "recursive_cte_order_chain": _RCTE_ORDER_CHAIN_SQL,
     # min reachable doc_id along near-dup edges == hash-min fixpoint
     "dedup_components": f"""
 WITH RECURSIVE toks AS (
