@@ -164,7 +164,24 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/bit_or/bit_xor) and boolean (bool_and/bool_or)
+    aggregate family per event_type — set-membership masks and
+    all/any-style data-quality flags computed as single hash aggregates
+    (exact integer semantics in both engines)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_bit_and"),
+        F.bit_or("user_id").alias("uid_bit_or"),
+        F.bit_xor("user_id").alias("uid_bit_xor"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 100).alias("any_big"),
+    )
+
+
 QUERIES = {
+    "agg_bitwise_bool": q_agg_bitwise_bool,
     "map_funcs": q_map_funcs,
     "events_gap_fill": q_events_gap_fill,
     "struct_funcs": q_struct_funcs,
@@ -173,6 +190,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_bitwise_bool": """
+SELECT event_type,
+  bit_and(user_id) AS uid_bit_and,
+  bit_or(user_id) AS uid_bit_or,
+  bit_xor(user_id) AS uid_bit_xor,
+  bool_and(value > 0) AS all_positive,
+  bool_or(value > 100) AS any_big
+FROM events
+GROUP BY event_type
+""",
     "zorder_layout": f"""
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
   CAST({_zorder_expr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS BIGINT) AS zval,
