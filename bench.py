@@ -70,6 +70,8 @@ HEADLINE = [
     "quality_gate_verdict",
     "dedup_incremental_vs_history",
     "zorder_layout",
+    "events_rolling_1h",
+    "recursive_cte_order_chain",
 ]
 
 
