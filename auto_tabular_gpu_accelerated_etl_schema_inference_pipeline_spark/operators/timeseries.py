@@ -267,9 +267,55 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: signup -> click -> purchase, each stage
+    anchored at the earliest qualifying event AFTER the previous stage
+    (the product-analytics staple). Three chained conditional-min
+    aggregations — each stage is one groupBy over the events already
+    filtered by the previous anchor, so the whole funnel is three hash
+    aggregates + two broadcast joins of per-user anchor timestamps
+    (KBs): no window over the full stream, no state. Timestamps
+    compared as unix micros (exact integers)."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("us").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("us") > F.col("t_signup"))
+        .groupBy("user_id").agg(F.min("us").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+        )
+    )
+
+
 QUERIES = {
     "events_hypertable_rollup": q_events_hypertable_rollup,
     "events_rolling_1h": q_events_rolling_1h,
+    "events_funnel": q_events_funnel,
     "events_tumbling_window": q_events_tumbling_window,
     "events_session_window_native": q_events_session_window_native,
     "events_sliding_window": q_events_sliding_window,
@@ -279,6 +325,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_signup
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+  1 + CAST(s2.t_click IS NOT NULL AS INTEGER)
+    + CAST(s3.t_purchase IS NOT NULL AS INTEGER) AS funnel_stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
     "events_rolling_1h": """
 SELECT event_id, user_id,
   epoch_us(ts) AS ts_us,
