@@ -180,8 +180,26 @@ def q_agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4) — the
+    mergeable-summary way to ask "top 5 event types" at 100 TB: each
+    partition builds a bounded-size sketch, partials merge associatively,
+    no exact global count table is ever materialized. Rows-only at the
+    gate (no DuckDB twin); tests/test_properties.py pins the sketch's
+    result against the exact groupBy top-k at fixture scale, where the
+    sketch capacity exceeds the cardinality so counts must be exact."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("n"))
+    )
+
+
 QUERIES = {
     "agg_bitwise_bool": q_agg_bitwise_bool,
+    "agg_approx_top_k": q_agg_approx_top_k,
     "map_funcs": q_map_funcs,
     "events_gap_fill": q_events_gap_fill,
     "struct_funcs": q_struct_funcs,

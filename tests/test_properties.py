@@ -93,3 +93,23 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
         counts = orders.groupBy(col).count().collect()
         must_have = {r[col] for r in counts if r["count"] > 0.2 * n}
         assert must_have <= set(row[out_field]), (col, must_have, row[out_field])
+
+
+def test_approx_top_k_exact_at_fixture_cardinality(spark, sf_dir):
+    """approx_top_k's sketch capacity (default 10x k) far exceeds the
+    5-value event_type cardinality, so items AND counts must equal the
+    exact groupBy top-k here — the sketch is only allowed to
+    approximate when capacity is exceeded."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.relational_ext2 import (
+        q_agg_approx_top_k,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_events,
+    )
+
+    got = {(r["event_type"], r["n"]) for r in q_agg_approx_top_k(spark, sf_dir).collect()}
+    exact = {
+        (r["event_type"], r["count"])
+        for r in load_events(spark, sf_dir).groupBy("event_type").count().collect()
+    }
+    assert got == exact
