@@ -234,8 +234,44 @@ def q_dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: linear-scorer weights: rational per-dimension values, exactly
+#: representable in both engines (no transcendentals anywhere — the
+#: decision emits the LOGIT, not a sigmoid, so cross-engine equality is
+#: exact integer comparison after micro-quantization)
+_SCORER_DIM = 64
+
+
+def _scorer_weight(i: int) -> float:
+    return ((i * 37) % 19 - 9) / 10.0
+
+
+def q_embedding_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fasttext-classifier stage of
+    an LLM data pipeline, reduced to its distributed essence: score
+    every embedding with a BROADCAST linear model (weight vector lives
+    in the plan as a literal array; at 100 TB it's a broadcast variable)
+    and keep rows with positive logit. Map-only: one zip_with multiply +
+    sequential-fold dot product per row inside codegen, no shuffle, no
+    UDF, no model server. Emits logit in micro-units (exact) + the keep
+    decision; a real deployment swaps the literal weights for a trained
+    model's — the plan shape is identical."""
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(_scorer_weight(i)) for i in range(_SCORER_DIM)])
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prods = F.zip_with(dv, w, lambda x, y: x * y)
+    logit = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(logit * 1_000_000).cast("bigint").alias("logit_mu"),
+        (logit > 0).cast("int").alias("keep"),
+    )
+
+
 QUERIES = {
     "doc_chunk_overlap": q_doc_chunk_overlap,
+    "embedding_quality_score": q_embedding_quality_score,
     "zscore_normalize": q_zscore_normalize,
     "agg_salted_sum": q_agg_salted_sum,
     "chunk_dedup": q_chunk_dedup,
@@ -294,6 +330,19 @@ SELECT event_type,
   count(*) AS n_events
 FROM events
 GROUP BY event_type
+""",
+    "embedding_quality_score": f"""
+WITH w AS (
+  SELECT [{", ".join(str(_scorer_weight(i)) for i in range(_SCORER_DIM))}] AS wv
+)
+SELECT vec_id, label,
+  CAST(round(list_sum(list_transform(
+      list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), wv),
+      p -> p[1] * p[2])) * 1000000) AS BIGINT) AS logit_mu,
+  CAST(list_sum(list_transform(
+      list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), wv),
+      p -> p[1] * p[2])) > 0 AS INTEGER) AS keep
+FROM embeddings CROSS JOIN w
 """,
     "chunk_dedup": f"""
 WITH t AS (
