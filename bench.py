@@ -72,6 +72,9 @@ HEADLINE = [
     "zorder_layout",
     "events_rolling_1h",
     "recursive_cte_order_chain",
+    "events_funnel",
+    "embedding_quality_score",
+    "agg_bitwise_bool",
 ]
 
 
