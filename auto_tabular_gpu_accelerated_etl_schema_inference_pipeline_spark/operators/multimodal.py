@@ -180,13 +180,75 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None):
     return reader.load(path)
 
 
+AUDIO_WINDOW = 64  # "samples" (bytes) per analysis window
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, window_idx int, n_samples int, energy bigint, peak int"
+)
+
+
+def _audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio analysis plumbing: payload bytes as u8 samples, fixed-size
+    windows, per-window energy (sum of squares) and peak — the
+    torchaudio/librosa frame-analysis shape with the codec stubbed to
+    raw bytes (a real impl decodes PCM via decode_audio first). Arrow
+    batch in -> numpy vectorized per window -> exploded rows out, the
+    same 1-to-N mapInPandas discipline as frame sampling; integer
+    energies keep the oracle exact."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for w in range(-(-len(samples) // AUDIO_WINDOW)):
+                win = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(w)
+                out["n_samples"].append(len(win))
+                out["energy"].append(int((win * win).sum()))
+                out["peak"].append(int(win.max()))
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy analysis over binary payloads via
+    mapInPandas (ASCII fixture bytes -> DuckDB mirrors with ascii() over
+    char windows; exact integer energy/peak)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(
+        _audio_window_batches, schema=AUDIO_SCHEMA
+    )
+
+
 QUERIES = {
     "multimodal_featurize": q_multimodal_featurize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_energy": q_multimodal_audio_energy,
 }
 
 ORACLES = {
+    "multimodal_audio_energy": f"""
+WITH wins AS (
+  SELECT doc_id, text, length(text) AS n,
+    unnest(generate_series(0, (length(text) - 1) // {AUDIO_WINDOW})) AS w
+  FROM documents
+), codes AS (
+  SELECT doc_id, w,
+    list_transform(
+      generate_series(w * {AUDIO_WINDOW} + 1,
+                      least((w + 1) * {AUDIO_WINDOW}, n)),
+      i -> ascii(substr(text, i, 1))) AS cs
+  FROM wins
+)
+SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
+  CAST(len(cs) AS INTEGER) AS n_samples,
+  CAST(list_sum(list_transform(cs, c -> c * c)) AS BIGINT) AS energy,
+  CAST(list_max(cs) AS INTEGER) AS peak
+FROM codes
+""",
     "multimodal_resize": f"""
 WITH r AS (
   SELECT doc_id, length(text) AS n_in,

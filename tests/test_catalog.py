@@ -1,0 +1,71 @@
+"""SQL DDL / catalog surface: CTAS, INSERT INTO, partitioned managed
+tables, SHOW PARTITIONS, and partition pruning through the catalog —
+the warehouse-facing API a user of the engine drives with pure SQL.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.inspect import (  # noqa: E402
+    formatted_plan,
+)
+
+
+def test_ctas_insert_show_partitions_prune(spark, sf_dir, tmp_path):
+    db = "graft_cat_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/warehouse'")
+    try:
+        orders = f"{sf_dir}/orders.parquet"
+        # CTAS, partitioned by status — the managed-table layout step
+        spark.sql(
+            f"""
+            CREATE TABLE {db}.orders_p USING parquet
+            PARTITIONED BY (o_orderstatus)
+            AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+               FROM parquet.`{orders}` WHERE o_orderkey < 5000
+            """
+        )
+        base = spark.sql(f"SELECT count(*) c FROM {db}.orders_p").collect()[0]["c"]
+        assert base > 0
+        # INSERT INTO appends through the catalog (dynamic partitions)
+        spark.sql(
+            f"""
+            INSERT INTO {db}.orders_p
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM parquet.`{orders}`
+            WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+            """
+        )
+        after = spark.sql(f"SELECT count(*) c FROM {db}.orders_p").collect()[0]["c"]
+        extra = spark.read.parquet(orders).filter(
+            "o_orderkey >= 5000 AND o_orderkey < 6000"
+        ).count()
+        assert after == base + extra
+        # catalog knows the partitions
+        parts = {
+            r[0] for r in spark.sql(f"SHOW PARTITIONS {db}.orders_p").collect()
+        }
+        statuses = {
+            f"o_orderstatus={r[0]}"
+            for r in spark.read.parquet(orders)
+            .filter("o_orderkey < 6000")
+            .select("o_orderstatus").distinct().collect()
+        }
+        assert parts == statuses
+        # partition pruning: a status filter must prune at the scan, and
+        # the answer must match the source-of-truth parquet
+        q = spark.sql(
+            f"SELECT count(*) c FROM {db}.orders_p WHERE o_orderstatus = 'F'"
+        )
+        plan = formatted_plan(q)
+        assert "o_orderstatus=F" in plan.replace("'", "") or "PartitionFilters" in plan, plan
+        got = q.collect()[0]["c"]
+        want = spark.read.parquet(orders).filter(
+            "o_orderkey < 6000 AND o_orderstatus = 'F'"
+        ).count()
+        assert got == want
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
