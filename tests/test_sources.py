@@ -252,3 +252,42 @@ def test_python_datasource_streaming_matches_batch(spark):
     assert got.count() == 200
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: run the streaming connector with
+    Trigger.Once four times against ONE checkpoint + parquet sink. Each
+    run must resume from the committed offset (not offset 0), and the
+    accumulated sink must hold every row exactly once — the end-to-end
+    exactly-once contract (offset log + idempotent file sink) a
+    production ingest restarts rely on."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for _ in range(4):
+        stream = (
+            spark.readStream.format("synthetic_docs")
+            .option("max_rows", 200).option("batch_rows", 50).option("seed", 7)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200, "restarts must not duplicate or drop rows"
+    assert got.select("doc_id").distinct().count() == 200
+    batch = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 200).option("shards", 4).option("seed", 7).load()
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
