@@ -172,10 +172,46 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_window: 2-hour windows sliding
+    by 1 hour (every event feeds two concurrent window states), drained
+    complete-mode. Carries the batch query's oracle — overlapping-window
+    state merge is the incremental-maintenance case tumbling windows
+    don't exercise."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "stream_sliding_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling_window,
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_session_window": q_streaming_session_window,
+    "streaming_sliding_window": q_streaming_sliding_window,
 }
 
 from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
@@ -187,4 +223,6 @@ SELECT DISTINCT user_id, event_type FROM events
     # byte-identical oracle to the batch native session_window query:
     # streaming and batch must agree with the islands SQL
     "streaming_session_window": _TS_ORACLES["events_session_window_native"],
+    # and the batch sliding-window SQL for the overlapping-window case
+    "streaming_sliding_window": _TS_ORACLES["events_sliding_window"],
 }

@@ -75,6 +75,7 @@ HEADLINE = [
     "events_funnel",
     "embedding_quality_score",
     "agg_bitwise_bool",
+    "multimodal_audio_energy",
 ]
 
 
