@@ -69,3 +69,48 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     carries predicate-pushdown indexes (min/max, bloom) so scans stay
     prunable."""
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the OPTIMIZE/maintenance job every
+    long-lived table needs: streaming ingest and fine-grained partitioned
+    writes accumulate thousands of KB-sized files, and at 100 TB the
+    resulting per-file open/footer overhead (plus task-per-file
+    scheduling) dominates scan time. Rewrites ``path`` into
+    ``out_path`` with file count sized from the ACTUAL input bytes
+    (sum of file sizes via the input_file metadata — no full data
+    pre-scan), optionally sorting within partitions so min/max file
+    statistics stay selective after the rewrite. Returns the target
+    file count.
+
+    Writes to a NEW directory + atomic swap by the caller (object-store
+    reality: rewrite-then-repoint; an in-place overwrite of a live table
+    loses reader isolation)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    sizes = (
+        df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    total = sum(
+        _os.path.getsize(unquote(urlparse(r["f"]).path)) for r in sizes
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -291,3 +291,28 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """Compaction contract: a 64-file table rewrites into the byte-sized
+    target file count with identical rows; sortWithinPartitions keeps
+    min/max stats selective."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    frag = str(tmp_path / "fragmented")
+    src.repartition(64).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(
+        spark, frag, out, target_file_bytes=8 * 1024 * 1024,
+        sort_within_by=["l_orderkey"],
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == src.count()
+    assert got.exceptAll(src).count() == 0
+    import glob
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n
+    assert n < 64
