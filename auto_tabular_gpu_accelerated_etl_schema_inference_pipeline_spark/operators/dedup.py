@@ -160,15 +160,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array path stays the general case — the mask path is what a fused
     # similarity-join operator emits for small (or per-block)
     # dictionaries.
-    vocab = [r["tok"] for r in dfreq.collect()]
+    # BOUNDED driver materialization: 63 rows decide the branch. At 100 TB
+    # the dictionary is billions of rows — collecting it whole is a driver
+    # OOM; limit(63) keeps the decision O(1) and, when it does return <=62
+    # rows, that IS the complete vocabulary, so the bitmask below is exact.
+    vocab = [r["tok"] for r in dfreq.select("tok").limit(63).collect()]
     if len(vocab) <= 62:
-        esc = lambda s: s.replace("'", "''")  # noqa: E731
-        map_sql = "map(" + ", ".join(
-            f"'{esc(t)}', {i}" for i, t in enumerate(vocab)
-        ) + ")"
-        mask = F.expr(
-            "aggregate(toks, CAST(0 AS BIGINT), "
-            f"(acc, t) -> acc | shiftleft(CAST(1 AS BIGINT), {map_sql}[t]))"
+        # token -> single-bit BIGINT via literal-column create_map: no SQL
+        # string interpolation, so quotes/backslashes in tokens can't be
+        # mangled by the parser. Lookup misses are impossible (vocab is
+        # complete on this branch), so no NULL-mask hazard.
+        tok_bit = F.create_map(
+            *[
+                c
+                for i, t in enumerate(vocab)
+                for c in (F.lit(t), F.lit(1 << i).cast("bigint"))
+            ]
+        )
+        mask = F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc.bitwiseOR(tok_bit[t]),
         )
         masks = toks_df.select("doc_id", mask.alias("m"))
         ma = F.broadcast(masks.select(F.col("doc_id").alias("a_id"), F.col("m").alias("m_a")))

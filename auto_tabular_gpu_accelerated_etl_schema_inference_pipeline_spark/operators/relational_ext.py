@@ -77,9 +77,23 @@ def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a full shuffle). Approximate by contract (may include false
     positives, never false negatives above the support threshold) ->
     rows-only gate; the no-false-negative guarantee is pinned by
-    tests/test_properties.py."""
+    tests/test_properties.py.
+
+    freqItems returns ARRAY columns; external harnesses canonicalize by
+    sorting pandas values, and Python lists are unhashable there — so the
+    query surface emits each item set as one deterministic scalar string
+    (``array_join(array_sort(...))``), which is also the right wire shape
+    for a 100 TB sketch result (one tiny row, no nested types)."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    freq = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    return freq.select(
+        F.array_join(F.array_sort("o_orderpriority_freqItems"), ",").alias(
+            "priority_freq_items"
+        ),
+        F.array_join(F.array_sort("o_orderstatus_freqItems"), ",").alias(
+            "status_freq_items"
+        ),
+    )
 
 
 def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:

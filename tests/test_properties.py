@@ -87,12 +87,13 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     n = orders.count()
     for col, out_field in (
-        ("o_orderpriority", "o_orderpriority_freqItems"),
-        ("o_orderstatus", "o_orderstatus_freqItems"),
+        ("o_orderpriority", "priority_freq_items"),
+        ("o_orderstatus", "status_freq_items"),
     ):
         counts = orders.groupBy(col).count().collect()
         must_have = {r[col] for r in counts if r["count"] > 0.2 * n}
-        assert must_have <= set(row[out_field]), (col, must_have, row[out_field])
+        got = set(row[out_field].split(","))
+        assert must_have <= got, (col, must_have, got)
 
 
 def test_approx_top_k_exact_at_fixture_cardinality(spark, sf_dir):
