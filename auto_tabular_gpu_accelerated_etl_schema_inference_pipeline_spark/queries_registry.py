@@ -14,36 +14,69 @@ from importlib import import_module
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Module order doubles as the external-verification priority: harnesses
+# that sample a prefix of the registry see queries in this order (further
+# shaped by the tier sort in queries() below). North-star lanes (dedup /
+# similarity / text / multimodal), streaming, and time-series come first;
+# the relational/TPC-H core — already externally verified across two
+# rounds — comes last.
 _MODULES = [
-    "operators.quantile_bin_queries",
-    "operators.relational",
-    "operators.relational_ext",
-    "operators.relational_ext2",
-    "operators.tpch_more",
-    "operators.tpch_deep",
-    "operators.cdc",
-    "operators.text",
     "operators.dedup",
     "operators.graph",
-    "operators.variant_json",
     "operators.similarity",
-    "operators.timeseries",
-    "operators.asof_pandas",
-    "operators.schema_infer",
-    "operators.multimodal",
-    "operators.production",
-    "operators.udtf_queries",
-    "operators.llm_prep",
-    "operators.llm_prep2",
+    "operators.text",
     "streaming.windows",
     "streaming.stateful",
     "streaming.stateful_v2",
     "streaming.foreach_batch",
     "streaming.joins",
     "streaming.enrich",
+    "operators.multimodal",
+    "operators.schema_infer",
+    "operators.timeseries",
+    "operators.cdc",
+    "operators.llm_prep",
+    "operators.llm_prep2",
+    "operators.production",
+    "operators.asof_pandas",
+    "operators.udtf_queries",
+    "operators.variant_json",
     "functions.skew",
+    "operators.tpch_deep",
+    "operators.quantile_bin_queries",
+    "operators.relational",
+    "operators.relational_ext",
+    "operators.relational_ext2",
+    "operators.tpch_more",
     "pipelines",
 ]
+
+# Queries already green in an external correctness round (CORRECTNESS_r01
+# + CORRECTNESS_r02). A prefix-sampling gate should spend its slots on
+# queries NOT in this set first; once a round verifies more, extend it.
+_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_bitwise_bool", "agg_correlation", "agg_cube",
+        "agg_grouped_quantiles", "agg_rollup", "agg_stats", "array_funcs",
+        "collect_agg", "date_funcs", "events_gap_fill", "exists_subquery",
+        "filter_project_pushdown", "global_topn", "grouping_sets",
+        "higher_order_funcs", "join_semi_anti", "json_extract_events",
+        "lateral_posexplode", "map_funcs", "math_funcs", "null_funcs",
+        "pivot_orders", "quantile_bin_exact_boundaries",
+        "quantile_bin_lineitem", "set_ops", "stat_crosstab",
+        "string_funcs", "struct_funcs", "text_word_freq",
+        "top_k_per_group", "tpch_q1", "tpch_q10_returned_items",
+        "tpch_q11_important_stock", "tpch_q12_priority_by_status",
+        "tpch_q13_custdist", "tpch_q14_promo_revenue",
+        "tpch_q16_supplier_cnt", "tpch_q18_large_orders",
+        "tpch_q19_disjunctive", "tpch_q22_idle_customers",
+        "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q4_order_priority",
+        "tpch_q5", "tpch_q6", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit", "udaf_geo_mean",
+        "unpivot_lineitem", "window_funcs_suite", "window_range_frame",
+        "window_running_sum", "zorder_layout",
+    }
+)
 
 _PKG = __name__.rsplit(".", 1)[0]
 
@@ -59,12 +92,31 @@ def _modules():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """Registry in external-verification priority order.
+
+    Three tiers: (1) oracle-backed queries no external round has verified
+    yet — these need the hard signal most; (2) oracle-backed queries
+    already driver-green (regression slots); (3) rows-only queries, which
+    can't produce a value-hash match and must not displace oracle-backed
+    ones from a prefix-sampling gate. Within each tier, _MODULES order.
+    """
+    raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
     for mod in _modules():
         for name, fn in getattr(mod, "QUERIES", {}).items():
-            assert name not in out, f"duplicate query name {name}"
-            out[name] = fn
-    return out
+            assert name not in raw, f"duplicate query name {name}"
+            raw[name] = fn
+        oracles.update(getattr(mod, "ORACLES", {}))
+
+    def tier(name: str) -> int:
+        if name not in oracles:
+            return 2
+        return 1 if name in _DRIVER_VERIFIED else 0
+
+    return {
+        name: raw[name]
+        for name in sorted(raw, key=lambda n: tier(n))  # stable sort
+    }
 
 
 def oracle_sql() -> dict[str, str]:
