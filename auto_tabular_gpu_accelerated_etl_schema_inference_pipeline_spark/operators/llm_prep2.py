@@ -172,6 +172,19 @@ GATE_MIN_TOKENS = 20
 GATE_MAX_UPPER_RATIO = 0.3
 GATE_MIN_UNIQUE_RATIO = 0.3
 
+# exact rational forms of the ratio thresholds, derived from the named
+# constants so editing them can't desync the Spark expression from the
+# oracle SQL (both interpolate the same numerator/denominator; the
+# comparisons below run in integer arithmetic, a/b >= p/q <=> a*q >= p*b)
+from fractions import Fraction as _Fraction  # noqa: E402
+
+_UPPER_P, _UPPER_Q = (
+    _Fraction(GATE_MAX_UPPER_RATIO).limit_denominator(10_000).as_integer_ratio()
+)
+_UNIQ_P, _UNIQ_Q = (
+    _Fraction(GATE_MIN_UNIQUE_RATIO).limit_denominator(10_000).as_integer_ratio()
+)
+
 
 def q_quality_gate_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused keep/drop verdict per document with per-rule flags — the
@@ -190,8 +203,8 @@ def q_quality_gate_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_uniq = F.size(F.array_distinct(toks))
     # rational comparisons: a/b >= r  <=>  a*denom >= r_num*b (ints)
     too_short = (n_tok < GATE_MIN_TOKENS).cast("int")
-    too_upper = (n_upper * 10 > F.lit(3) * n_chars).cast("int")
-    too_repetitive = (n_uniq * 10 < F.lit(3) * n_tok).cast("int")
+    too_upper = (n_upper * _UPPER_Q > F.lit(_UPPER_P) * n_chars).cast("int")
+    too_repetitive = (n_uniq * _UNIQ_Q < F.lit(_UNIQ_P) * n_tok).cast("int")
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -379,11 +392,11 @@ WITH d AS (
 SELECT doc_id,
   CAST(n_tokens AS INTEGER) AS n_tokens,
   CAST(n_tokens < {GATE_MIN_TOKENS} AS INTEGER) AS flag_short,
-  CAST(n_upper * 10 > 3 * n_chars AS INTEGER) AS flag_upper,
-  CAST(n_uniq * 10 < 3 * n_tokens AS INTEGER) AS flag_repetitive,
+  CAST(n_upper * {_UPPER_Q} > {_UPPER_P} * n_chars AS INTEGER) AS flag_upper,
+  CAST(n_uniq * {_UNIQ_Q} < {_UNIQ_P} * n_tokens AS INTEGER) AS flag_repetitive,
   CAST((CAST(n_tokens < {GATE_MIN_TOKENS} AS INTEGER)
-      + CAST(n_upper * 10 > 3 * n_chars AS INTEGER)
-      + CAST(n_uniq * 10 < 3 * n_tokens AS INTEGER)) = 0 AS INTEGER) AS keep
+      + CAST(n_upper * {_UPPER_Q} > {_UPPER_P} * n_chars AS INTEGER)
+      + CAST(n_uniq * {_UNIQ_Q} < {_UNIQ_P} * n_tokens AS INTEGER)) = 0 AS INTEGER) AS keep
 FROM d
 """,
     "dedup_incremental_vs_history": f"""

@@ -66,14 +66,29 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
-def with_binary_payload(docs: DataFrame) -> DataFrame:
+#: strips everything outside printable ASCII (0x20-0x7e). The windowed
+#: oracle queries index CHARACTERS (DuckDB substr) while the engine
+#: windows BYTES; they agree only when every char is one byte. Applying
+#: the same normalization on both sides pins that, independent of the
+#: fixture vintage (a non-ASCII char in a future fixture would otherwise
+#: silently desync window boundaries).
+_ASCII_RE = "[^ -~]"
+
+
+def with_binary_payload(docs: DataFrame, ascii_normalize: bool = False) -> DataFrame:
     """Model a multimodal table: payload = utf8 bytes of the text (the
-    fixture stand-in for image/audio bytes) + typed metadata columns."""
+    fixture stand-in for image/audio bytes) + typed metadata columns.
+    ``ascii_normalize`` keeps byte-windowed outputs char-oracle-checkable
+    (see _ASCII_RE); real ingestion leaves it off — bytes are bytes."""
+    text = F.col("text")
+    if ascii_normalize:
+        text = F.regexp_replace(text, _ASCII_RE, "")
+    payload = F.encode(text, "utf-8")
     return docs.select(
         "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        payload.alias("payload"),
         F.lit("text/plain").alias("mime_type"),
-        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("payload_size"),
+        F.octet_length(payload).alias("payload_size"),
     )
 
 
@@ -127,7 +142,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB's char-indexed substr sees the same bytes)."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    blobs = with_binary_payload(docs)
+    blobs = with_binary_payload(docs, ascii_normalize=True)
     return blobs.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
 
 
@@ -162,7 +177,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     char indexing)."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return with_binary_payload(docs).mapInPandas(
+    return with_binary_payload(docs, ascii_normalize=True).mapInPandas(
         _resize_batches, schema=RESIZE_SCHEMA
     )
 
@@ -217,7 +232,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     char windows; exact integer energy/peak)."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return with_binary_payload(docs).mapInPandas(
+    return with_binary_payload(docs, ascii_normalize=True).mapInPandas(
         _audio_window_batches, schema=AUDIO_SCHEMA
     )
 
@@ -231,10 +246,13 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_audio_energy": f"""
-WITH wins AS (
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), wins AS (
   SELECT doc_id, text, length(text) AS n,
     unnest(generate_series(0, (length(text) - 1) // {AUDIO_WINDOW})) AS w
-  FROM documents
+  FROM norm
 ), codes AS (
   SELECT doc_id, w,
     list_transform(
@@ -250,12 +268,15 @@ SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
 FROM codes
 """,
     "multimodal_resize": f"""
-WITH r AS (
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), r AS (
   SELECT doc_id, length(text) AS n_in,
     array_to_string(list_transform(
       generate_series(1, 100000, {RESIZE_STRIDE}),
       i -> substr(text, i, 1)), '') AS resized
-  FROM documents
+  FROM norm
 )
 SELECT doc_id, CAST(n_in AS INTEGER) AS n_bytes_in,
   CAST(length(resized) AS INTEGER) AS n_bytes_out,
@@ -263,10 +284,13 @@ SELECT doc_id, CAST(n_in AS INTEGER) AS n_bytes_in,
 FROM r
 """,
     "multimodal_frame_sample": f"""
-WITH frames AS (
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), frames AS (
   SELECT doc_id, i AS frame_idx,
     substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
-  FROM documents,
+  FROM norm,
     generate_series(0, {MAX_FRAMES - 1}) AS t(i)
   WHERE i * {FRAME_BYTES} < length(text)
 )
