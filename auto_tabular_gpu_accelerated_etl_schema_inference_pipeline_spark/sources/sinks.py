@@ -83,31 +83,30 @@ def compact_parquet(
     writes accumulate thousands of KB-sized files, and at 100 TB the
     resulting per-file open/footer overhead (plus task-per-file
     scheduling) dominates scan time. Rewrites ``path`` into
-    ``out_path`` with file count sized from the ACTUAL input bytes
-    (sum of file sizes via the input_file metadata — no full data
-    pre-scan), optionally sorting within partitions so min/max file
-    statistics stay selective after the rewrite. Returns the target
-    file count.
+    ``out_path`` with file count sized from the ACTUAL input bytes,
+    summed through the Hadoop FileSystem API (a recursive metadata
+    listing — scheme-agnostic, so s3a://, hdfs://, abfs:// and file://
+    all work, and NO data or row-level pass happens before the rewrite),
+    optionally sorting within partitions so min/max file statistics stay
+    selective after the rewrite. Returns the target file count.
 
     Writes to a NEW directory + atomic swap by the caller (object-store
     reality: rewrite-then-repoint; an in-place overwrite of a live table
     loses reader isolation)."""
     import math
 
-    from pyspark.sql import functions as F
-
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)  # recursive: hive-partitioned layouts too
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, checksums, hidden
+            continue
+        total += st.getLen()
     df = spark.read.parquet(path)
-    sizes = (
-        df.select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    import os as _os
-    from urllib.parse import unquote, urlparse
-
-    total = sum(
-        _os.path.getsize(unquote(urlparse(r["f"]).path)) for r in sizes
-    )
     n_files = max(1, math.ceil(total / target_file_bytes))
     out = df.repartition(n_files)
     if sort_within_by:
