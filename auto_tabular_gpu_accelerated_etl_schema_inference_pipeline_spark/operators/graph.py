@@ -62,6 +62,12 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels only ever DECREASE under hash-min, so "changed" is just
+        # "some neighbor had a smaller label" — computable in the SAME
+        # select as the update. Checkpoint once, then count the flag off
+        # the materialized result: per round this is one edge-join + one
+        # aggregation shuffle, where the previous shape paid a third
+        # shuffle joining new labels back to old just to diff them.
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -69,16 +75,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     # isolated vertices: component of themselves
