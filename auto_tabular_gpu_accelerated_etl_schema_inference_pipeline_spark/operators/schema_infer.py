@@ -163,11 +163,22 @@ def q_categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def auto_tokenize(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+def auto_tokenize(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    relative_error: float = 0.001,
+    boundary_round: int | None = None,
+) -> DataFrame:
     """Route every column through its inferred strategy — the "Auto" in
     the reference's name, materialized: numeric_continuous -> 100-bin
     quantile codes, categorical/discrete -> dict codes, timestamp ->
-    epoch-day bucket, text -> md5 fingerprint, identifier -> passthrough."""
+    epoch-day bucket, text -> md5 fingerprint, identifier -> passthrough.
+
+    ``relative_error``: quantile-fit accuracy — the default sketch fit is
+    the 100 TB setting; 0.0 switches to exact SQL ``percentile``, which
+    (with ``boundary_round``, see q_quantile_bin_exact_boundaries for the
+    ulp rationale) makes the whole routed output oracle-matchable."""
     from .quantile_bin import bucketize, fit_quantile_boundaries
 
     classes = {
@@ -200,18 +211,34 @@ def auto_tokenize(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
     # resolve), then select tokens + bin codes together. No join — works
     # for tables with no identifier column (the reference's canonical
     # all-numeric col_0..col_19 shape) and keeps the plan map-only.
-    bounds = fit_quantile_boundaries(df, cont, bins=100, relative_error=0.001)
+    bounds = fit_quantile_boundaries(
+        df, cont, bins=100, relative_error=relative_error
+    )
+    if boundary_round is not None:
+        bounds = {c: [round(x, boundary_round) for x in v] for c, v in bounds.items()}
     binned = bucketize(df, bounds, keep_cols=list(df.columns))
     return binned.select(*out_cols, *[F.col(f"{c}_bin") for c in cont])
 
 
 def q_auto_tokenize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end auto pipeline on lineitem (rows-only: composition of
-    oracle-covered parts; dense_rank windows over full column are the
-    fixture-size shortcut — at scale the vocab join of
-    q_categorical_encode replaces them)."""
+    """End-to-end auto pipeline on lineitem, oracle-backed: the exact-
+    percentile fit (relative_error=0, 6dp boundary rounding — same ulp
+    treatment as q_quantile_bin_exact_boundaries) makes every routed
+    output deterministic and SQL-expressible: identifiers pass through,
+    discrete/categorical get dense_rank codes, timestamps get epoch-day
+    buckets, continuous measures get interior-boundary-count bins. The
+    production path keeps the sketch fit (relative_error>0); only the
+    boundary PLACEMENT differs. dense_rank windows over the full column
+    are the fixture-size shortcut — at scale the vocab join of
+    q_categorical_encode replaces them."""
     configure_for_oracle(spark)
-    return auto_tokenize(spark, load_table(spark, sf_dir, "lineitem"), "lineitem")
+    return auto_tokenize(
+        spark,
+        load_table(spark, sf_dir, "lineitem"),
+        "lineitem",
+        relative_error=0.0,
+        boundary_round=6,
+    )
 
 
 _CAT_ORACLE_PIECES = []
@@ -300,6 +327,40 @@ FROM classed
 """
 
 
+_ATL_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_ATL_PROBS = ",".join(str(i / 100) for i in range(101))
+_ATL_BND = ",\n    ".join(
+    f"list_sort(list_distinct(list_transform("
+    f"list_slice(quantile_cont({c}, [{_ATL_PROBS}]), 2, 100), x -> round(x, 6)))) AS b_{c}"
+    for c in _ATL_MEASURES
+)
+_ATL_BINS = ",\n  ".join(
+    f"CAST(len(list_filter(b.b_{c}, x -> x <= t.{c})) AS INTEGER) AS {c}_bin"
+    for c in _ATL_MEASURES
+)
+
+#: the routed lineitem output, mirrored: passthrough identifiers,
+#: dense_rank codes (1-based, as Spark emits them), trunc-toward-zero
+#: epoch-day buckets (DuckDB CAST(double AS INT) ROUNDS, Spark's cast
+#: truncates — trunc() pins them to agree), and exact-percentile bins
+#: with the same 6dp-round + dedupe + interior-count semantics as the
+#: quantile_bin_exact_boundaries oracle.
+_AUTO_TOKENIZE_LINEITEM_ORACLE = f"""
+WITH b AS (
+  SELECT
+    {_ATL_BND}
+  FROM lineitem
+)
+SELECT t.l_orderkey, t.l_partkey, t.l_suppkey,
+  CAST(dense_rank() OVER (ORDER BY t.l_linenumber) AS INTEGER) AS l_linenumber_code,
+  CAST(dense_rank() OVER (ORDER BY t.l_returnflag) AS INTEGER) AS l_returnflag_code,
+  CAST(dense_rank() OVER (ORDER BY t.l_linestatus) AS INTEGER) AS l_linestatus_code,
+  CAST(trunc(epoch_us(t.l_shipdate) / 86400000000.0) AS INTEGER) AS l_shipdate_daybucket,
+  {_ATL_BINS}
+FROM lineitem t, b
+"""
+
+
 QUERIES = {
     "schema_infer": q_schema_infer,
     "categorical_encode": q_categorical_encode,
@@ -308,6 +369,7 @@ QUERIES = {
 
 ORACLES = {
     "schema_infer": _schema_infer_oracle(),
+    "auto_tokenize_lineitem": _AUTO_TOKENIZE_LINEITEM_ORACLE,
     "categorical_encode": """
 WITH v1 AS (
   SELECT value, CAST(row_number() OVER (ORDER BY value) - 1 AS INTEGER) AS code
