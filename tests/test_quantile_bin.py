@@ -191,3 +191,52 @@ def test_head_sample_fit_close_to_bernoulli(spark, sf_dir):
     # two independent 20k-row samples, 9 interior boundaries, ~0.2% rank
     # error each -> a few % of rows may straddle a boundary pair
     assert agree / n >= 0.9
+
+
+def test_f32_downcast_parity_off_by_one_at_edges(spark, sf_dir):
+    """The reference downcasts data to float32 before fit+bucketize
+    (etl_benchmark.py:53, etl_benchmark_numba.py:59-62); this engine
+    standardizes on float64 (SURVEY §7 ulp rationale). Pin the semantic
+    delta: binning float32-rounded values against float32-rounded
+    boundaries may move a row by AT MOST one bin, and only for rows whose
+    value lands within f32 rounding distance of a boundary — everywhere
+    else the lanes agree exactly."""
+    df = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_extendedprice", "l_quantity"]
+    bounds = fit_quantile_boundaries(df, cols, bins=100, relative_error=0.0)
+
+    # f32 lane: values AND boundaries pass through float32 (numpy gives
+    # the same round-to-nearest the reference's .astype(np.float32) does)
+    import numpy as np
+
+    bounds32 = {c: [float(np.float32(x)) for x in v] for c, v in bounds.items()}
+    # one DataFrame, one bucketize: the f32 lane is a shadow column pair
+    # (value cast through float32, boundaries f32-rounded) so no join /
+    # key-uniqueness assumption is needed to line the lanes up row-wise
+    df2 = df.withColumns(
+        {f"{c}__f32": F.col(c).cast("float").cast("double") for c in cols}
+    )
+    all_bounds = {**{c: bounds[c] for c in cols},
+                  **{f"{c}__f32": bounds32[c] for c in cols}}
+    j = bucketize(df2, all_bounds, keep_cols=LINEITEM_KEYS)
+    n = j.count()
+    assert n == df.count()
+    stats = j.select(
+        *[
+            F.max(
+                F.abs(F.col(f"{c}_bin") - F.col(f"{c}__f32_bin"))
+            ).alias(f"max_{c}")
+            for c in cols
+        ],
+        *[
+            F.sum(
+                (F.col(f"{c}_bin") != F.col(f"{c}__f32_bin")).cast("long")
+            ).alias(f"ndiff_{c}")
+            for c in cols
+        ],
+    ).collect()[0]
+    for c in cols:
+        # off-by-one at boundary-adjacent values only, never further
+        assert stats[f"max_{c}"] <= 1, (c, stats[f"max_{c}"])
+        # 2dp fixture data rarely sits within f32 ulp of a boundary
+        assert stats[f"ndiff_{c}"] <= 0.01 * n, (c, stats[f"ndiff_{c}"], n)
