@@ -232,7 +232,13 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only array expressions (transform / array_max / round) —
     shuffle-free at any scale. Scale and max reconstruction error are
     reported in micro-units (exact integers; the doubles they quantize
-    are bit-identical across engines: |x|, max, one division)."""
+    are bit-identical across engines: |x|, max, one division).
+
+    The q8 vector is emitted as one comma-joined string: external
+    harnesses canonicalize results via pandas sorting, where Python
+    lists are unhashable — and a CSV of small ints is also the compact
+    wire form for a quantized-embedding EXPORT surface. (A downstream
+    Spark consumer keeps the array form: stop before this select.)"""
     configure_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -246,7 +252,9 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(scale * F.lit(1_000_000.0)).cast("bigint").alias("scale_mu"),
-        q.alias("q8"),
+        F.array_join(
+            F.transform(q, lambda x: x.cast("string")), ","
+        ).alias("q8"),
         F.round(err * F.lit(1_000_000.0)).cast("bigint").alias("max_err_mu"),
     )
 
@@ -356,7 +364,7 @@ WITH e AS (
 )
 SELECT vec_id,
   CAST(round(scale * 1000000.0) AS BIGINT) AS scale_mu,
-  q8,
+  array_to_string(q8, ',') AS q8,
   CAST(round(list_max(list_transform(
       generate_series(1, len(dv)),
       i -> abs(dv[i] - CAST(q8[i] AS DOUBLE) * scale))) * 1000000.0) AS BIGINT)

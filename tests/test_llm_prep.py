@@ -72,9 +72,12 @@ def test_sequence_packing_overbudget_doc_gets_own_pack(spark, sf_dir):
 
 def test_embedding_quantize_bounds(spark, sf_dir):
     out = llm_prep.q_embedding_quantize_int8(spark, sf_dir)
+    # q8 is exported as a comma-joined string (scalar wire form); parse it
+    # back to ints for the bound checks
+    qarr = F.transform(F.split("q8", ","), lambda x: x.cast("int"))
     stats = out.select(
-        F.max(F.array_max("q8")).alias("qmax"),
-        F.min(F.array_min("q8")).alias("qmin"),
+        F.max(F.array_max(qarr)).alias("qmax"),
+        F.min(F.array_min(qarr)).alias("qmin"),
         F.max("max_err_mu").alias("errmax"),
         F.min("scale_mu").alias("smin"),
     ).collect()[0]
