@@ -247,6 +247,83 @@ def q_dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: bloom geometry for the incremental-dedup prefilter: m bits packed
+#: into 64-bit words, k hash probes per digest. At these sizes the
+#: filter is ~16 KB; production sizes m from |history| and target fpp
+#: (m ≈ -n·ln(fpp)/ln(2)^2), the construction below is size-agnostic.
+BLOOM_BITS = 1 << 17
+BLOOM_K = 3
+
+
+def _bloom_positions(col, k: int = BLOOM_K, m: int = BLOOM_BITS):
+    """k bit positions per value: pmod(xxhash64(value, seed), m) — the
+    standard double-hash family, all JVM-side."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+
+
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup behind a BLOOM prefilter — the documented 100 TB
+    swap for the broadcast digest set (q_dedup_incremental_vs_history),
+    made real, with EXACT results: bloom false positives are re-checked
+    by an exact anti-join over the maybe-duplicate minority only, so the
+    output is bit-equal to the plain anti-join (same oracle).
+
+    The filter itself is built AS A DATAFRAME — no driver-side sketch
+    object: history digests -> k probe positions -> explode -> per-word
+    bit_or aggregation = (word_idx, word) rows, m/64 of them (~16 KB).
+    That build is mergeable/distributed exactly like Spark's internal
+    bloom_filter_agg, and the result broadcasts to the probe side.
+
+    Probe is narrow: each new doc explodes to k position rows, a
+    broadcast left join marks set bits, and a doc is maybe-dup only if
+    ALL k bits hit. At 100 TB the definite-new majority (most of a fresh
+    crawl) short-circuits here — only maybe-dups pay the exact digest
+    join, which is the whole point of the bloom stage."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = (
+        docs.filter(F.col("doc_id") % HIST_MOD < HIST_CUT)
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    # build: bloom words as rows (word_idx, word)
+    words = (
+        hist.select(F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    new = docs.filter(F.col("doc_id") % HIST_MOD >= HIST_CUT).select(
+        "doc_id", fp.alias("fp"), "lang", "source"
+    )
+    # probe: all k probe bits set => maybe-dup
+    probes = new.select(
+        "doc_id", F.explode(_bloom_positions(F.col("fp"))).alias("pos")
+    ).select("doc_id", (F.col("pos") / 64).cast("int").alias("word_idx"),
+             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"))
+    hits = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("word", F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
+    )
+    flagged = new.join(hits, "doc_id")
+    definite_new = flagged.filter(F.col("all_hit") == 0)
+    maybe_dup = flagged.filter(F.col("all_hit") == 1)
+    # exact verify only for the maybe-dup minority
+    survivors = maybe_dup.join(F.broadcast(hist), "fp", "left_anti")
+    return definite_new.unionByName(survivors).select("doc_id", "lang", "source")
+
+
 #: linear-scorer weights: rational per-dimension values, exactly
 #: representable in both engines (no transcendentals anywhere — the
 #: decision emits the LOGIT, not a sigmoid, so cross-engine equality is
@@ -290,6 +367,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "quality_gate_verdict": q_quality_gate_verdict,
     "dedup_incremental_vs_history": q_dedup_incremental_vs_history,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
 }
 
 ORACLES = {
@@ -400,6 +478,17 @@ SELECT doc_id,
 FROM d
 """,
     "dedup_incremental_vs_history": f"""
+WITH hist AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % {HIST_MOD} < {HIST_CUT}
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % {HIST_MOD} >= {HIST_CUT}
+  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM hist)
+""",
+    # bloom prefilter + exact verify == the plain anti-join, bit-equal
+    "dedup_incremental_bloom": f"""
 WITH hist AS (
   SELECT DISTINCT md5(lower(trim(text))) AS fp
   FROM documents WHERE doc_id % {HIST_MOD} < {HIST_CUT}
