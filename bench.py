@@ -76,6 +76,9 @@ HEADLINE = [
     "embedding_quality_score",
     "agg_bitwise_bool",
     "multimodal_audio_energy",
+    # round-3 additions
+    "auto_tokenize_lineitem",
+    "dedup_incremental_bloom",
 ]
 
 
