@@ -196,3 +196,32 @@ def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
     )
 
     assert_broadcast_join(q_join_skew_salted(spark, sf_dir), 1)
+
+
+def test_ngram_jaccard_dedup_after_verify(spark, sf_dir):
+    """The similarity join must deduplicate candidate pairs AFTER
+    verification, never before: the pre-verify candidate relation is the
+    widest table in the plan (3.4M rows at sf0.1 for a 0.3M-row verified
+    output), and an exchange there is the dominant shuffle. Catalyst goes
+    one step further and pushes the jaccard predicate INTO the candidate
+    join condition; pin both properties on the optimized logical plan:
+    the pair-dedup Aggregate is the top operator (above the join), and
+    the jaccard threshold appears no later than the candidate join line
+    (i.e. inside its condition or a filter directly above it)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_dedup_ngram_jaccard,
+    )
+
+    df = q_dedup_ngram_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_agg = plan.find("Aggregate [a_id")
+    i_join = plan.find("Join Inner")
+    i_thresh = plan.find(str(JACCARD_THRESHOLD))
+    assert i_agg != -1 and i_join != -1 and i_thresh != -1, plan[:2000]
+    # toString prints top-down: parent operators appear first
+    assert i_agg < i_join, "pair dedup must sit above the candidate join"
+    join_line_end = plan.find("\n", i_join)
+    assert i_thresh <= join_line_end, (
+        "jaccard verification must not run below the candidate join"
+    )
