@@ -106,3 +106,26 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — schema from file footer, filter/column pushdown like
     parquet (same DataSource V2 scan machinery)."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, declared_schema: T.StructType | None = None
+) -> DataFrame:
+    """Schema-EVOLUTION read for long-lived tables whose writers added
+    columns over time (every 100 TB corpus accretes columns: a new
+    quality score, a new provenance field). Two modes:
+
+    - ``declared_schema`` given: the scale path. The scan is planned from
+      the declared schema directly — no footer reads at planning time;
+      files missing a column yield nulls; column pruning/pushdown work
+      unchanged. This is what a production catalog (metastore) does.
+    - otherwise ``mergeSchema``: union all file footers' schemas. Correct
+      and catalog-free, but planning reads EVERY footer (a distributed
+      job over the file listing) — the exploratory mode, not the 100 TB
+      hot path.
+
+    Either way older rows surface the newer columns as nulls, so
+    downstream code needs no per-vintage branches."""
+    if declared_schema is not None:
+        return spark.read.schema(declared_schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -316,3 +316,39 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == n
     assert n < 64
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """A table written in two vintages (v2 adds a column) must read as one
+    frame in both evolution modes, with nulls for pre-addition rows."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    ).write.mode("overwrite").parquet(path)
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit(1.5).alias("score")
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_evolved(spark, path)
+    assert set(merged.columns) == {"id", "a", "score"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("score").isNull()).count() == 10
+
+    declared = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    fast = read_parquet_evolved(spark, path, declared_schema=declared)
+    assert fast.count() == 20
+    assert fast.filter(F.col("score").isNull()).count() == 10
+    # both modes agree row-for-row
+    assert merged.exceptAll(fast).count() == 0
