@@ -225,6 +225,56 @@ def q_group_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target language mixture for rebalancing, in integer weight units
+#: (sums to MIX_DENOM). The DoReMi/pretraining-recipe shape: the corpus
+#: is resampled so each group contributes a FIXED share of the output,
+#: regardless of its share of the crawl.
+TARGET_MIX = {"en": 5, "zh": 2, "es": 1, "fr": 1, "de": 1}
+MIX_DENOM = sum(TARGET_MIX.values())
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in TARGET_MIX.items())
+
+
+def q_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing — the data-mixing step every pretraining corpus
+    goes through: subsample each language to TARGET_MIX proportions,
+    taking the largest feasible total (exact integer arithmetic:
+    T = min_g floor(n_g * DENOM / w_g), quota_g = floor(T * w_g / DENOM),
+    so no group is over-drawn and the realized mix is within 1 row of
+    target). Selection is the md5-ranked prefix per group —
+    deterministic, partition-layout-invariant, re-runnable.
+
+    Plan: one tiny per-group count aggregate -> broadcast quota join ->
+    per-group ranked filter. The rank window partitions by lang, which is
+    exact and oracle-grade at fixture scale; at 100 TB a single language
+    is billions of rows, so the scale swap is threshold-on-hash selection
+    (keep rows whose md5 sorts below quota_g/n_g of the keyspace — pure
+    map-side, quota approximate to sampling error) or a two-phase
+    per-partition offset rank. Same broadcast-quota skeleton either way."""
+    configure_for_oracle(spark)
+    docs = _docs(spark, sf_dir)
+    weights = spark.createDataFrame(
+        list(TARGET_MIX.items()), "lang string, wt int"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n")).join(
+        F.broadcast(weights), "lang"
+    )
+    t = counts.agg(
+        F.min(F.expr(f"n * {MIX_DENOM} div wt")).alias("t")
+    )
+    quota = counts.join(F.broadcast(t)).select(
+        "lang", F.expr(f"t * wt div {MIX_DENOM}").alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("q"))
+        .select("lang", "rk", "doc_id", "source")
+    )
+
+
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
     q_i = round(x_i / scale). The storage/serving compression step for
@@ -266,6 +316,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "group_sample_fixed_n": q_group_sample_fixed_n,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "source_mix_rebalance": q_source_mix_rebalance,
 }
 
 ORACLES = {
@@ -347,6 +398,28 @@ SELECT source,
   doc_id, lang
 FROM documents
 QUALIFY rk <= {GROUP_SAMPLE_N}
+""",
+    "source_mix_rebalance": f"""
+WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+t AS (
+  SELECT min(n * {MIX_DENOM} // wt) AS t FROM counts JOIN w USING (lang)
+),
+quota AS (
+  SELECT w.lang, (SELECT t FROM t) * wt // {MIX_DENOM} AS q FROM w
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rk
+  FROM documents
+)
+SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, source
+FROM ranked JOIN quota USING (lang)
+WHERE rk <= q
 """,
     "embedding_quantize_int8": """
 WITH e AS (
