@@ -275,6 +275,51 @@ def q_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_rebalance_hash_threshold(
+    docs: DataFrame, mix: dict[str, int] | None = None, group_col: str = "lang"
+) -> DataFrame:
+    """The 100 TB form of q_source_mix_rebalance: instead of ranking
+    every row inside its group (one reducer per group — a single language
+    is billions of rows), keep a row iff its md5 falls below the group's
+    keep-fraction of the hex keyspace. Pure map-side selection after a
+    broadcast of per-group quotas; realized quota is approximate to
+    hash-uniformity error (~sqrt(q) rows), which is what production mixes
+    accept in exchange for a shuffle-free plan. Same exact integer quota
+    arithmetic as the rank-based form.
+
+    The md5-prefix threshold compares the first 15 hex chars as a 60-bit
+    integer against floor(keep_frac * 16^15) — string comparison against
+    a computed literal would mis-handle uneven hex prefixes."""
+    mix = mix if mix is not None else TARGET_MIX
+    denom = sum(mix.values())
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(list(mix.items()), f"{group_col} string, wt int")
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n")).join(
+        F.broadcast(weights), group_col
+    )
+    t = counts.agg(F.min(F.expr(f"n * {denom} div wt")).alias("t"))
+    quota = counts.join(F.broadcast(t)).select(
+        group_col,
+        "n",
+        F.expr(f"t * wt div {denom}").alias("q"),
+    )
+    keyspace = 16 ** 15  # 60-bit md5 prefix
+    thresh = quota.select(
+        group_col,
+        (F.col("q").cast("double") / F.col("n").cast("double") * F.lit(float(keyspace)))
+        .cast("bigint")
+        .alias("cut"),
+    )
+    key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        docs.join(F.broadcast(thresh), group_col)
+        .filter(key < F.col("cut"))
+        .select(group_col, "doc_id", "source")
+    )
+
+
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
     q_i = round(x_i / scale). The storage/serving compression step for

@@ -95,3 +95,36 @@ def test_decontaminate_no_eval_docs_flagged(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def test_mix_rebalance_hash_threshold_proportions(spark, sf_dir):
+    """The map-only hash-threshold mix must hit each group's quota within
+    sampling error, and must be a strict subset of the corpus with the
+    same deterministic selection on re-run."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep import (
+        MIX_DENOM,
+        TARGET_MIX,
+        mix_rebalance_hash_threshold,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_rebalance_hash_threshold(docs)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    t = min(counts[g] * MIX_DENOM // w for g, w in TARGET_MIX.items())
+    import math
+
+    for g, w in TARGET_MIX.items():
+        q = t * w // MIX_DENOM
+        # ~3-sigma binomial tolerance around the quota
+        tol = max(3, int(3 * math.sqrt(q)))
+        assert abs(got.get(g, 0) - q) <= tol, (g, got.get(g, 0), q, tol)
+    # deterministic: identical selection on re-run
+    again = mix_rebalance_hash_threshold(docs)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
