@@ -71,10 +71,14 @@ _STRATEGY = {
 def infer_column_classes(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
     """One stats row per column -> class + tokenization strategy.
 
-    The stats pass is a single aggregate over the table (count, exact
-    count-distinct and JSON-shape count per column) — distributed,
-    shuffle only for the distinct counts."""
-    stats_rows = []
+    The stats pass is ONE aggregate job over the table — all columns'
+    exact distinct counts and JSON-shape counts in a single scan
+    (Catalyst plans the multi-distinct via Expand + two-phase agg), vs
+    the naive one-agg-per-column union that scans the table N_cols
+    times. The single stats row (a few ints per column) is then pivoted
+    to per-column rows driver-side — KB of state, same output frame."""
+    aggs: list[F.Column] = [F.count("*").alias("__n_rows")]
+    meta: list[tuple[str, str, bool]] = []
     for f in df.schema.fields:
         c = f.name
         t = f.dataType.simpleString()
@@ -84,30 +88,36 @@ def infer_column_classes(spark: SparkSession, df: DataFrame, table: str) -> Data
         if t.startswith("timestamp"):
             t = "timestamp"
         is_key = c.endswith("key") or c.endswith("_id") or c == "doc_id"
-        n_json = (
-            F.count(F.when(F.col(c).rlike(r"^\{.*\}$"), 1))
-            if t == "string"
-            else F.lit(0)
-        )
+        meta.append((c, t, is_key))
         distinct = (
             F.countDistinct(F.col(c))
             if not t.startswith("array")
             else F.countDistinct(F.col(c).cast("string"))
         )
-        stats_rows.append(
-            df.agg(
-                F.lit(table).alias("table_name"),
-                F.lit(c).alias("column_name"),
-                F.lit(t).alias("spark_type"),
-                F.count("*").alias("n_rows"),
-                distinct.alias("n_distinct"),
-                n_json.cast("bigint").alias("n_json"),
-                F.lit(is_key).alias("is_key_name"),
+        aggs.append(distinct.alias(f"__nd_{c}"))
+        if t == "string":
+            aggs.append(
+                F.count(F.when(F.col(c).rlike(r"^\{.*\}$"), 1))
+                .cast("bigint")
+                .alias(f"__nj_{c}")
             )
-        )
-    from functools import reduce
-
-    stats = reduce(lambda a, b: a.unionAll(b), stats_rows)
+    row = df.agg(*aggs).collect()[0]
+    stats = df.sparkSession.createDataFrame(
+        [
+            (
+                table,
+                c,
+                t,
+                row["__n_rows"],
+                row[f"__nd_{c}"],
+                row[f"__nj_{c}"] if t == "string" else 0,
+                is_key,
+            )
+            for c, t, is_key in meta
+        ],
+        "table_name string, column_name string, spark_type string, "
+        "n_rows bigint, n_distinct bigint, n_json bigint, is_key_name boolean",
+    )
     cls = _class_expr().alias("inferred_class")
     out = stats.select(
         "table_name",
@@ -186,13 +196,33 @@ def auto_tokenize(
         for r in infer_column_classes(spark, df, table).collect()
     }
     cont = [c for c, k in classes.items() if k == "numeric_continuous"]
+    # Dict-encode categoricals via broadcast vocab joins, NOT a global
+    # dense_rank window: dense_rank over an unpartitioned ORDER BY
+    # funnels the whole fact table through one partition per encoded
+    # column. rank over the (tiny, by definition of categorical) sorted
+    # distinct vocabulary produces the identical 1-based codes, and the
+    # fact-side work is a broadcast hash join — map-only, scales.
+    for c, k in classes.items():
+        if k in ("categorical", "numeric_discrete"):
+            vocab = (
+                df.select(F.col(c).alias("__v")).distinct()
+                .select(
+                    F.col("__v"),
+                    F.dense_rank()
+                    .over(Window.orderBy(F.col("__v")))
+                    .cast("int")
+                    .alias(f"{c}_code"),
+                )
+            )
+            df = df.join(
+                F.broadcast(vocab), F.col(c).eqNullSafe(F.col("__v")), "left"
+            ).drop("__v")
     out_cols = []
     for c, k in classes.items():
         if k == "identifier":
             out_cols.append(F.col(c))
         elif k in ("categorical", "numeric_discrete"):
-            w = Window.orderBy(F.col(c))
-            out_cols.append(F.dense_rank().over(w).cast("int").alias(f"{c}_code"))
+            out_cols.append(F.col(f"{c}_code"))
         elif k == "timestamp":
             # cast handles timestamp_ntz (session TZ pinned to UTC)
             out_cols.append(
@@ -225,12 +255,13 @@ def q_auto_tokenize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile fit (relative_error=0, 6dp boundary rounding — same ulp
     treatment as q_quantile_bin_exact_boundaries) makes every routed
     output deterministic and SQL-expressible: identifiers pass through,
-    discrete/categorical get dense_rank codes, timestamps get epoch-day
-    buckets, continuous measures get interior-boundary-count bins. The
-    production path keeps the sketch fit (relative_error>0); only the
-    boundary PLACEMENT differs. dense_rank windows over the full column
-    are the fixture-size shortcut — at scale the vocab join of
-    q_categorical_encode replaces them."""
+    discrete/categorical get vocabulary rank codes (== dense_rank over
+    the full column, computed as broadcast vocab joins), timestamps get
+    epoch-day buckets, continuous measures get interior-boundary-count
+    bins. The production path keeps the sketch fit (relative_error>0);
+    only the boundary PLACEMENT differs — the exact fit is the
+    distributed histogram/prefix-sum plan, not the single-reducer SQL
+    ``percentile`` aggregate."""
     configure_for_oracle(spark)
     return auto_tokenize(
         spark,

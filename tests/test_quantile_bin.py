@@ -240,3 +240,36 @@ def test_f32_downcast_parity_off_by_one_at_edges(spark, sf_dir):
         assert stats[f"max_{c}"] <= 1, (c, stats[f"max_{c}"])
         # 2dp fixture data rarely sits within f32 ulp of a boundary
         assert stats[f"ndiff_{c}"] <= 0.01 * n, (c, stats[f"ndiff_{c}"], n)
+
+
+def test_exact_distributed_fit_matches_builtin_percentile(spark, sf_dir):
+    """The distributed histogram/prefix-sum exact fit is bit-for-bit the
+    SQL ``percentile`` aggregate — including the two short-circuits
+    (integer position; equal adjacent keys) and the exact lerp form
+    ``(higher-pos)*lower + (pos-lower)*higher``. Run on lineitem AND on
+    a tie-heavy synthetic column with nulls and few distinct values, at
+    bins where interpolation fractions are irrational-ish (bins=7)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        fit_quantile_boundaries_exact_distributed,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    for cols, bins in ((LINEITEM_MEASURES, 100), (["l_quantity"], 7)):
+        mine = fit_quantile_boundaries_exact_distributed(df, cols, bins=bins)
+        probs = ",".join(str(i / bins) for i in range(bins + 1))
+        row = df.agg(
+            *[
+                F.expr(f"percentile({c}, array({probs}))").alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        for c in cols:
+            assert mine[c] == [float(x) for x in row[c]], c
+
+    tied = spark.range(10_001).selectExpr(
+        "CASE WHEN id % 97 = 0 THEN NULL ELSE CAST(id % 5 AS DOUBLE) END AS v"
+    )
+    mine = fit_quantile_boundaries_exact_distributed(tied, ["v"], bins=13)
+    probs = ",".join(str(i / 13) for i in range(14))
+    ref = tied.agg(F.expr(f"percentile(v, array({probs}))").alias("v")).collect()[0]
+    assert mine["v"] == [float(x) for x in ref["v"]]
