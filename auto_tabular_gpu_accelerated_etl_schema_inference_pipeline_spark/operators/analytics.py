@@ -1,0 +1,383 @@
+"""Warehouse-analytics operators the reference has no equivalent for
+(SURVEY.md §2.2 "beyond the reference"): cohort retention, market-basket
+co-occurrence, key-skew profiling, equal-width histograms, numeric
+profiling, star-schema denormalization, and percentile winsorization.
+
+Scale design (100 TB):
+- Retention cohorts: two aggregations keyed on user_id (first-touch and
+  activity dedup) sharing one shuffle partitioning, then a join on
+  user_id and a final tiny (cohort, offset) aggregation. No windows.
+- Market basket: the pair self-join runs on the DISTINCT (order, item)
+  relation, so fan-out is bounded by items-per-order squared — a data
+  invariant (~4 avg here), not a row-count function. A pathological
+  mega-order is the skew risk; cap or salt it before the join at scale.
+- Key-skew profile: a groupBy count + global top-k (TakeOrderedAndProject
+  — no full sort) + a broadcast 1-row total. This is the diagnostic you
+  run BEFORE choosing the salting/bucketing strategy everywhere else.
+- Equal-width histogram: 1-row min/max agg broadcast into a map-only
+  bucket projection + a ~bins-row aggregation. Two passes over the scan,
+  zero wide shuffles (vs the exact-percentile machinery equal-FREQUENCY
+  bins need — see quantile_bin.py).
+- Denormalize: every dimension side is broadcast; the only shuffle-join
+  is lineitem⋈orders, which at scale becomes a bucketed/co-partitioned
+  join on orderkey (sinks.py writes bucketed tables for exactly this).
+- Winsorize: boundary fit via the distributed exact-percentile plan
+  (quantile_bin.fit_quantile_boundaries_exact_distributed), clip is a
+  map-only least/greatest projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_events, load_table
+
+#: epoch-day arithmetic shared by both engines (integer microseconds ->
+#: integer day -> integer week); avoids date_trunc('week') whose anchor
+#: (Monday vs engine-default) would have to be proven equal instead.
+_US_PER_DAY = 86_400_000_000
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted distinct in each subsequent week offset. The classic
+    growth-analytics rollup, all in integer week arithmetic."""
+    ev = load_events(spark, sf_dir)
+    configure_for_oracle(spark)
+    # integer `div` end to end: double division of epoch-micros would be
+    # exact here (values < 2^53) but integer floor division needs no proof
+    week = F.expr(f"(unix_micros(ts) div {_US_PER_DAY}) div 7")
+    act = ev.select(
+        "user_id", week.cast("long").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) // 7 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT c.cohort_week, CAST(a.week - c.cohort_week AS INTEGER) AS week_offset,
+  count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+MIN_PAIR_SUPPORT = 2
+
+
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair co-occurrence (association-rule support counts): pairs
+    of parts appearing in the same order, kept at support >= 2. The
+    self-join runs on the deduplicated (order, part) relation and the
+    canonical p1 < p2 ordering halves the pair space."""
+    configure_for_oracle(spark)
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.toDF("okey", "p1")
+    b = it.toDF("okey", "p2")
+    return (
+        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+
+
+_BASKET_ORACLE = f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+FROM it a JOIN it b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_PAIR_SUPPORT}
+"""
+
+
+SKEW_TOP_K = 20
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/shuffle key: top-20
+    part keys by lineitem row count with their per-million share of the
+    table. The diagnostic run before picking broadcast/salt/bucket
+    strategies; global top-k plans as TakeOrderedAndProject (no full
+    sort), the total is a broadcast single row."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+        .limit(SKEW_TOP_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div n_total").alias("ppm_share"),
+        )
+    )
+
+
+_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+), total AS (SELECT count(*) AS n_total FROM lineitem)
+SELECT l_partkey, n_rows,
+  (n_rows * 1000000) // n_total AS ppm_share
+FROM counts, total
+ORDER BY n_rows DESC, l_partkey ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+
+HIST_BINS = 20
+
+
+def q_histogram_equal_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-WIDTH histogram of l_extendedprice: bucket = floor((v-min)/
+    width) clamped to the last bin. The cheap profiling complement to
+    equal-frequency binning: one 1-row min/max agg broadcast into a
+    map-only projection — no percentile machinery. Bucket edges are
+    reported 6dp-rounded; identical double arithmetic on both engines."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min_seen"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max_seen"),
+        )
+    )
+
+
+_HIST_ORACLE = f"""
+WITH mm AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+)
+SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / {float(HIST_BINS)})),
+            {HIST_BINS - 1}) AS INTEGER) AS bucket,
+  count(*) AS n_rows,
+  round(min(l_extendedprice), 2) AS bucket_min_seen,
+  round(max(l_extendedprice), 2) AS bucket_max_seen
+FROM lineitem, mm
+GROUP BY 1
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column numeric profile (the `describe` a data engineer runs
+    before designing a pipeline): count / nulls / distinct / min / max /
+    mean / stddev, all columns in ONE scan via long-form stack. Doubles
+    rounded 6dp; mean and stddev derived from exact centi-unit integer
+    sums so aggregation order can't wobble the low bits."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack({}, {}) AS (col, value)".format(
+            len(_PROFILE_COLS),
+            ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS),
+        )
+    )
+    # exact-moment machinery (the zscore_normalize pattern): values are
+    # 2dp fixed-point, so centi-unit BIGINT sums and decimal(38,0)
+    # squared sums are exact in ANY aggregation order; mean/stddev then
+    # come from ONE identical double expression on both engines
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    agg = long.groupBy("col").agg(
+        F.count("value").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).alias("ss"),
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    return agg.select(
+        "col",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_v",
+        "max_v",
+        F.round(s / n / 100, 6).alias("mean_v"),
+        F.round(
+            F.sqrt((ss - s * s / n) / (n - F.lit(1.0))) / 100, 6
+        ).alias("stddev_v"),
+    )
+
+
+_PROFILE_ORACLE = """
+WITH long AS (
+  SELECT 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+), c AS (
+  SELECT col, value, CAST(round(value * 100) AS BIGINT) AS cents FROM long
+), agg AS (
+  SELECT col, count(value) AS n_rows,
+    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+    count(DISTINCT value) AS n_distinct,
+    round(min(value), 6) AS min_v,
+    round(max(value), 6) AS max_v,
+    sum(cents) AS s,
+    sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS ss
+  FROM c GROUP BY col
+)
+SELECT col, n_rows, n_null, n_distinct, min_v, max_v,
+  round(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100, 6) AS mean_v,
+  round(sqrt((CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) - 1.0)) / 100, 6) AS stddev_v
+FROM agg
+"""
+
+
+def q_denormalize_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema flatten for export: lineitem joined to orders,
+    customer, nation, region, part, supplier in one wide projection.
+    Every dimension is broadcast; the lineitem⋈orders fact-fact join is
+    the single shuffle (bucketed co-partitioning at scale). The flat
+    table is what downstream training jobs actually read."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_name",
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+            "p_name",
+            "p_brand",
+            "s_name",
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("net_price"),
+        )
+    )
+
+
+_DENORM_ORACLE = """
+SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority, c_name,
+  n_name AS cust_nation, r_name AS cust_region, p_name, p_brand, s_name,
+  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to the exact [p1, p99] band) —
+    the feature-prep step before z-scoring when heavy tails would blow
+    up the variance. Fit: the distributed exact-percentile plan (NOT the
+    single-reducer SQL percentile aggregate); transform: map-only
+    least/greatest. Boundaries 6dp-rounded — the same ulp treatment that
+    makes quantile_bin_exact_boundaries oracle-stable."""
+    from .quantile_bin import fit_quantile_boundaries_exact_distributed
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries_exact_distributed(
+        li, ["l_extendedprice"], bins=100
+    )["l_extendedprice"]
+    lo, hi = round(bounds[1], 6), round(bounds[99], 6)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.round(
+            F.least(F.greatest(F.col("l_extendedprice"), F.lit(lo)), F.lit(hi)), 6
+        ).alias("price_winsorized"),
+        (F.col("l_extendedprice") < F.lit(lo)).alias("clipped_low"),
+        (F.col("l_extendedprice") > F.lit(hi)).alias("clipped_high"),
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+         round(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+  round(least(greatest(l_extendedprice, lo), hi), 6) AS price_winsorized,
+  l_extendedprice < lo AS clipped_low,
+  l_extendedprice > hi AS clipped_high
+FROM lineitem, b
+"""
+
+
+QUERIES = {
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "orders_market_basket": q_orders_market_basket,
+    "key_skew_profile": q_key_skew_profile,
+    "histogram_equal_width": q_histogram_equal_width,
+    "profile_numeric": q_profile_numeric,
+    "denormalize_star": q_denormalize_star,
+    "winsorize_clip": q_winsorize_clip,
+}
+
+ORACLES = {
+    "events_retention_cohorts": _RETENTION_ORACLE,
+    "orders_market_basket": _BASKET_ORACLE,
+    "key_skew_profile": _SKEW_ORACLE,
+    "histogram_equal_width": _HIST_ORACLE,
+    "profile_numeric": _PROFILE_ORACLE,
+    "denormalize_star": _DENORM_ORACLE,
+    "winsorize_clip": _WINSORIZE_ORACLE,
+}

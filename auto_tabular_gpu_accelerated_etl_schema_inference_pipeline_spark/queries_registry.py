@@ -25,6 +25,7 @@ _MODULES = [
     "operators.graph",
     "operators.similarity",
     "operators.text",
+    "operators.analytics",
     "streaming.windows",
     "streaming.stateful",
     "streaming.stateful_v2",
