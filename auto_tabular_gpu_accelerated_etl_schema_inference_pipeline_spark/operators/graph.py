@@ -217,13 +217,58 @@ def q_recursive_cte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RCTE_ORDER_CHAIN_SQL)
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part pairs
+    co-occurring in >= 2 orders, from analytics.q_orders_market_basket).
+    Triangles = e(a,b) ⋈ e(b,c) ⋈ e(a,c) over the canonically-oriented
+    (p1 < p2) edge list — orientation alone cuts the count 6-fold and
+    caps the middle join's fan-out at out-degree, not degree. At real
+    scale the standard refinement is degree-ordered orientation (point
+    every edge low-degree -> high-degree) so no vertex's out-degree
+    exceeds sqrt(2m); same two joins, bounded skew."""
+    from .analytics import q_orders_market_basket
+
+    edges = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    e1 = edges.toDF("a", "b")
+    e2 = edges.toDF("b", "c")
+    e3 = edges.toDF("a", "c")
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = edges.select(F.col("p1").alias("p")).union(
+        edges.select(F.col("p2").alias("p"))
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "graph_pagerank": q_graph_pagerank,
     "recursive_cte_order_chain": q_recursive_cte_order_chain,
+    "graph_triangle_count": q_graph_triangle_count,
 }
 
 ORACLES = {
+    "graph_triangle_count": """
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+nodes AS (SELECT p1 AS p FROM edges UNION SELECT p2 FROM edges)
+SELECT
+  (SELECT count(*) FROM nodes) AS n_nodes,
+  (SELECT count(*) FROM edges) AS n_edges,
+  (SELECT count(*)
+   FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
+   JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles
+""",
     "recursive_cte_order_chain": _RCTE_ORDER_CHAIN_SQL,
     # min reachable doc_id along near-dup edges == hash-min fixpoint
     "dedup_components": f"""

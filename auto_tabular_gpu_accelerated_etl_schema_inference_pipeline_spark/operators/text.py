@@ -178,7 +178,44 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({ms})))"
 
 
+def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution entropy (bits): H = log2(n) -
+    (1/n)·Σ c·log2(c) over word frequencies — the information-density
+    quality signal that separates natural prose (high H) from templated
+    or keyword-stuffed text (low H), complementing q_text_repetition's
+    duplicate-fraction view of the same pathology.
+
+    Plan: explode -> two hash aggregations keyed (doc_id, word) then
+    doc_id — partial aggregation does the heavy lifting map-side, the
+    exploded token stream itself is never shuffled unreduced beyond the
+    first partial. Rounded 6dp: the Σ c·log2(c) double sum is
+    aggregation-order-dependent only below 1e-12 here."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("c") * F.log2("c")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_distinct_words",
+            F.round(F.log2("n") - F.col("t") / F.col("n"), 6).alias(
+                "word_entropy"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "text_word_entropy": q_text_word_entropy,
     "text_repetition": q_text_repetition,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
@@ -187,6 +224,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_word_entropy": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  count(*) AS n_distinct_words,
+  round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+    AS word_entropy
+FROM f
+GROUP BY doc_id
+""",
     "text_repetition": """
 WITH t AS (
   SELECT doc_id,

@@ -79,6 +79,13 @@ HEADLINE = [
     # round-3 additions
     "auto_tokenize_lineitem",
     "dedup_incremental_bloom",
+    "denormalize_star",
+    "orders_market_basket",
+    "events_retention_cohorts",
+    "winsorize_clip",
+    "profile_numeric",
+    "graph_triangle_count",
+    "text_word_entropy",
 ]
 
 
