@@ -362,7 +362,43 @@ FROM lineitem, b
 """
 
 
+def q_cdf_transform_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF (percentile-rank) transform of l_extendedprice —
+    the rank-gauss / quantile-transform feature-prep step. Semantically
+    ``cume_dist() OVER (ORDER BY price)``, but THAT plans as a single-
+    partition global window; here the distributed (value, cum_end)
+    relation (quantile_bin.cumulative_value_counts: histogram + two-
+    phase prefix sum) is joined back to the fact rows on the value key.
+    Output in exact ppm integers: (cum_end * 1e6) div n — no double
+    division to disagree over."""
+    from .quantile_bin import cumulative_value_counts
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cdf = cumulative_value_counts(li, "l_extendedprice")
+    n = li.count()
+    return (
+        li.join(cdf, li.l_extendedprice == cdf.value)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.expr(f"(cum_end * 1000000) div {n}").alias("cdf_ppm"),
+        )
+    )
+
+
+_CDF_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+  (count(*) OVER (ORDER BY l_extendedprice
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+   * 1000000) // (SELECT count(*) FROM lineitem) AS cdf_ppm
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "cdf_transform_price": q_cdf_transform_price,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -373,6 +409,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdf_transform_price": _CDF_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,

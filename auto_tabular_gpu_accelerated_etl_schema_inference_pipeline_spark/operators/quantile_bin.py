@@ -375,6 +375,68 @@ def fit_quantile_boundaries_head_sample(
     return {c: [float(x) for x in np.quantile(pdf[c].to_numpy(), probs)] for c in cols}
 
 
+def cumulative_value_counts(
+    df: DataFrame, col: str, coarse_buckets: int = 256
+) -> DataFrame:
+    """Distributed ``(value, cum_end)`` relation for one numeric column:
+    cum_end = #rows with value' <= value — i.e. the unnormalized CDF /
+    the RANGE-frame running count ``count(*) OVER (ORDER BY col)``,
+    WITHOUT the single-partition global window that expression plans as.
+
+    Same two-phase prefix-sum shape as the exact quantile fit: value
+    histogram, equal-width coarse buckets from a 1-row min/max agg,
+    cumsum within (bucket) windows, tiny per-bucket offsets collected
+    and broadcast-joined back. Nulls are excluded (window functions
+    would rank them; callers decide null policy)."""
+    mm = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo = float(mm["lo"]) if mm["lo"] is not None else 0.0
+    hi = float(mm["hi"]) if mm["hi"] is not None else 0.0
+    if hi > lo:
+        bucket = F.least(
+            F.floor(
+                (F.col("value") - F.lit(lo)) * F.lit(coarse_buckets / (hi - lo))
+            ),
+            F.lit(coarse_buckets - 1),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    hist = (
+        df.select(F.col(col).cast("double").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", F.col("value") + F.lit(0.0))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", bucket)
+    )
+    btot = sorted(
+        (
+            (r["bucket"], r["btot"])
+            for r in hist.groupBy("bucket")
+            .agg(F.sum("cnt").alias("btot"))
+            .collect()
+        )
+    )
+    run = 0
+    rows = []
+    for b, t in btot:
+        rows.append((b, run))
+        run += t
+    offsets = df.sparkSession.createDataFrame(rows, "bucket int, off bigint")
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn("cum_in", F.sum("cnt").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select("value", (F.col("off") + F.col("cum_in")).alias("cum_end"))
+    )
+
+
 def _interior_splits(bounds: list[float]) -> list[float]:
     """Strictly-increasing interior boundaries (drop 0%/100% endpoints and
     duplicates — the reference's ``duplicates='drop'`` at
