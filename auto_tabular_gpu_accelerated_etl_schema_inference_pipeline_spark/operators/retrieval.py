@@ -1,0 +1,252 @@
+"""Retrieval / search-index operators over the documents corpus: inverted
+index construction, BM25 ranking, and duplicate n-gram span detection.
+
+The reference has no text or retrieval surface at all (SURVEY.md §2.2 —
+its type system is primitive-float-only, `etl_benchmark.py:18`); these are
+the index-building blocks a large-scale training-data pipeline needs next
+to dedup (operators/dedup.py) and decontamination (operators/llm_prep.py).
+
+Scale design (100 TB):
+- Inverted index: the only shuffle is groupBy(token) over (token, doc_id)
+  pairs — document text itself is never shuffled (the dedup.py /
+  llm_prep.py invariant). Posting lists are CAPPED (sorted prefix, K=20)
+  so no single token's reduce group materializes an unbounded list; the
+  full document frequency is still exact. At 100 TB the reduce key should
+  be xxhash64(token) with the token string carried as a payload, so the
+  shuffle keys stay fixed-width.
+- BM25: corpus statistics (N, Σdl) are a 1-row aggregate and the per-term
+  document frequencies are a ≤|query|-row aggregate — both broadcast. The
+  per-document side is a map-side explode→filter→partial-agg keyed on
+  (doc_id, term): fan-out is bounded by |query|, not vocabulary. Scoring
+  is µ-unit integer arithmetic (the tfidf_top_terms pattern) so partial
+  aggregation order cannot wobble low bits.
+- Duplicate n-gram spans: the approximate form of exact-substring dedup
+  (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  Better") at n-gram granularity: explode each document into its word
+  3-gram spans and keep spans seen in ≥2 distinct documents. One shuffle
+  on the gram; at 100 TB shuffle xxhash64(gram) (fixed 8 bytes) and keep
+  the gram text via a first() payload instead of shuffling full strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: cap on stored postings per token — the sorted PREFIX is deterministic,
+#: so both engines agree on which doc_ids survive the cap.
+POSTING_CAP = 20
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token -> exact document frequency, total occurrences, and a capped
+    sorted posting-list sample. The core lookup structure behind exact-
+    match search and the df table BM25 consumes."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    pairs = occ.distinct()
+    postings = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP), ","
+        ).alias("posting_sample"),
+    )
+    totals = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return postings.join(totals, "token").select(
+        "token", "doc_freq", "n_occurrences", "posting_sample"
+    )
+
+
+_INVERTED_INDEX_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+), pairs AS (SELECT DISTINCT token, doc_id FROM occ),
+postings AS (
+  SELECT token, count(*) AS doc_freq,
+    array_to_string(list_sort(list(doc_id))[1:{POSTING_CAP}], ',')
+      AS posting_sample
+  FROM pairs GROUP BY token
+), totals AS (
+  SELECT token, count(*) AS n_occurrences FROM occ GROUP BY token
+)
+SELECT token, doc_freq, n_occurrences, posting_sample
+FROM postings JOIN totals USING (token)
+"""
+
+
+#: fixed search query for the oracle-checked BM25 entry; terms exist in
+#: the fixture vocabulary (FIXTURES.md: word-soup over an engine lexicon).
+BM25_QUERY_TERMS = ("hash", "join", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of every document against a fixed 3-term query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), reported in exact µ-units
+    (idf rounded 6dp first) so the cross-engine comparison is integral.
+    """
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(BM25_QUERY_TERMS)
+
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    dld = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dld.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(dld, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf6",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "contrib_micro",
+            F.round(
+                F.col("idf6")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        / (
+                            F.col("sum_dl").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        F.sum("contrib_micro").alias("score_micro"),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), dld AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dld),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM toks
+  ) WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+), df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+      * (tf * {BM25_K1 + 1.0})
+      / (tf + {BM25_K1}
+         * ({1.0 - BM25_B} + {BM25_B} * dl
+            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM tf JOIN dld ON tf.doc_id = dld.doc_id
+  JOIN df_t ON tf.term = df_t.term
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+  sum(contrib_micro) AS score_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+SPAN_N = 3
+SPAN_MIN_DOCS = 2
+
+
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram spans appearing in >= 2 distinct documents, with their
+    document reach and total occurrence count — the n-gram-granularity
+    approximation of exact-substring duplicate detection."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_N - 1}),"
+                    f" i -> array_join(slice(toks, i, {SPAN_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+
+
+_SPANS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - {SPAN_N - 1}),
+           i -> array_to_string(list_slice(toks, i, i + {SPAN_N - 1}), ' ')))
+      AS gram
+  FROM d WHERE len(toks) >= {SPAN_N}
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+"""
+
+
+QUERIES = {
+    "inverted_index": q_inverted_index,
+    "bm25_search": q_bm25_search,
+    "duplicate_ngram_spans": q_duplicate_ngram_spans,
+}
+
+ORACLES = {
+    "inverted_index": _INVERTED_INDEX_ORACLE,
+    "bm25_search": _BM25_ORACLE,
+    "duplicate_ngram_spans": _SPANS_ORACLE,
+}

@@ -35,6 +35,8 @@ _MODULES = [
     "operators.multimodal",
     "operators.schema_infer",
     "operators.timeseries",
+    "operators.retrieval",
+    "operators.interval_join",
     "operators.cdc",
     "operators.llm_prep",
     "operators.llm_prep2",
