@@ -88,6 +88,40 @@ def exact_quantile_bin(
     return df.select(*out)
 
 
+def exact_quantile_bin_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    cols: list[str],
+    bins: int,
+    tiebreak: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-GROUP equal-count binning: ``ntile`` over a window PARTITIONED
+    by ``group_cols`` — each group gets its own exact equal-frequency bin
+    edges (per-segment feature scaling). Unlike the global exact lane
+    (whose unpartitioned window is a single-partition sort, oracle-only),
+    the partitioned window distributes: one shuffle on the group key,
+    then per-group local sorts. With a high-cardinality group key this IS
+    the scalable exact path; a single fat group degenerates to the global
+    case and should route to the distributed fit instead
+    (fit_quantile_boundaries_exact_distributed)."""
+    if not tiebreak:
+        raise ValueError(
+            "exact_quantile_bin_grouped needs tiebreak columns forming a "
+            "total order within each group"
+        )
+    keys = keys if keys is not None else []
+    out = [F.col(k) for k in keys] + [F.col(g) for g in group_cols]
+    for c in cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(c).asc(), *[F.col(t).asc() for t in tiebreak]
+        )
+        out.append(
+            (F.ntile(bins).over(w) - F.lit(1)).cast("int").alias(f"{c}_bin")
+        )
+    return df.select(*out)
+
+
 # ---------------------------------------------------------------------------
 # 2. Scalable path — sketch fit + Bucketizer transform
 # ---------------------------------------------------------------------------

@@ -28,6 +28,25 @@ def q_quantile_bin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact binning: 10 equal-count price bins WITHIN each
+    (l_returnflag, l_linestatus) segment via a PARTITIONED ntile window —
+    the distributed exact lane (shuffle on the group key, per-group local
+    sort; no single-partition window)."""
+    from .quantile_bin import exact_quantile_bin_grouped
+
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    return exact_quantile_bin_grouped(
+        df,
+        group_cols=["l_returnflag", "l_linestatus"],
+        cols=["l_extendedprice"],
+        bins=10,
+        tiebreak=LINEITEM_KEYS,
+        keys=LINEITEM_KEYS,
+    )
+
+
 def q_quantile_bin_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-fit + Bucketizer transform — the 100 TB path (approx
     boundary placement on tied data ⇒ rows-only check, SURVEY §7)."""
@@ -116,6 +135,7 @@ def q_quantile_bin_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "quantile_bin_per_group": q_quantile_bin_per_group,
     "quantile_bin_lineitem": q_quantile_bin_lineitem,
     "quantile_bin_map_in_arrow": q_quantile_bin_map_in_arrow,
     "quantile_bin_exact_boundaries": q_quantile_bin_exact_boundaries,
@@ -125,6 +145,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_bin_per_group": """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+  CAST(ntile(10) OVER (PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+       - 1 AS INTEGER) AS l_extendedprice_bin
+FROM lineitem
+""",
     "quantile_bin_lineitem": f"""
 SELECT l_orderkey, l_linenumber,
   {_NTILE_COLS}
