@@ -397,8 +397,143 @@ FROM lineitem
 """
 
 
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's revenue share (ppm) WITHIN its nation — the
+    ratio_to_report / percent-of-total pattern. Revenue is an exact
+    decimal(18,4) sum exported as e4 integer units; the share window is
+    PARTITIONED by nation (distributes, unlike a global total). The fact
+    scan joins broadcast supplier→nation dims; the only wide shuffle is
+    the groupBy on s_suppkey."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    one = F.lit(1).cast("decimal(1,0)")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one - F.col("l_discount").cast("decimal(6,2)"))
+    ).cast("decimal(18,4)")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg((F.sum(disc_price) * 10000).cast("bigint").alias("revenue_e4"))
+    )
+    nat_total = F.sum("revenue_e4").over(Window.partitionBy("n_name"))
+    # decimal(38,0) numerator: revenue_e4 * 1e6 would overflow int64 on a
+    # big fixture; `div` on decimals is exact integral division
+    return per_supp.withColumn("nat_total_e4", nat_total).select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        "revenue_e4",
+        F.expr(
+            "cast((cast(revenue_e4 as decimal(38,0)) * 1000000)"
+            " div nat_total_e4 as bigint)"
+        ).alias("share_ppm"),
+    )
+
+
+_REV_SHARE_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey, s_name, n_name,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(6,2)))
+                  AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT s_suppkey, s_name, n_name, revenue_e4,
+  CAST((CAST(revenue_e4 AS HUGEINT) * 1000000)
+       // sum(revenue_e4) OVER (PARTITION BY n_name) AS BIGINT)
+    AS share_ppm
+FROM s
+"""
+
+
+RFM_BINS = 4
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    each scored into exact quartiles. The quartile fit runs on the
+    distributed exact-percentile plan (quantile_bin machinery) over the
+    per-customer aggregate — never a single-partition ntile window; the
+    scoring transform is map-only against 3 broadcast boundaries per
+    metric (6dp-rounded, deduped — the oracle-stable ulp treatment)."""
+    from .quantile_bin import fit_quantile_boundaries_exact_distributed
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        )
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("monetary_e2"),
+    )
+    metrics = ["recency_day", "frequency", "monetary_e2"]
+    bounds = fit_quantile_boundaries_exact_distributed(
+        per_cust, metrics, bins=RFM_BINS
+    )
+    out = [F.col("o_custkey")] + [F.col(m) for m in metrics]
+    for m in metrics:
+        interior = sorted({round(b, 6) for b in bounds[m][1:RFM_BINS]})
+        score = F.size(
+            F.filter(
+                F.array(*[F.lit(float(b)) for b in interior]),
+                lambda b: b <= F.col(m).cast("double"),
+            )
+        )
+        out.append(score.cast("int").alias(f"{m}_score"))
+    return per_cust.select(*out)
+
+
+_RFM_PROBS = ",".join(str(i / RFM_BINS) for i in range(1, RFM_BINS))
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS recency_day,
+    count(*) AS frequency,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      AS monetary_e2
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT
+    list_sort(list_distinct(list_transform(
+      quantile_cont(recency_day, [{_RFM_PROBS}]), x -> round(x, 6))))
+      AS b_recency,
+    list_sort(list_distinct(list_transform(
+      quantile_cont(frequency, [{_RFM_PROBS}]), x -> round(x, 6))))
+      AS b_frequency,
+    list_sort(list_distinct(list_transform(
+      quantile_cont(monetary_e2, [{_RFM_PROBS}]), x -> round(x, 6))))
+      AS b_monetary
+  FROM per_cust
+)
+SELECT o_custkey, recency_day, frequency, monetary_e2,
+  CAST(len(list_filter(b_recency, x -> x <= CAST(recency_day AS DOUBLE)))
+       AS INTEGER) AS recency_day_score,
+  CAST(len(list_filter(b_frequency, x -> x <= CAST(frequency AS DOUBLE)))
+       AS INTEGER) AS frequency_score,
+  CAST(len(list_filter(b_monetary, x -> x <= CAST(monetary_e2 AS DOUBLE)))
+       AS INTEGER) AS monetary_e2_score
+FROM per_cust, b
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
+    "revenue_share_by_nation": q_revenue_share_by_nation,
+    "customer_rfm_segments": q_customer_rfm_segments,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -410,6 +545,8 @@ QUERIES = {
 
 ORACLES = {
     "cdf_transform_price": _CDF_ORACLE,
+    "revenue_share_by_nation": _REV_SHARE_ORACLE,
+    "customer_rfm_segments": _RFM_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,

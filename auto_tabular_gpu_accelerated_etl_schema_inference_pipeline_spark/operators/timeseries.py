@@ -312,7 +312,28 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user
+    (the clickstream "what happens after X" matrix). One shuffle on
+    user_id for the lead() window — partitioned, so it distributes; the
+    final (type, next_type) aggregation is at most |types|² rows.
+    Deterministic under ts ties via the event_id tiebreak."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 QUERIES = {
+    "event_transition_matrix": q_event_transition_matrix,
     "events_hypertable_rollup": q_events_hypertable_rollup,
     "events_rolling_1h": q_events_rolling_1h,
     "events_funnel": q_events_funnel,
@@ -325,6 +346,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": """
+WITH s AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n_transitions
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
     "events_funnel": """
 WITH s1 AS (
   SELECT user_id, min(epoch_us(ts)) AS t_signup

@@ -32,6 +32,7 @@ _MODULES = [
     "streaming.foreach_batch",
     "streaming.joins",
     "streaming.enrich",
+    "streaming.tokenize",
     "operators.multimodal",
     "operators.schema_infer",
     "operators.timeseries",

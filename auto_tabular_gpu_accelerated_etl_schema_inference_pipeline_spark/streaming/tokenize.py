@@ -1,0 +1,102 @@
+"""Streaming quantile-bin tokenization — the reference's flagship
+fit/transform pipeline (etl_benchmark.py:74,79; SURVEY.md §2.1 O5-O9)
+applied to a micro-batched stream.
+
+Topology: the FIT runs once on the batch table (the distributed exact
+percentile plan — KBs of driver state), the frozen boundaries are
+captured in the streaming plan, and every micro-batch runs the same
+map-only JVM Bucketizer projection — no state store, no stream-side
+shuffle, trivially scales to any ingest rate. This is the online-serving
+shape of the model: fit offline, transform on the stream.
+
+Oracle: transform determinism means the drained append-mode stream must
+equal the batch transform — the same boundary-counting SQL that pins
+quantile_bin_exact_boundaries, here with the exact (distributed) fit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.quantile_bin import (
+    LINEITEM_KEYS,
+    LINEITEM_MEASURES,
+    bucketize,
+    fit_quantile_boundaries,
+)
+from ..session import configure_for_oracle, load_table
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Bounded file stream over a fixture table (the events-stream
+    symlink-dir pattern, generalized)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(src).schema
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"{table}_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def q_streaming_tokenize_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fit 100-bin exact boundaries on the batch table, tokenize the
+    lineitem STREAM with the frozen model, drain the append-mode sink."""
+    configure_for_oracle(spark)
+    batch = load_table(spark, sf_dir, "lineitem")
+    bounds = fit_quantile_boundaries(
+        batch, LINEITEM_MEASURES, bins=100, relative_error=0.0
+    )
+    # 6dp boundary rounding before dedupe — the ulp treatment that keeps
+    # the deduped interior list equal across engines (see
+    # q_quantile_bin_exact_boundaries)
+    bounds = {c: [round(x, 6) for x in v] for c, v in bounds.items()}
+    stream = _table_stream(spark, sf_dir, "lineitem")
+    tokens = bucketize(stream, bounds, keep_cols=LINEITEM_KEYS)
+    name = "stream_tokenize_out"
+    q = (
+        tokens.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_PROBS = ",".join(str(i / 100) for i in range(101))
+_BND_COLS = ",\n    ".join(
+    f"list_sort(list_distinct(list_transform("
+    f"list_slice(quantile_cont({c}, [{_PROBS}]), 2, 100), x -> round(x, 6)))) AS b_{c}"
+    for c in LINEITEM_MEASURES
+)
+_BIN_COLS = ",\n  ".join(
+    f"CAST(len(list_filter(b.b_{c}, x -> x <= t.{c})) AS INTEGER) AS {c}_bin"
+    for c in LINEITEM_MEASURES
+)
+
+QUERIES = {"streaming_tokenize_lineitem": q_streaming_tokenize_lineitem}
+
+ORACLES = {
+    "streaming_tokenize_lineitem": f"""
+WITH b AS (
+  SELECT
+    {_BND_COLS}
+  FROM lineitem
+)
+SELECT t.l_orderkey, t.l_linenumber,
+  {_BIN_COLS}
+FROM lineitem t, b
+""",
+}
