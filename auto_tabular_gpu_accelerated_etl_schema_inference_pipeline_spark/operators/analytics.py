@@ -530,10 +530,58 @@ FROM per_cust, b
 """
 
 
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue ratio: weekly order-revenue series with
+    each week's ratio to the previous week in exact ppm. The lag window
+    runs on the AGGREGATED series (one row per week — hundreds of rows),
+    so the unpartitioned window is a non-issue: the wide data only ever
+    passes through the distributed weekly groupBy."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    week = (
+        F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("long")
+        / F.lit(7)
+    )
+    weekly = orders.groupBy(
+        F.floor(week).cast("bigint").alias("week")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_e2")
+    )
+    prev = F.lag("revenue_e2").over(Window.orderBy("week"))
+    return weekly.withColumn("prev_e2", prev).select(
+        "week",
+        "revenue_e2",
+        F.expr(
+            "cast((cast(revenue_e2 as decimal(38,0)) * 1000000)"
+            " div prev_e2 as bigint)"
+        ).alias("wow_ratio_ppm"),
+    )
+
+
+_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT CAST((epoch_us(o_orderdate) // 86400000000) // 7 AS BIGINT) AS week,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      AS revenue_e2
+  FROM orders GROUP BY 1
+)
+SELECT week, revenue_e2,
+  CAST((CAST(revenue_e2 AS HUGEINT) * 1000000)
+       // lag(revenue_e2) OVER (ORDER BY week) AS BIGINT) AS wow_ratio_ppm
+FROM weekly
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "weekly_revenue_wow": q_weekly_revenue_wow,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -547,6 +595,7 @@ ORACLES = {
     "cdf_transform_price": _CDF_ORACLE,
     "revenue_share_by_nation": _REV_SHARE_ORACLE,
     "customer_rfm_segments": _RFM_ORACLE,
+    "weekly_revenue_wow": _WOW_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,

@@ -1,0 +1,133 @@
+"""Data-quality constraint auditing (Deequ/expectations-style): declared
+constraints over the fact tables, each reduced to ONE summary row —
+(rule, n_checked, n_violations, passed).
+
+The reference has no validation at all (SURVEY.md §1.4: its compute path
+ASSUMES all-numeric and would fail silently on drift); a 100 TB pipeline
+runs exactly this audit before training-data jobs consume a drop.
+
+Scale shape: every rule is a scan-level aggregate (count + conditional
+count) or an anti-join count; nothing materializes violating ROWS (at
+scale you re-run a targeted query for samples). The uniqueness rule
+aggregates on the candidate key (one shuffle, partial aggs); the FK rule
+is a left-anti count whose build side (orders keys) broadcasts at
+fixture scale and hash-joins at 100 TB. All rules over one table share
+one scan via a single multi-aggregate where possible.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five production constraints on lineitem/orders: non-null,
+    two value-range rules, candidate-key uniqueness, and FK integrity."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    n_li = F.count(F.lit(1))
+
+    # single-scan rules over lineitem: one multi-aggregate
+    scan_rules = li.agg(
+        n_li.alias("_n"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).alias(
+            "null_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("qty_range"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("disc_range"),
+    )
+
+    def rule_row(df: DataFrame, rule: str, n_col: str, v_col: str) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.col(n_col).cast("bigint").alias("n_checked"),
+            F.col(v_col).cast("bigint").alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    r_null = rule_row(scan_rules, "price_not_null", "_n", "null_price")
+    r_qty = rule_row(scan_rules, "quantity_in_1_50", "_n", "qty_range")
+    r_disc = rule_row(scan_rules, "discount_in_0_1", "_n", "disc_range")
+
+    # uniqueness of the (l_orderkey, l_linenumber) candidate key: rows in
+    # groups of size > 1 are the violations
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("v"),
+        )
+    )
+    r_uniq = rule_row(dup, "lineitem_pk_unique", "_n", "v")
+
+    # FK lineitem.l_orderkey -> orders.o_orderkey: anti-join count
+    fk = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    r_fk = fk.agg(F.count(F.lit(1)).alias("v")).crossJoin(
+        li.agg(n_li.alias("_n"))
+    ).select(
+        F.lit("orderkey_fk_valid").alias("rule"),
+        F.col("_n").cast("bigint").alias("n_checked"),
+        F.col("v").cast("bigint").alias("n_violations"),
+        (F.col("v") == 0).alias("passed"),
+    )
+
+    return reduce(DataFrame.unionAll, [r_null, r_qty, r_disc, r_uniq, r_fk])
+
+
+_AUDIT_ORACLE = """
+WITH scan AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      AS qty_range,
+    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      AS disc_range
+  FROM lineitem
+), dup AS (
+  SELECT sum(c) AS n, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS v
+  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+), fk AS (
+  SELECT (SELECT count(*) FROM lineitem) AS n,
+    (SELECT count(*) FROM lineitem
+     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v
+)
+SELECT 'price_not_null' AS rule, n AS n_checked,
+  CAST(null_price AS BIGINT) AS n_violations, null_price = 0 AS passed
+FROM scan
+UNION ALL
+SELECT 'quantity_in_1_50', n, CAST(qty_range AS BIGINT), qty_range = 0
+FROM scan
+UNION ALL
+SELECT 'discount_in_0_1', n, CAST(disc_range AS BIGINT), disc_range = 0
+FROM scan
+UNION ALL
+SELECT 'lineitem_pk_unique', CAST(n AS BIGINT), CAST(v AS BIGINT), v = 0
+FROM dup
+UNION ALL
+SELECT 'orderkey_fk_valid', CAST(n AS BIGINT), CAST(v AS BIGINT), v = 0
+FROM fk
+"""
+
+
+QUERIES = {"constraint_audit": q_constraint_audit}
+ORACLES = {"constraint_audit": _AUDIT_ORACLE}

@@ -90,13 +90,72 @@ def q_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) lookup against the SCD2 history: each
+    purchase event probes the SCD2 dimension built from the user's
+    NON-purchase events — "what funnel state was this user in when they
+    bought". Because SCD2 intervals per key are disjoint, containment
+    yields at most ONE match per probe — the lookup is an equi-join on
+    the key plus a residual interval filter, no ranking window at all
+    (the payoff of materializing SCD2 form). Scales as a plain key join;
+    per-key interval counts bound the fan-out."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return probes.join(
+        hist,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("effective_from") <= F.col("p_ts"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("p_ts") < F.col("effective_to"))
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("state").alias("state_at_purchase"),
+        F.col("effective_from").alias("state_since"),
+    )
+
+
 QUERIES = {
+    "cdc_point_in_time_lookup": q_cdc_point_in_time_lookup,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_latest_snapshot": q_cdc_latest_snapshot,
     "cdc_apply_tombstones": q_cdc_apply_tombstones,
 }
 
 ORACLES = {
+    "cdc_point_in_time_lookup": """
+WITH hist AS (
+  SELECT user_id, event_type AS state,
+    ts AS effective_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      AS effective_to
+  FROM events WHERE event_type <> 'purchase'
+), probes AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, user_id, state AS state_at_purchase,
+  effective_from AS state_since
+FROM probes JOIN hist
+  ON p_user = user_id
+ AND effective_from <= p_ts
+ AND (effective_to IS NULL OR p_ts < effective_to)
+""",
     "cdc_scd2_history": """
 SELECT user_id, event_type AS state, value,
   ts AS effective_from,

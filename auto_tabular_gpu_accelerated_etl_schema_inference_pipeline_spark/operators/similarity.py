@@ -361,7 +361,72 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot} / (sqrt({na}) * sqrt({nb}))"
 
 
+#: shift applied before micro-quantization so every quantized value is
+#: positive — integer `div`/`//` then agree across engines (Spark
+#: truncates toward zero, DuckDB floors; identical on non-negatives).
+#: Fixture embedding values lie in (-0.6, 0.6); 2.0 is ample headroom.
+_CENT_OFFSET = 2.0
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid fit + per-vector distance-to-own-centroid — the
+    cluster-quality / outlier-score primitive (and one KMeans Lloyd step).
+
+    Exactness machinery: each component is quantized to integer
+    micro-units (offset first, so everything is non-negative), the
+    centroid is the exact integer `div` mean per (label, dim), and the
+    reported score is the integer sum of squared micro deviations — no
+    cross-row double accumulation anywhere, so aggregation order cannot
+    wobble a single bit.
+
+    Scale shape: posexplode is a map-side 1-to-64 expansion; the centroid
+    fit is ONE groupBy(label, dim) partial-agg shuffle; the transform
+    joins the 640-row centroid table back BROADCAST and reduces per
+    vec_id (second bounded shuffle). At 100 TB this is exactly the
+    distributed KMeans-assignment shape."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).withColumn(
+        "vm",
+        F.round(
+            (F.col("val").cast("double") + F.lit(_CENT_OFFSET)) * 1_000_000
+        ).cast("bigint"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("sum(vm) div count(vm)").alias("c_micro")
+    )
+    return (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .withColumn("dev", F.col("vm") - F.col("c_micro"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("dev") * F.col("dev")).alias("ssd_micro2"))
+    )
+
+
+_CENTROID_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+    CAST(round((CAST(unnest(embedding) AS DOUBLE) + {_CENT_OFFSET})
+               * 1000000) AS BIGINT) AS vm
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, sum(vm) // count(vm) AS c_micro
+  FROM ex GROUP BY label, dim
+)
+SELECT ex.vec_id, ex.label,
+  CAST(sum((ex.vm - cent.c_micro) * (ex.vm - cent.c_micro)) AS BIGINT)
+    AS ssd_micro2
+FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+GROUP BY ex.vec_id, ex.label
+"""
+
+
 QUERIES = {
+    "embedding_centroids": q_embedding_centroids,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -371,6 +436,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_centroids": _CENTROID_ORACLE,
     "similarity_topk_cosine": f"""
 WITH scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -38,6 +38,7 @@ _MODULES = [
     "operators.timeseries",
     "operators.retrieval",
     "operators.interval_join",
+    "operators.audit",
     "operators.cdc",
     "operators.llm_prep",
     "operators.llm_prep2",
