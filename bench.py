@@ -86,6 +86,18 @@ HEADLINE = [
     "profile_numeric",
     "graph_triangle_count",
     "text_word_entropy",
+    "inverted_index",
+    "bm25_search",
+    "duplicate_ngram_spans",
+    "interval_bucket_join_orders",
+    "quantile_bin_per_group",
+    "customer_rfm_segments",
+    "revenue_share_by_nation",
+    "event_transition_matrix",
+    "constraint_audit",
+    "embedding_centroids",
+    "cdc_point_in_time_lookup",
+    "streaming_tokenize_lineitem",
 ]
 
 
