@@ -577,11 +577,149 @@ FROM weekly
 """
 
 
+WEEKLY_TOP_K = 3
+
+
+def q_weekly_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 parts by shipped quantity per week. The
+    ranking window is PARTITIONED by week over the (week, part)
+    aggregate, so both the aggregation and the ranking distribute; ties
+    broken by part key for determinism."""
+    configure_for_oracle(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    week = F.expr(
+        "datediff(cast(l_shipdate as date), date'1970-01-01') div 7"
+    ).cast("bigint")
+    agg = li.groupBy(week.alias("week"), F.col("l_partkey")).agg(
+        F.round(F.sum("l_quantity"), 0).cast("bigint").alias("qty")
+    )
+    w = Window.partitionBy("week").orderBy(
+        F.col("qty").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEEKLY_TOP_K)
+        .select("week", "l_partkey", "qty", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_WEEKLY_TOP_ORACLE = f"""
+WITH agg AS (
+  SELECT (epoch_us(l_shipdate) // 86400000000) // 7 AS week, l_partkey,
+    CAST(round(sum(l_quantity), 0) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT week, l_partkey, qty, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY week
+                               ORDER BY qty DESC, l_partkey ASC) AS rk
+  FROM agg
+) WHERE rk <= {WEEKLY_TOP_K}
+"""
+
+
+DOCLEN_BUCKET = 10
+
+
+def q_doc_length_histogram_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-count histogram PER SOURCE (fixed-width buckets of 10
+    tokens): the corpus-profiling rollup a data-mixing step reads. One
+    map-only bucket projection + one groupBy — distributes on
+    (source, bucket)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    bucket = F.expr(
+        f"size(split(lower(trim(text)), ' ')) div {DOCLEN_BUCKET}"
+    ).cast("int")
+    return docs.groupBy(
+        "source", bucket.alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(n_tok).cast("int").alias("min_tokens"),
+        F.max(n_tok).cast("int").alias("max_tokens"),
+    )
+
+
+_DOCLEN_ORACLE = f"""
+WITH t AS (
+  SELECT source, len(string_split(lower(trim(text)), ' ')) AS n_tok
+  FROM documents
+)
+SELECT source, CAST(n_tok // {DOCLEN_BUCKET} AS INTEGER) AS len_bucket,
+  count(*) AS n_docs,
+  CAST(min(n_tok) AS INTEGER) AS min_tokens,
+  CAST(max(n_tok) AS INTEGER) AS max_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the data-diff audit between two table
+    versions): full-outer join on the key, rows classified added /
+    removed / changed / unchanged, one count per class. Versions are
+    derived deterministically from orders (v1 = keys not ≡0 mod 3 with
+    original price; v2 = keys not ≡0 mod 5, price bumped on keys ≡0 mod
+    7). Payload comparison is on the exact decimal price — at 100 TB
+    compare a row digest instead; the join shuffles only (key, digest)."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    v1 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", price.alias("p1")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, price + F.lit(1).cast("decimal(12,2)")
+        )
+        .otherwise(price)
+        .alias("p2"),
+    )
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("p1").isNull(), F.lit("added"))
+        .when(F.col("p2").isNull(), F.lit("removed"))
+        .when(F.col("p1") != F.col("p2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(cls.alias("diff_class")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p1
+  FROM orders WHERE o_orderkey % 3 <> 0
+), v2 AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1
+         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p2
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT CASE WHEN p1 IS NULL THEN 'added'
+            WHEN p2 IS NULL THEN 'removed'
+            WHEN p1 <> p2 THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+  count(*) AS n_rows
+FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "customer_rfm_segments": q_customer_rfm_segments,
     "weekly_revenue_wow": q_weekly_revenue_wow,
+    "weekly_top_parts": q_weekly_top_parts,
+    "doc_length_histogram_by_source": q_doc_length_histogram_by_source,
+    "snapshot_diff": q_snapshot_diff,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -596,6 +734,9 @@ ORACLES = {
     "revenue_share_by_nation": _REV_SHARE_ORACLE,
     "customer_rfm_segments": _RFM_ORACLE,
     "weekly_revenue_wow": _WOW_ORACLE,
+    "weekly_top_parts": _WEEKLY_TOP_ORACLE,
+    "doc_length_histogram_by_source": _DOCLEN_ORACLE,
+    "snapshot_diff": _SNAPDIFF_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,

@@ -332,7 +332,33 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_GAP_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit dedup: within each (user, event_type)
+    stream, keep an event only if it is the first or arrives more than 5
+    minutes after the previous KEPT... here, after the previous event —
+    the lag() formulation (the previous-RAW-event gap), which is the
+    windowed dedup Structured Streaming's dropDuplicatesWithinWatermark
+    approximates. One partitioned window shuffle; integer microsecond
+    arithmetic on both engines."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > DEBOUNCE_GAP_US))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 QUERIES = {
+    "events_debounce": q_events_debounce,
     "event_transition_matrix": q_event_transition_matrix,
     "events_hypertable_rollup": q_events_hypertable_rollup,
     "events_rolling_1h": q_events_rolling_1h,
@@ -346,6 +372,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_debounce": f"""
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+    ) AS gap_us
+  FROM events
+) WHERE gap_us IS NULL OR gap_us > {DEBOUNCE_GAP_US}
+""",
     "event_transition_matrix": """
 WITH s AS (
   SELECT event_type,
