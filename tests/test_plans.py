@@ -12,6 +12,7 @@ from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.plans.insp
     assert_broadcast_join,
     assert_no_single_partition_window,
     assert_pushed_filters,
+    formatted_plan,
     assert_read_schema_pruned,
     assert_whole_stage_codegen,
 )
@@ -225,3 +226,59 @@ def test_ngram_jaccard_dedup_after_verify(spark, sf_dir):
     assert i_thresh <= join_line_end, (
         "jaccard verification must not run below the candidate join"
     )
+
+
+def test_interval_bucket_join_no_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as a hash join on the bucket
+    key — never BroadcastNestedLoopJoin (the default physical plan for a
+    non-equi-only condition, quadratic at scale)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.interval_join import (
+        q_interval_bucket_join_orders,
+    )
+
+    df = q_interval_bucket_join_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "HashJoin" in plan
+
+
+def test_interval_bucket_join_matches_naive(spark, sf_dir):
+    """Bucket-expansion result == the direct non-equi join, on a width
+    deliberately NOT dividing the window length (the correctness claim
+    is width-independent)."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.interval_join import (
+        bucketized_interval_join,
+    )
+
+    pts = spark.range(500).select(
+        (F.col("id") * 37 % 449).cast("long").alias("p"),
+        F.col("id").alias("pid"),
+    )
+    iv = spark.range(60).select(
+        (F.col("id") * 17 % 400).cast("long").alias("s"),
+        ((F.col("id") * 17 % 400) + (F.col("id") % 9)).cast("long").alias("e"),
+        F.col("id").alias("iid"),
+    )
+    got = sorted(
+        bucketized_interval_join(pts, iv, "p", "s", "e", bucket_width=11)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        pts.join(iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .select("pid", "iid")
+        .collect()
+    )
+    assert got == want
+
+
+def test_per_group_bin_no_single_partition_window(spark, sf_dir):
+    """The grouped exact binner must use a PARTITIONED window — the
+    whole point vs the global ntile lane."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin_queries import (
+        q_quantile_bin_per_group,
+    )
+
+    assert_no_single_partition_window(q_quantile_bin_per_group(spark, sf_dir))
