@@ -25,6 +25,7 @@ _MODULES = [
     "operators.graph",
     "operators.similarity",
     "operators.text",
+    "operators.text_lm",
     "operators.analytics",
     "streaming.windows",
     "streaming.stateful",
