@@ -84,6 +84,48 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hand-curated external-verification window: a prefix-sampling gate with
+# ~50 slots should spend them across EVERY operator lane (the lanes
+# VERDICT r2 names first), not exhaust one lane. Ordered; names absent
+# from the registry are ignored. Queries verified this round move to
+# _DRIVER_VERIFIED next round and the window rotates to the remainder.
+_PRIORITY_WINDOW = [
+    # dedup lane
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_components",
+    "fuzzy_join_parts",
+    # graph lane
+    "graph_pagerank", "graph_triangle_count", "recursive_cte_order_chain",
+    # similarity lane
+    "similarity_topk_cosine", "similarity_cosine_dedup", "embedding_stats",
+    "embedding_centroids",
+    # text lane
+    "text_token_count", "text_quality_score", "text_lang_id",
+    "text_word_entropy", "text_repetition", "doc_fingerprint",
+    "unigram_lm_score",
+    # llm_prep lanes
+    "pii_redact", "decontaminate", "sequence_packing", "tfidf_top_terms",
+    "doc_chunk_overlap", "zscore_normalize", "chunk_dedup",
+    "quality_gate_verdict", "dedup_incremental_vs_history",
+    # streaming lane (VERDICT item 8: all nine inside the window)
+    "streaming_dedup_keys", "streaming_session_window",
+    "streaming_sliding_window", "streaming_stateful_user_totals",
+    "streaming_foreach_batch_upsert", "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join", "streaming_static_enrich",
+    "streaming_tokenize_lineitem",
+    # timeseries lane
+    "events_hypertable_rollup", "events_rolling_1h", "events_funnel",
+    "asof_join_events_orders", "events_sessionize",
+    # cdc lane
+    "cdc_scd2_history", "cdc_latest_snapshot",
+    # multimodal lane
+    "multimodal_featurize", "multimodal_frame_sample",
+    "multimodal_audio_energy",
+    # schema-inference (title capability; auto_tokenize per VERDICT item 6)
+    "schema_infer", "categorical_encode", "auto_tokenize_lineitem",
+    # production sampling (r2 bench adjudication target)
+    "sample_stratified",
+]
+
 _PKG = __name__.rsplit(".", 1)[0]
 
 
@@ -114,10 +156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw[name] = fn
         oracles.update(getattr(mod, "ORACLES", {}))
 
-    def tier(name: str) -> int:
+    window_rank = {n: i for i, n in enumerate(_PRIORITY_WINDOW)}
+
+    def tier(name: str) -> tuple[int, int]:
         if name not in oracles:
-            return 2
-        return 1 if name in _DRIVER_VERIFIED else 0
+            return (3, 0)  # rows-only: never displace oracle-backed
+        if name in window_rank:
+            return (0, window_rank[name])  # curated cross-lane window
+        return (2, 0) if name in _DRIVER_VERIFIED else (1, 0)
 
     return {
         name: raw[name]
