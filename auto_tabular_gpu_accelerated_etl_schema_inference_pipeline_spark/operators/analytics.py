@@ -657,6 +657,47 @@ FROM t GROUP BY 1, 2
 """
 
 
+EXPLOSION_TOP_K = 10
+
+
+def q_join_explosion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality diagnostic for a lineitem⋈lineitem self-join
+    on l_partkey: per-key multiplicities n, predicted output n², the
+    top-10 exploding keys plus an ALL row with the exact total — what
+    you check BEFORE running a similarity self-join, sized here without
+    executing the join (two small aggregates over one groupBy)."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    sq = counts.select(
+        "l_partkey", "n", (F.col("n") * F.col("n")).alias("pairs")
+    )
+    top = sq.orderBy(F.col("pairs").desc(), F.col("l_partkey").asc()).limit(
+        EXPLOSION_TOP_K
+    )
+    total = sq.agg(
+        F.lit(-1).cast("bigint").alias("l_partkey"),
+        F.sum("n").alias("n"),
+        F.sum("pairs").alias("pairs"),
+    )
+    return top.unionAll(total)
+
+
+_EXPLOSION_ORACLE = f"""
+WITH sq AS (
+  SELECT l_partkey, count(*) AS n, count(*) * count(*) AS pairs
+  FROM lineitem GROUP BY 1
+)
+SELECT * FROM (
+  SELECT l_partkey, n, pairs FROM sq
+  ORDER BY pairs DESC, l_partkey ASC LIMIT {EXPLOSION_TOP_K}
+)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT), CAST(sum(pairs) AS BIGINT)
+FROM sq
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (the data-diff audit between two table
     versions): full-outer join on the key, rows classified added /
@@ -720,6 +761,7 @@ QUERIES = {
     "weekly_top_parts": q_weekly_top_parts,
     "doc_length_histogram_by_source": q_doc_length_histogram_by_source,
     "snapshot_diff": q_snapshot_diff,
+    "join_explosion_estimate": q_join_explosion_estimate,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -737,6 +779,7 @@ ORACLES = {
     "weekly_top_parts": _WEEKLY_TOP_ORACLE,
     "doc_length_histogram_by_source": _DOCLEN_ORACLE,
     "snapshot_diff": _SNAPDIFF_ORACLE,
+    "join_explosion_estimate": _EXPLOSION_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,

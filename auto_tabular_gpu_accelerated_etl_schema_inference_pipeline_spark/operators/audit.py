@@ -129,5 +129,35 @@ FROM fk
 """
 
 
-QUERIES = {"constraint_audit": q_constraint_audit}
-ORACLES = {"constraint_audit": _AUDIT_ORACLE}
+K_ANON = 10
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: equivalence classes smaller than k=10 — the rows a
+    privacy-preserving release must suppress or generalize. One
+    groupBy shuffle on the quasi-identifier; violating classes are tiny
+    by definition, so the output never explodes."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < K_ANON)
+    )
+
+
+_K_ANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+FROM customer GROUP BY 1, 2 HAVING count(*) < {K_ANON}
+"""
+
+
+QUERIES = {
+    "constraint_audit": q_constraint_audit,
+    "k_anonymity_audit": q_k_anonymity_audit,
+}
+ORACLES = {
+    "constraint_audit": _AUDIT_ORACLE,
+    "k_anonymity_audit": _K_ANON_ORACLE,
+}
