@@ -43,6 +43,7 @@ _MODULES = [
     "operators.cdc",
     "operators.llm_prep",
     "operators.llm_prep2",
+    "operators.corpus_reports",
     "operators.production",
     "operators.asof_pandas",
     "operators.udtf_queries",
