@@ -753,6 +753,82 @@ GROUP BY 1
 """
 
 
+def q_grouped_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS slope of order value (cents) over order date
+    (epoch days) — distributed grouped model fitting WITHOUT any UDF:
+    the closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is four exact
+    decimal aggregates per group and one integer division at the end.
+    Slope reported in exact micro-cents/day: numerator and denominator
+    stay exact decimals, and the final magnitude-truncating division is
+    written sign-explicitly so Spark's `div` (truncate) and DuckDB's
+    `//` (floor) cannot disagree on negative slopes. One shuffle (the
+    groupBy); the customer→nation dims broadcast."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    x = (
+        F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("decimal(38,0)")
+    )
+    y = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    return agg.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr(
+            """cast(CASE
+                 WHEN (n * sxy - sx * sy) >= 0
+                 THEN ((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)
+                 ELSE -((-(n * sxy - sx * sy) * 1000000)
+                        div (n * sxx - sx * sx))
+               END as bigint)"""
+        ).alias("slope_microcents_per_day"),
+    )
+
+
+_GROUPED_OLS_ORACLE = """
+WITH agg AS (
+  SELECT n_name,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT))
+         AS HUGEINT) AS sx,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                  AS HUGEINT)) AS HUGEINT) AS sy,
+    CAST(sum(CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT)
+             * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT))
+         AS HUGEINT) AS sxy,
+    CAST(sum(CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT)
+             * CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT))
+         AS HUGEINT) AS sxx
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+  CAST(CASE
+    WHEN (n * sxy - sx * sy) >= 0
+    THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+    ELSE -((-(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+  END AS BIGINT) AS slope_microcents_per_day
+FROM agg
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -762,6 +838,7 @@ QUERIES = {
     "doc_length_histogram_by_source": q_doc_length_histogram_by_source,
     "snapshot_diff": q_snapshot_diff,
     "join_explosion_estimate": q_join_explosion_estimate,
+    "grouped_linear_regression": q_grouped_linear_regression,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -780,6 +857,7 @@ ORACLES = {
     "doc_length_histogram_by_source": _DOCLEN_ORACLE,
     "snapshot_diff": _SNAPDIFF_ORACLE,
     "join_explosion_estimate": _EXPLOSION_ORACLE,
+    "grouped_linear_regression": _GROUPED_OLS_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,
