@@ -357,7 +357,63 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOP_K = 20
+
+
+def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most common per-session event-type
+    sequences ('signup>click>purchase'). Sessions are the 30-min-gap
+    islands; the ORDERED per-session aggregation is array_sort over
+    collected (ts, event_id, type) structs — lexicographic struct order
+    == the window's total order, so the path string is deterministic.
+    Shuffles: one on user_id (windows), one on the session groupBy, one
+    tiny top-k. Paths are capped at the first 8 events so a pathological
+    session can't blow up the row."""
+    ev = _ev(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w_user))
+            > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = with_gap.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                8,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+
+
 QUERIES = {
+    "session_path_analysis": q_session_path_analysis,
     "events_debounce": q_events_debounce,
     "event_transition_matrix": q_event_transition_matrix,
     "events_hypertable_rollup": q_events_hypertable_rollup,
@@ -372,6 +428,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_path_analysis": f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+              > {SESSION_GAP_MIN} * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+), paths AS (
+  SELECT user_id, session_idx,
+    array_to_string(
+      (list(event_type ORDER BY ts ASC, event_id ASC))[1:8], '>') AS path
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+""",
     "events_debounce": f"""
 SELECT event_id, user_id, event_type, ts FROM (
   SELECT event_id, user_id, event_type, ts,
