@@ -412,7 +412,59 @@ def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_TRAIL_H = 24
+ANOMALY_Z = 3
+
+
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags per event type: |z| > 3 against the
+    TRAILING 24 hourly buckets (excluding the current one). Entirely
+    integer arithmetic: with s = Σc, ss = Σc², n = trailing count, the
+    test (c − s/n)² > z²·var rearranges to
+    (n·c − s)²·(n−1) > z²·n·(n·ss − s²) — no division, no doubles, so
+    both engines agree bit-for-bit even at variance ~0. Plan: hourly
+    pre-aggregation (one shuffle), then a RANGE frame over integer hours
+    PARTITIONED by event_type (distributed); rows lacking a 2-bucket
+    history are unflaggable and reported with flag NULL."""
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-ANOMALY_TRAIL_H, -1)
+    )
+    stats = hourly.select(
+        "hour",
+        "event_type",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    lhs = (
+        (F.col("n") * F.col("c") - F.col("s"))
+        * (F.col("n") * F.col("c") - F.col("s"))
+        * (F.col("n") - 1)
+    )
+    rhs = (
+        F.lit(ANOMALY_Z * ANOMALY_Z)
+        * F.col("n")
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return stats.select(
+        "hour",
+        "event_type",
+        "c",
+        F.col("n").cast("int").alias("n_trailing"),
+        F.when(F.col("n") >= 2, lhs > rhs).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
+    "events_hourly_anomaly": q_events_hourly_anomaly,
     "session_path_analysis": q_session_path_analysis,
     "events_debounce": q_events_debounce,
     "event_transition_matrix": q_event_transition_matrix,
@@ -428,6 +480,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hourly_anomaly": f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT hour, event_type, c,
+    count(c) OVER w AS n, sum(c) OVER w AS s, sum(c*c) OVER w AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               RANGE BETWEEN {ANOMALY_TRAIL_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, c, CAST(n AS INTEGER) AS n_trailing,
+  CASE WHEN n >= 2
+       THEN (n*c - s)*(n*c - s)*(n-1) > {ANOMALY_Z * ANOMALY_Z}*n*(n*ss - s*s)
+       ELSE NULL END AS is_anomaly
+FROM stats
+""",
     "session_path_analysis": f"""
 WITH g AS (
   SELECT user_id, ts, event_id, event_type,
