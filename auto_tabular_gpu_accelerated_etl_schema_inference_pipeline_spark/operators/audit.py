@@ -153,11 +153,39 @@ FROM customer GROUP BY 1, 2 HAVING count(*) < {K_ANON}
 """
 
 
+def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table profile: COUNT/MIN/MAX answered from parquet
+    row-group footers via V2 aggregate pushdown (sources.readers.
+    footer_stats) — zero data pages decoded; the instant-profiling path
+    at 100 TB. The oracle recomputes the same stats the slow way."""
+    import os
+
+    from ..sources.readers import footer_stats
+
+    configure_for_oracle(spark)
+    return footer_stats(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_quantity", "l_extendedprice"],
+    )
+
+
+_FOOTER_ORACLE = """
+SELECT count(*) AS n_rows,
+  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+  min(l_extendedprice) AS min_l_extendedprice,
+  max(l_extendedprice) AS max_l_extendedprice
+FROM lineitem
+"""
+
+
 QUERIES = {
     "constraint_audit": q_constraint_audit,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "footer_stats_lineitem": q_footer_stats_lineitem,
 }
 ORACLES = {
     "constraint_audit": _AUDIT_ORACLE,
     "k_anonymity_audit": _K_ANON_ORACLE,
+    "footer_stats_lineitem": _FOOTER_ORACLE,
 }

@@ -129,3 +129,37 @@ def read_parquet_evolved(
     if declared_schema is not None:
         return spark.read.schema(declared_schema).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def footer_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """METADATA-ONLY count/min/max via parquet aggregate pushdown: the
+    DataSource V2 scan answers COUNT(*)/MIN/MAX from row-group footer
+    statistics without decoding a single data page — at 100 TB this is
+    the difference between an instant profiling query and a full-corpus
+    scan. Requires the V2 parquet reader; both confs are flipped for the
+    plan's lifetime and restored (the rest of the engine keeps the
+    default V1 path, whose filter-pushdown behavior the plan tests pin).
+
+    Falls back transparently to a normal scan when stats are absent
+    (e.g. a column type without footer min/max) — Spark only pushes the
+    aggregate when every row group can answer it.
+    """
+    conf = spark.conf
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        exprs = ["count(*) AS n_rows"]
+        for c in cols:
+            exprs += [f"min({c}) AS min_{c}", f"max({c}) AS max_{c}"]
+        # materialize while the V2 confs are active: collect the single
+        # stats row, then return it as a local DataFrame so later
+        # evaluation never depends on the restored conf state
+        row = spark.read.parquet(path).selectExpr(*exprs).collect()
+        return spark.createDataFrame(row)
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)

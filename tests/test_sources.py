@@ -352,3 +352,39 @@ def test_schema_evolution_read(spark, tmp_path):
     assert fast.filter(F.col("score").isNull()).count() == 10
     # both modes agree row-for-row
     assert merged.exceptAll(fast).count() == 0
+
+
+def test_footer_stats_metadata_only(spark, sf_dir):
+    """footer_stats must (a) push COUNT/MIN/MAX into the parquet scan
+    (PushedAggregation — answered from row-group footers, zero data
+    pages) and (b) equal a normal full scan."""
+    import os
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.readers import (
+        footer_stats,
+    )
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    # plan check under the V2 confs
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        plan = (
+            spark.read.parquet(path)
+            .selectExpr("count(*)", "min(l_quantity)")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity)]" in plan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "parquet")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+    got = footer_stats(spark, path, ["l_quantity", "l_extendedprice"]).collect()[0]
+    li = spark.read.parquet(path)
+    want = li.selectExpr(
+        "count(*)", "min(l_quantity)", "max(l_quantity)",
+        "min(l_extendedprice)", "max(l_extendedprice)",
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
