@@ -463,7 +463,61 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CEP_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern (MATCH_RECOGNIZE-style): emit
+    each signup followed by that user's FIRST purchase within 1 h, with
+    NO intervening error event. Three filtered scans of one table,
+    equi-joined on user with bounded time predicates: the candidate join
+    fans out only within the 1 h window, the first-purchase pick is a
+    per-signup ranking window, and the error veto is a left-anti join —
+    all shapes that survive scale because state is bounded by the
+    pattern's own time window (exactly the streaming CEP argument)."""
+    ev = _ev(spark, sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("u"),
+        F.unix_micros("ts").alias("s_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.unix_micros("ts").alias("e_us")
+    )
+    cand = s.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("p_us") > F.col("s_us"))
+        & (F.col("p_us") <= F.col("s_us") + F.lit(CEP_WINDOW_US)),
+    )
+    w = Window.partitionBy("signup_id").orderBy(
+        F.col("p_us").asc(), F.col("purchase_id").asc()
+    )
+    first = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    vetoed = first.join(
+        e,
+        (F.col("u") == F.col("eu"))
+        & (F.col("e_us") > F.col("s_us"))
+        & (F.col("e_us") < F.col("p_us")),
+        "left_anti",
+    )
+    return vetoed.select(
+        "signup_id",
+        F.col("u").alias("user_id"),
+        "purchase_id",
+        (F.col("p_us") - F.col("s_us")).alias("latency_us"),
+    )
+
+
 QUERIES = {
+    "cep_pattern_match": q_cep_pattern_match,
     "events_hourly_anomaly": q_events_hourly_anomaly,
     "session_path_analysis": q_session_path_analysis,
     "events_debounce": q_events_debounce,
@@ -480,6 +534,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cep_pattern_match": f"""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id AS u, epoch_us(ts) AS s_us
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS pu, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), first_p AS (
+  SELECT * FROM (
+    SELECT s.signup_id, s.u, s.s_us, p.purchase_id, p.p_us,
+      row_number() OVER (PARTITION BY s.signup_id
+                         ORDER BY p.p_us ASC, p.purchase_id ASC) AS rn
+    FROM s JOIN p ON s.u = p.pu
+      AND p.p_us > s.s_us AND p.p_us <= s.s_us + {CEP_WINDOW_US}
+  ) WHERE rn = 1
+)
+SELECT signup_id, u AS user_id, purchase_id, p_us - s_us AS latency_us
+FROM first_p f
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.event_type = 'error' AND e.user_id = f.u
+    AND epoch_us(e.ts) > f.s_us AND epoch_us(e.ts) < f.p_us
+)
+""",
     "events_hourly_anomaly": f"""
 WITH hourly AS (
   SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS c
