@@ -98,6 +98,12 @@ HEADLINE = [
     "embedding_centroids",
     "cdc_point_in_time_lookup",
     "streaming_tokenize_lineitem",
+    "grouped_linear_regression",
+    "session_path_analysis",
+    "events_hourly_anomaly",
+    "unigram_lm_score",
+    "cep_pattern_match",
+    "contamination_report",
 ]
 
 
