@@ -44,6 +44,7 @@ _MODULES = [
     "operators.llm_prep",
     "operators.llm_prep2",
     "operators.corpus_reports",
+    "operators.sketches",
     "operators.production",
     "operators.asof_pandas",
     "operators.udtf_queries",

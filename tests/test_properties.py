@@ -114,3 +114,15 @@ def test_approx_top_k_exact_at_fixture_cardinality(spark, sf_dir):
         for r in load_events(spark, sf_dir).groupBy("event_type").count().collect()
     }
     assert got == exact
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: estimate >= true count for every probe."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.sketches import (
+        q_count_min_sketch,
+    )
+
+    rows = q_count_min_sketch(spark, sf_dir).collect()
+    assert rows, "probe set must not be empty"
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_n"], r
