@@ -202,7 +202,56 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", split.alias("split"))
 
 
+BACKFILL_WINDOW_DAYS = 7
+_US_PER_DAY_BF = 86_400_000_000
+
+
+def q_incremental_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture merge: per-user totals = FROZEN aggregate of
+    events older than the reprocessing window + fresh recompute of the
+    trailing 7 days, combined by addition. This is how a 100 TB pipeline
+    absorbs late data without full recompute: only the window rescans,
+    the frozen partials are mergeable (counts and exact decimal sums),
+    and the result is provably identical to the direct full aggregate —
+    which is exactly what the oracle computes. Cutoff derives from
+    max(ts), so the query stays deterministic per fixture."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    cutoff = ev.agg(
+        (
+            (F.max(F.unix_micros("ts")) / F.lit(_US_PER_DAY_BF)).cast("long")
+            - F.lit(BACKFILL_WINDOW_DAYS)
+        ).alias("cutoff_day")
+    ).collect()[0]["cutoff_day"]
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY_BF}")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+
+    frozen = agg(ev.filter(day < F.lit(cutoff)))
+    hot = agg(ev.filter(day >= F.lit(cutoff)))
+    return (
+        frozen.unionAll(hot)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_BACKFILL_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "incremental_backfill_merge": q_incremental_backfill_merge,
     "train_val_test_split": q_train_val_test_split,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
@@ -211,6 +260,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_backfill_merge": _BACKFILL_ORACLE,
     "train_val_test_split": """
 SELECT doc_id, lang,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
