@@ -68,14 +68,16 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            # exact count-distinct can't merge incrementally on streams;
+            # its HLL stand-in (approx_count_distinct) is demonstrated by
+            # agg_approx_distinct and kept OUT of this output so the
+            # streaming twin is value-verifiable against the batch SQL
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
-            "approx_users",
         )
     )
     name = "stream_tumbling_out"
@@ -93,9 +95,9 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -
 
 
 def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_tumbling_window. approx_users is an HLL
-    sketch (streaming-friendly distinct) -> rows-only check; the
-    exact-count batch twin carries the oracle."""
+    """Streaming twin of events_tumbling_window: the drained
+    complete-mode result must equal the batch GROUP BY bit-for-bit
+    (decimal partials make the sums merge-order-proof)."""
     return run_tumbling_stream(spark, sf_dir)
 
 
@@ -217,6 +219,13 @@ QUERIES = {
 from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
 
 ORACLES: dict[str, str] = {
+    "streaming_tumbling_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
     "streaming_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
