@@ -282,3 +282,41 @@ def test_per_group_bin_no_single_partition_window(spark, sf_dir):
     )
 
     assert_no_single_partition_window(q_quantile_bin_per_group(spark, sf_dir))
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamicpruningexpression into the fact scan's PartitionFilters —
+    Spark's runtime partition pruning, THE scan-elimination lever for
+    star joins over partitioned 100 TB facts."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false",
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_test_")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        fact = orders.withColumn("od_year", F.year("o_orderdate"))
+        fact.write.partitionBy("od_year").mode("overwrite").parquet(
+            os.path.join(tmp, "fact")
+        )
+        factp = spark.read.parquet(os.path.join(tmp, "fact"))
+        dim = spark.createDataFrame(
+            [(1995, "x"), (1996, "y"), (1997, "z")], "y int, tag string"
+        )
+        j = factp.join(
+            dim.filter(F.col("tag") == "x"), factp.od_year == dim.y
+        ).agg(F.sum("o_totalprice"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        )
