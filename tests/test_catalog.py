@@ -69,3 +69,35 @@ def test_ctas_insert_show_partitions_prune(spark, sf_dir, tmp_path):
         assert got == want
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_analyze_table_cbo_stats(spark, sf_dir):
+    """ANALYZE TABLE must land row-count + per-column stats in the
+    catalog, and the optimizer must SEE them (rowCount on the optimized
+    plan) — the input the cost-based join reorderer consumes. At 100 TB
+    these stats are what keep a 6-table star join from picking the wrong
+    build side."""
+    import os
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
+        src = os.path.join(sf_dir, "orders.parquet")
+        spark.sql(
+            "CREATE TABLE cbo_stats_t USING parquet AS "
+            f"SELECT * FROM parquet.`{src}`"
+        )
+        spark.sql("ANALYZE TABLE cbo_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = (
+            spark.table("cbo_stats_t")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        n = spark.table("cbo_stats_t").count()
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == n
+        assert stats.attributeStats().size() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
