@@ -40,3 +40,47 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE's OptimizeSkewedJoin must mark and split the hot partition
+    (skew=true in the final plan) when one join key dominates — the
+    runtime complement to the explicit salting in functions/skew.py.
+    Thresholds are floored because fixture shuffles are tiny; at real
+    scale the defaults (256 MB / factor 5) do the same job."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(200_000)
+            .select((F.col("id") * 0 + 7).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(5_000).select(
+                    (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("v"), F.sum("w"))
+        j.collect()  # AQE decides at runtime — force execution first
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
