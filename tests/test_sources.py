@@ -388,3 +388,53 @@ def test_footer_stats_metadata_only(spark, sf_dir):
         "min(l_extendedprice)", "max(l_extendedprice)",
     ).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
+    """REAL JDBC source/sink round-trip against the embedded Derby that
+    ships in Spark's jars: write a table, read it back both plain and as
+    a PARTITIONED parallel read (partitionColumn/numPartitions — the
+    scale lever: N concurrent range queries instead of one cursor), and
+    check filter pushdown reaches the JDBC scan."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    db_dir = "/tmp/spark_graft_derby_test_db"
+    shutil.rmtree(db_dir, ignore_errors=True)
+    url = f"jdbc:derby:{db_dir};create=true"
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(2000)
+    )
+    src.write.format("jdbc").option("url", url).option(
+        "dbtable", "orders_jdbc"
+    ).mode("overwrite").save()
+
+    plain = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_jdbc")
+        .load()
+    )
+    assert plain.count() == 2000
+
+    part = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_jdbc")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1")
+        .option("upperBound", "100000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 2000
+
+    filtered = part.filter(F.col("o_totalprice") > 100000.0)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan, plan[:1500]
+    assert filtered.count() == src.filter(F.col("o_totalprice") > 100000.0).count()
