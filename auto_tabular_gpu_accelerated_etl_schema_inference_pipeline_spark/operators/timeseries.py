@@ -516,7 +516,37 @@ def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIAN_TRAIL_ROWS = 5
+
+
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of `value` over each user's trailing 5
+    events (ROWS frame): collect the frame, sort it, take the
+    lower-middle element — deterministic on both engines where a native
+    windowed-median would be approximate or unavailable. Values ride as
+    exact 2dp cents. The frame is O(5) per row, so the collected arrays
+    are bounded — this is the general recipe for exact small-window
+    order statistics at scale (NEVER collect unbounded frames)."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(MEDIAN_TRAIL_ROWS - 1), 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    frame = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(frame)
+    return ev.select(
+        "event_id",
+        "user_id",
+        cents.alias("value_cents"),
+        F.element_at(frame, ((n + 1) / 2).cast("int"))
+        .alias("rolling_median_cents"),
+    )
+
+
 QUERIES = {
+    "events_rolling_median": q_events_rolling_median,
     "cep_pattern_match": q_cep_pattern_match,
     "events_hourly_anomaly": q_events_hourly_anomaly,
     "session_path_analysis": q_session_path_analysis,
@@ -534,6 +564,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_median": f"""
+SELECT event_id, user_id, value_cents,
+  frame[CAST((len(frame) + 1) // 2 AS INTEGER)] AS rolling_median_cents
+FROM (
+  SELECT event_id, user_id,
+    CAST(round(value * 100) AS BIGINT) AS value_cents,
+    list_sort(list(CAST(round(value * 100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN {MEDIAN_TRAIL_ROWS - 1} PRECEDING AND CURRENT ROW
+    )) AS frame
+  FROM events
+)
+""",
     "cep_pattern_match": f"""
 WITH s AS (
   SELECT event_id AS signup_id, user_id AS u, epoch_us(ts) AS s_us
