@@ -438,3 +438,33 @@ def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_totalprice" in plan, plan[:1500]
     assert filtered.count() == src.filter(F.col("o_totalprice") > 100000.0).count()
+
+
+def test_repartition_by_range_layout(spark, sf_dir):
+    """repartitionByRange must plan a RangePartitioning exchange and
+    produce NON-OVERLAPPING per-partition key ranges — the layout that
+    gives parquet zone maps (row-group min/max) their pruning power when
+    the table is written sorted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rp = li.repartitionByRange(8, "l_extendedprice")
+    plan = rp._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    bounds = (
+        rp.select(
+            F.spark_partition_id().alias("pid"), "l_extendedprice"
+        )
+        .groupBy("pid")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    assert len(bounds) >= 2
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] <= b["lo"], (a, b)
