@@ -250,7 +250,50 @@ FROM events GROUP BY user_id
 """
 
 
+WEIGHTED_SAMPLE_K = 20
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (Efraimidis-Spirakis
+    A-Res): each row gets key ln(u)/w with u an md5-derived uniform and
+    w = o_totalprice; the global top-20 keys are the sample. Higher
+    weight ⇒ stochastically larger key ⇒ proportionally more likely —
+    but with u pinned to the row identity the draw is REPRODUCIBLE on
+    any engine (the sampling analog of md5 hash-sampling). Map-only
+    scoring + TakeOrderedAndProject; keys quantized to e12 integers so
+    the ranking can't ulp-flip at the boundary."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    score_e12 = F.round(F.log(u) / F.col("o_totalprice") * 1e12).cast(
+        "bigint"
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_totalprice", score_e12.alias("score_e12")
+        )
+        .orderBy(F.col("score_e12").desc(), F.col("o_orderkey").asc())
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_WEIGHTED_ORACLE = f"""
+SELECT o_orderkey, o_totalprice,
+  CAST(round(ln(((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  ::BIGINT) + 0.5) / 4294967296.0)
+             / o_totalprice * 1e12) AS BIGINT) AS score_e12
+FROM orders
+ORDER BY score_e12 DESC, o_orderkey ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 QUERIES = {
+    "sample_weighted": q_sample_weighted,
     "incremental_backfill_merge": q_incremental_backfill_merge,
     "train_val_test_split": q_train_val_test_split,
     "sample_hash": q_sample_hash,
@@ -260,6 +303,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_weighted": _WEIGHTED_ORACLE,
     "incremental_backfill_merge": _BACKFILL_ORACLE,
     "train_val_test_split": """
 SELECT doc_id, lang,
