@@ -115,7 +115,118 @@ def q_streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     return run_foreach_batch_upsert(spark, sf_dir)
 
 
-QUERIES = {"streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert}
+def _cdc_merge_batch(target_dir: str, spark: SparkSession):
+    """foreachBatch callback: latest-wins CDC compaction. Each batch
+    reduces to its per-user latest record ((ts, event_id) argmax), then
+    merges into the target by GREATEST over a (ts_us, event_id, ...)
+    struct — lexicographic struct order makes 'latest wins' one
+    expression, and the merge is associative/commutative, so batch
+    boundaries cannot change the result (the oracle equality proves
+    it)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        part = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                ).alias("rec"),
+            )
+        )
+        cur_path = os.path.join(target_dir, "current")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path).withColumnRenamed(
+                "rec", "rec_cur"
+            )
+            merged = cur.join(part, "user_id", "full_outer").select(
+                "user_id",
+                F.greatest(F.col("rec_cur"), F.col("rec")).alias("rec"),
+            )
+        else:
+            merged = part
+        new_path = os.path.join(target_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        old = os.path.join(target_dir, "prev")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(cur_path):
+            os.rename(cur_path, old)
+        os.rename(new_path, cur_path)
+
+    return apply
+
+
+def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log compaction: the drained latest-wins state table
+    must equal the batch cdc_latest_snapshot exactly — which it does
+    because the per-batch argmax + greatest-struct merge is the same
+    total order the batch window uses."""
+    configure_for_oracle(spark)
+
+    # split the fixture into 3 files and feed them ONE PER MICRO-BATCH
+    # (maxFilesPerTrigger=1): the greatest-struct merge then actually
+    # runs twice across batch boundaries — a single-batch drain would
+    # never exercise the associativity the docstring claims
+    import hashlib
+
+    from ..session import load_events
+
+    batch_ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"events_split3_{tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        # write the NORMALIZED frame (ts already micros-timestamp), so
+        # the stream schema is vintage-independent
+        batch_ev.repartition(3).write.mode("overwrite").parquet(split_dir)
+    ev = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    target_dir = tempfile.mkdtemp(prefix="cdclatest_target_")
+    ckpt = os.path.join(target_dir, "ckpt")
+    q = (
+        ev.writeStream.foreachBatch(_cdc_merge_batch(target_dir, spark))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = (
+        spark.read.parquet(os.path.join(target_dir, "current"))
+        .select(
+            "user_id",
+            F.col("rec.event_type").alias("last_state"),
+            F.col("rec.value").alias("last_value"),
+            F.timestamp_micros(F.col("rec.ts_us")).alias("last_ts"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+    return out
+
+
+QUERIES = {
+    "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
+    "streaming_cdc_latest": q_streaming_cdc_latest,
+}
 
 ORACLES = {
     "streaming_foreach_batch_upsert": """
@@ -123,5 +234,14 @@ SELECT user_id, count(*) AS n_events,
   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
 FROM events
 GROUP BY user_id
+""",
+    "streaming_cdc_latest": """
+SELECT user_id, event_type AS last_state, value AS last_value, ts AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
 """,
 }
