@@ -545,7 +545,34 @@ def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_running_distinct_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running EXACT distinct count per user (how many distinct event
+    types seen so far) — the classic hard window op, exact here because
+    the distinct domain is tiny: collect_set over an unbounded-preceding
+    frame holds ≤ |event types| elements regardless of stream length, so
+    state is bounded by the DOMAIN, not the row count (the condition to
+    check before using this pattern at scale; unbounded domains route to
+    HLL instead)."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("n_distinct_types_so_far"),
+    )
+
+
 QUERIES = {
+    "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
     "cep_pattern_match": q_cep_pattern_match,
     "events_hourly_anomaly": q_events_hourly_anomaly,
@@ -564,6 +591,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_running_distinct_types": """
+SELECT event_id, user_id, event_type,
+  CAST(len(list_distinct(list(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING))) AS INTEGER) AS n_distinct_types_so_far
+FROM events
+""",
     "events_rolling_median": f"""
 SELECT event_id, user_id, value_cents,
   frame[CAST((len(frame) + 1) // 2 AS INTEGER)] AS rolling_median_cents
