@@ -114,5 +114,65 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_data(spark, sf_dir, out_path=None)
 
 
-QUERIES = {"training_data_prep": q_training_data_prep}
-ORACLES: dict[str, str] = {}
+def build_analytics_mart(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Warehouse-mart composite: star denormalize (all dims broadcast,
+    one fact-fact shuffle — operators/analytics.q_denormalize_star) ->
+    (region, brand, day) revenue rollup -> optional region-partitioned
+    sink so downstream reads prune. The rollup aggregates the join
+    output directly: revenue stays an exact decimal until the final e4
+    integer export."""
+    from .operators.analytics import q_denormalize_star
+
+    flat = q_denormalize_star(spark, sf_dir)
+    mart = (
+        flat.groupBy(
+            "cust_region",
+            "p_brand",
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1970-01-01')"
+            ).alias("order_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.col("net_price").cast("decimal(18,4)")) * 10000)
+            .cast("bigint")
+            .alias("revenue_e4"),
+        )
+    )
+    if out_path:
+        mart.write.mode("overwrite").partitionBy("cust_region").parquet(
+            out_path
+        )
+    return mart
+
+
+def q_mart_region_brand_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_analytics_mart(spark, sf_dir)
+
+
+_MART_ORACLE = """
+SELECT r_name AS cust_region, p_brand,
+  epoch_us(o_orderdate) // 86400000000 AS order_day,
+  count(*) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "training_data_prep": q_training_data_prep,
+    "mart_region_brand_daily": q_mart_region_brand_daily,
+}
+ORACLES: dict[str, str] = {
+    "mart_region_brand_daily": _MART_ORACLE,
+}
