@@ -113,3 +113,48 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def copy_into(
+    spark,
+    source_glob: str,
+    target_dir: str,
+    schema=None,
+) -> int:
+    """COPY-INTO-style idempotent incremental loader: append only files
+    NOT yet recorded in the target's manifest, then extend the manifest.
+    Re-running after new files arrive loads exactly the delta; re-running
+    with no new files is a no-op — the exactly-once-per-FILE guarantee a
+    table format gives you, here with a plain parquet dir + manifest.
+
+    Scale shape: the manifest holds file PATHS (one row per loaded file,
+    thousands at most), the membership check is a driver-side set
+    difference on the listing — no data is read for already-loaded
+    files. Returns the number of newly loaded files.
+    """
+    import json
+    import os
+    from glob import glob
+
+    os.makedirs(target_dir, exist_ok=True)
+    manifest_path = os.path.join(target_dir, "_loaded_manifest.json")
+    loaded: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            loaded = set(json.load(f))
+    candidates = sorted(os.path.abspath(p) for p in glob(source_glob))
+    fresh = [p for p in candidates if p not in loaded]
+    if fresh:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*fresh)
+        df.write.mode("append").parquet(os.path.join(target_dir, "data"))
+        # write-new-then-rename so a crash between data append and
+        # manifest update re-loads (at-least-once per file) rather than
+        # silently skipping; table formats make this step transactional
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(loaded | set(fresh)), f)
+        os.replace(tmp, manifest_path)
+    return len(fresh)

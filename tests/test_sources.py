@@ -468,3 +468,39 @@ def test_repartition_by_range_layout(spark, sf_dir):
     assert len(bounds) >= 2
     for a, b in zip(bounds, bounds[1:]):
         assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_copy_into_idempotent_loader(spark, sf_dir):
+    """copy_into loads each source file exactly once across re-runs:
+    first run loads all, re-run loads 0, a new file loads only the
+    delta, and the target equals the union of the sources."""
+    import os
+    import shutil
+    import tempfile
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.sinks import (
+        copy_into,
+    )
+
+    work = tempfile.mkdtemp(prefix="copyinto_")
+    src_dir = os.path.join(work, "src")
+    tgt = os.path.join(work, "tgt")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        orders.limit(500).repartition(2).write.parquet(src_dir)
+        glob_pat = os.path.join(src_dir, "*.parquet")
+        n1 = copy_into(spark, glob_pat, tgt)
+        assert n1 == 2
+        assert copy_into(spark, glob_pat, tgt) == 0  # idempotent re-run
+        total1 = spark.read.parquet(os.path.join(tgt, "data")).count()
+        assert total1 == 500
+        # a late-arriving file: only the delta loads
+        orders.limit(800).subtract(orders.limit(500)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        n3 = copy_into(spark, glob_pat, tgt)
+        assert n3 >= 1
+        total2 = spark.read.parquet(os.path.join(tgt, "data")).count()
+        assert total2 == 800
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
