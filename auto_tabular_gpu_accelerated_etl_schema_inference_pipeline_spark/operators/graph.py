@@ -244,7 +244,106 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EIGEN_ITERS = 3
+EIGEN_SCALE = 1_000_000
+
+
+def q_eigencentrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the part co-purchase graph by POWER
+    ITERATION — the iterative-algorithm shape (PageRank's cousin) made
+    bit-exact across engines: after every matvec the vector is
+    renormalized with INTEGER division by its max (v' = v·1e6 div max),
+    so no floating-point state ever crosses an iteration boundary and
+    the 3-round unrolled SQL oracle reproduces it exactly. Each round is
+    one edge join + one groupBy (weights = co-purchase support counts,
+    symmetrized); the max is a broadcast 1-row aggregate. At 100 TB this
+    is the checkpointed-loop pattern of connected_components with the
+    same one-shuffle-per-round bound."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.toDF("okey", "p1")
+    b = it.toDF("okey", "p2")
+    pairs = (
+        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"), "w"
+        )
+    )
+    edges = edges.localCheckpoint()  # pin: 3 rounds reuse the edge list
+    v = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("v", F.lit(EIGEN_SCALE).cast("decimal(38,0)"))
+    )
+    for _ in range(EIGEN_ITERS):
+        u = (
+            edges.join(v, edges.dst == v.node)
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("w").cast("decimal(38,0)") * F.col("v")).alias(
+                    "u"
+                )
+            )
+        )
+        m = u.agg(F.max("u").alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            F.col("src").alias("node"),
+            F.expr(f"(u * {EIGEN_SCALE}) div m").cast("decimal(38,0)").alias("v"),
+        )
+    return v.select(
+        F.col("node").alias("p_partkey"),
+        F.col("v").cast("bigint").alias("centrality_e6"),
+    )
+
+
+def _eigen_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for k in range(1, EIGEN_ITERS + 1):
+        rounds.append(
+            f"""u{k} AS (
+  SELECT e.src AS node, sum(CAST(e.w AS HUGEINT) * {prev}.v) AS u
+  FROM e JOIN {prev} ON e.dst = {prev}.node GROUP BY 1
+), v{k} AS (
+  SELECT node, (u * {EIGEN_SCALE}) // (SELECT max(u) FROM u{k}) AS v
+  FROM u{k}
+)"""
+        )
+        prev = f"v{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e AS (
+  SELECT p1 AS src, p2 AS dst, w FROM pairs
+  UNION ALL SELECT p2, p1, w FROM pairs
+), v0 AS (
+  SELECT DISTINCT src AS node, CAST({EIGEN_SCALE} AS HUGEINT) AS v FROM e
+),
+{body}
+SELECT node AS p_partkey, CAST(v AS BIGINT) AS centrality_e6 FROM {prev}
+"""
+
+
 QUERIES = {
+    "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,
     "graph_pagerank": q_graph_pagerank,
     "recursive_cte_order_chain": q_recursive_cte_order_chain,
@@ -252,6 +351,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "eigencentrality_parts": _eigen_oracle(),
     "graph_triangle_count": """
 WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
