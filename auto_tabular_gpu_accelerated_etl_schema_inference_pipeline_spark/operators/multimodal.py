@@ -237,7 +237,26 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-payload frame deduplication: frames whose checksum appears
+    in >= 2 distinct payloads (the image/video dedup pattern — find the
+    same thumbnail across a corpus). The dedup join runs on the 8-hex
+    DIGEST produced inside the scan-side mapInPandas stage; frame bytes
+    never shuffle — the multimodal instance of the digests-not-documents
+    invariant."""
+    frames = q_multimodal_frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("frame_checksum")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
+    "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_featurize": q_multimodal_featurize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
@@ -245,6 +264,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_frame_dedup": f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), frames AS (
+  SELECT doc_id, substr(md5(substr(text, i * {FRAME_BYTES} + 1,
+                                   {FRAME_BYTES})), 1, 8) AS frame_checksum
+  FROM norm, generate_series(0, {MAX_FRAMES - 1}) AS t(i)
+  WHERE i * {FRAME_BYTES} < length(text)
+)
+SELECT frame_checksum, count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occurrences
+FROM frames GROUP BY frame_checksum
+HAVING count(DISTINCT doc_id) >= 2
+""",
     "multimodal_audio_energy": f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
