@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import JACCARD_THRESHOLD, q_dedup_ngram_jaccard
+from .dedup import FUZZY_MAX_DIST, JACCARD_THRESHOLD, q_dedup_ngram_jaccard
 
 
 def connected_components(
@@ -342,7 +342,79 @@ SELECT node AS p_partkey, CAST(v AS BIGINT) AS centrality_e6 FROM {prev}
 """
 
 
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy (edit-distance) match edges
+    over the part-name VOCABULARY (dedup.q_fuzzy_join_parts's blocked
+    comparison), closed into clusters by the same hash-min connected
+    components — every name mapped to its cluster's lexicographic-min
+    canonical spelling. The two-stage shape (canonicalize vocabulary →
+    cluster → map back) is how ER avoids row-level O(n²) at 100 TB; the
+    oracle is the recursive transitive closure over the identical edge
+    predicate."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    ).withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    a = names.select(
+        F.col("p_name").alias("a_name"), F.col("block").alias("ab")
+    )
+    b = names.select(
+        F.col("p_name").alias("b_name"), F.col("block").alias("bb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("ab") == F.col("bb"))
+        & (F.col("a_name") < F.col("b_name"))
+        & (
+            F.levenshtein(F.col("a_name"), F.col("b_name"))
+            <= FUZZY_MAX_DIST
+        ),
+    ).select("a_name", "b_name")
+    verts = names.select(F.col("p_name").alias("id"))
+    edges = pairs.select(
+        F.col("a_name").alias("src"), F.col("b_name").alias("dst")
+    )
+    comp = connected_components(verts, edges)
+    return comp.join(names, comp.id == names.p_name).select(
+        "p_name",
+        F.col("component_id").alias("canonical_name"),
+        "n_parts",
+    )
+
+
+_ER_ORACLE_TEMPLATE = """
+WITH RECURSIVE names AS (
+  SELECT p_name, count(*) AS n_parts,
+    string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.p_name AS a_name, b.p_name AS b_name
+  FROM names a JOIN names b USING (block)
+  WHERE a.p_name < b.p_name
+    AND levenshtein(a.p_name, b.p_name) <= {maxd}
+),
+edges AS (
+  SELECT a_name AS src, b_name AS dst FROM pairs
+  UNION ALL SELECT b_name, a_name FROM pairs
+),
+reach(id, label) AS (
+  SELECT p_name, p_name FROM names
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT n.p_name, c.canonical_name, n.n_parts
+FROM names n JOIN (
+  SELECT id, min(label) AS canonical_name FROM reach GROUP BY id
+) c ON n.p_name = c.id
+"""
+
+
 QUERIES = {
+    "entity_resolution_clusters": q_entity_resolution_clusters,
     "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,
     "graph_pagerank": q_graph_pagerank,
@@ -352,6 +424,7 @@ QUERIES = {
 
 ORACLES = {
     "eigencentrality_parts": _eigen_oracle(),
+    "entity_resolution_clusters": _ER_ORACLE_TEMPLATE.format(maxd=FUZZY_MAX_DIST),
     "graph_triangle_count": """
 WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
