@@ -829,6 +829,64 @@ FROM agg
 """
 
 
+def q_category_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution-drift report: each week's order-priority
+    mix vs the global mix, as exact ppm shares and their signed delta —
+    the train/serving-skew check run on every pipeline drop. Two
+    aggregations (week×category, category) + a broadcast join; shares
+    are integer `div` ppm so both engines agree exactly."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    week = F.expr(
+        "datediff(cast(o_orderdate as date), date'1970-01-01') div 7"
+    ).cast("bigint")
+    wk = orders.groupBy(
+        week.alias("week"), F.col("o_orderpriority")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    wk_tot = F.sum("n").over(Window.partitionBy("week"))
+    glob = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("gn")
+    )
+    g_tot = orders.count()
+    return (
+        wk.withColumn("wt", wk_tot)
+        .join(F.broadcast(glob), "o_orderpriority")
+        .select(
+            "week",
+            "o_orderpriority",
+            F.expr("(n * 1000000) div wt").alias("week_share_ppm"),
+            F.expr(f"(gn * 1000000) div {g_tot}").alias("global_share_ppm"),
+            (
+                F.expr("(n * 1000000) div wt")
+                - F.expr(f"(gn * 1000000) div {g_tot}")
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+_DRIFT_ORACLE = """
+WITH wk AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+    o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), wt AS (
+  SELECT week, o_orderpriority, n, sum(n) OVER (PARTITION BY week) AS wt
+  FROM wk
+), gstats AS (
+  SELECT o_orderpriority, count(*) AS gn,
+    (SELECT count(*) FROM orders) AS gt
+  FROM orders GROUP BY 1
+)
+SELECT week, o_orderpriority,
+  (n * 1000000) // wt AS week_share_ppm,
+  (gn * 1000000) // gt AS global_share_ppm,
+  (n * 1000000) // wt - (gn * 1000000) // gt AS drift_ppm
+FROM wt JOIN gstats USING (o_orderpriority)
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -839,6 +897,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "join_explosion_estimate": q_join_explosion_estimate,
     "grouped_linear_regression": q_grouped_linear_regression,
+    "category_drift_report": q_category_drift_report,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -858,6 +917,7 @@ ORACLES = {
     "snapshot_diff": _SNAPDIFF_ORACLE,
     "join_explosion_estimate": _EXPLOSION_ORACLE,
     "grouped_linear_regression": _GROUPED_OLS_ORACLE,
+    "category_drift_report": _DRIFT_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,
