@@ -104,6 +104,18 @@ HEADLINE = [
     "unigram_lm_score",
     "cep_pattern_match",
     "contamination_report",
+    "eigencentrality_parts",
+    "entity_resolution_clusters",
+    "count_min_sketch",
+    "sample_weighted",
+    "incremental_backfill_merge",
+    "events_rolling_median",
+    "mart_region_brand_daily",
+    "category_drift_report",
+    "multimodal_frame_dedup",
+    "snapshot_diff",
+    "weekly_top_parts",
+    "k_anonymity_audit",
 ]
 
 
