@@ -887,6 +887,92 @@ FROM wt JOIN gstats USING (o_orderpriority)
 """
 
 
+PSI_BINS = 10
+
+
+def q_psi_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of o_totalprice per week vs the global
+    distribution — the standard numeric drift score. Bins are the exact
+    GLOBAL deciles (distributed percentile fit, 6dp-rounded broadcast
+    boundaries → map-only bucketing); per-week PSI = Σ (p−q)·ln(p/q)
+    over non-empty buckets, each term µ-quantized to e9 integers before
+    the per-week sum so engines agree exactly. Empty weekly buckets are
+    skipped (the ε-free convention, stated not hidden)."""
+    from .quantile_bin import fit_quantile_boundaries_exact_distributed
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = fit_quantile_boundaries_exact_distributed(
+        orders, ["o_totalprice"], bins=PSI_BINS
+    )["o_totalprice"]
+    interior = sorted({round(b, 6) for b in bounds[1:PSI_BINS]})
+    bucket = F.size(
+        F.filter(
+            F.array(*[F.lit(float(b)) for b in interior]),
+            lambda b: b <= F.col("o_totalprice"),
+        )
+    ).alias("bucket")
+    week = F.expr(
+        "datediff(cast(o_orderdate as date), date'1970-01-01') div 7"
+    ).cast("bigint")
+    binned = orders.select(week.alias("week"), bucket)
+    wk = binned.groupBy("week", "bucket").agg(F.count(F.lit(1)).alias("wn"))
+    from pyspark.sql import Window
+
+    wt = F.sum("wn").over(Window.partitionBy("week"))
+    gl = binned.groupBy("bucket").agg(F.count(F.lit(1)).alias("gn"))
+    g_tot = orders.count()
+    term = (
+        (F.col("wn") / F.col("wt") - F.col("gn") / F.lit(float(g_tot)))
+        * F.log(
+            (F.col("wn") / F.col("wt"))
+            / (F.col("gn") / F.lit(float(g_tot)))
+        )
+    )
+    return (
+        wk.withColumn("wt", wt.cast("double"))
+        .join(F.broadcast(gl), "bucket")
+        .withColumn("term_e9", F.round(term * 1e9).cast("bigint"))
+        .groupBy("week")
+        .agg(
+            F.sum("term_e9").alias("psi_e9"),
+            F.count(F.lit(1)).cast("int").alias("n_nonempty_buckets"),
+        )
+    )
+
+
+def _psi_oracle() -> str:
+    return f"""
+WITH binned AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+    CAST(len(list_filter(b, x -> x <= o_totalprice)) AS INTEGER) AS bucket
+  FROM orders, (
+    SELECT list_sort(list_distinct(list_transform(
+      list_slice(quantile_cont(o_totalprice,
+        [{",".join(str(i / PSI_BINS) for i in range(PSI_BINS + 1))}]),
+        2, {PSI_BINS}), x -> round(x, 6)))) AS b
+    FROM orders
+  )
+), wk AS (
+  SELECT week, bucket, count(*) AS wn FROM binned GROUP BY 1, 2
+), wt AS (
+  SELECT week, bucket, wn, CAST(sum(wn) OVER (PARTITION BY week) AS DOUBLE)
+    AS wt
+  FROM wk
+), gl AS (
+  SELECT bucket, count(*) AS gn,
+    CAST((SELECT count(*) FROM orders) AS DOUBLE) AS gt
+  FROM binned GROUP BY 1
+)
+SELECT week,
+  CAST(sum(CAST(round((wn / wt - gn / gt) * ln((wn / wt) / (gn / gt))
+                      * 1e9) AS BIGINT)) AS BIGINT) AS psi_e9,
+  CAST(count(*) AS INTEGER) AS n_nonempty_buckets
+FROM wt JOIN gl USING (bucket)
+GROUP BY week
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -898,6 +984,7 @@ QUERIES = {
     "join_explosion_estimate": q_join_explosion_estimate,
     "grouped_linear_regression": q_grouped_linear_regression,
     "category_drift_report": q_category_drift_report,
+    "psi_numeric_drift": q_psi_numeric_drift,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -918,6 +1005,7 @@ ORACLES = {
     "join_explosion_estimate": _EXPLOSION_ORACLE,
     "grouped_linear_regression": _GROUPED_OLS_ORACLE,
     "category_drift_report": _DRIFT_ORACLE,
+    "psi_numeric_drift": _psi_oracle(),
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,
