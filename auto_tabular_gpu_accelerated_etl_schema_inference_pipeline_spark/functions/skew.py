@@ -60,9 +60,67 @@ def q_join_skew_salted(spark, sf_dir: str):
     )
 
 
-QUERIES = {"join_skew_salted": q_join_skew_salted}
+def q_join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew bypass for LEFT joins: rows whose join key is NULL
+    can never match, yet a shuffle join still hashes them — ALL to one
+    partition (the classic silent straggler). The fix: split the null-
+    key rows off BEFORE the join, left-join only the non-null slice, and
+    union the null slice back with null-extended columns. Result is
+    provably identical to the naive left join (the oracle IS the naive
+    join); the plan difference is that the join's shuffle no longer
+    carries a mega-partition of unmatchable rows. Key here: suppkey
+    nulled for low-discount rows (~40% of lineitem — a realistic
+    sparse-FK column)."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.02, F.col("l_suppkey")).alias(
+            "sparse_suppkey"
+        ),
+        "l_quantity",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    matched = li.filter(F.col("sparse_suppkey").isNotNull()).join(
+        supp, F.col("sparse_suppkey") == F.col("s_suppkey"), "left"
+    )
+    nulls = li.filter(F.col("sparse_suppkey").isNull()).select(
+        "*",
+        F.lit(None).cast("bigint").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+    )
+    return matched.unionByName(nulls).select(
+        "l_orderkey",
+        "l_linenumber",
+        "sparse_suppkey",
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+        "s_name",
+    )
+
+
+_NULL_SKEW_ORACLE = """
+SELECT l_orderkey, l_linenumber, sparse_suppkey,
+  CAST(round(l_quantity, 0) AS BIGINT) AS qty, s_name
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+    CASE WHEN l_discount >= 0.02 THEN l_suppkey END AS sparse_suppkey
+  FROM lineitem
+) li
+LEFT JOIN supplier ON sparse_suppkey = s_suppkey
+"""
+
+
+QUERIES = {
+    "join_null_skew_split": q_join_null_skew_split,
+    "join_skew_salted": q_join_skew_salted,
+}
 
 ORACLES = {
+    "join_null_skew_split": _NULL_SKEW_ORACLE,
     "join_skew_salted": """
 SELECT c.c_mktsegment,
   count(*) AS n_events,
