@@ -38,3 +38,14 @@ def test_oracle_parity(spark, sf_dir, name):
         compare(df, con, ORACLES[name], name)
     finally:
         con.close()
+
+
+def test_registry_imports_every_module():
+    """The registry's ImportError guard exists so the engine can grow
+    module-by-module — but a typo'd import must not SILENTLY drop a
+    module's queries from the external gate."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+        queries_registry as qr,
+    )
+
+    assert len(qr._modules()) == len(qr._MODULES)
