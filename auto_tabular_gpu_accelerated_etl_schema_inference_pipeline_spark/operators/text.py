@@ -124,6 +124,26 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic vs the labeled lang —
+    the model-evaluation rollup (per (label, prediction): count and
+    share-of-label ppm). One aggregation over the classifier's map-only
+    scoring; the matrix is ≤ |langs|² rows."""
+    from pyspark.sql import Window
+
+    scored = q_text_lang_id(spark, sf_dir)
+    cm = scored.groupBy(
+        F.col("lang_label"), F.col("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    label_tot = F.sum("n").over(Window.partitionBy("lang_label"))
+    return cm.withColumn("lt", label_tot).select(
+        "lang_label",
+        "lang_pred",
+        "n",
+        F.expr("(n * 1000000) div lt").alias("share_of_label_ppm"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact-dup key) plus
     md5 of the first-5-token prefix (cheap near-dup blocking key). md5 is
@@ -220,10 +240,34 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
+    "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES = {
+    "lang_id_confusion": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_marker_sql('en')} AS c_en,
+    {_marker_sql('fr')} AS c_fr,
+    {_marker_sql('es')} AS c_es,
+    {_marker_sql('de')} AS c_de
+  FROM documents
+), scored AS (
+  SELECT lang AS lang_label,
+    CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+         WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+         WHEN c_es >= c_de THEN 'es'
+         ELSE 'de' END AS lang_pred
+  FROM s
+), cm AS (
+  SELECT lang_label, lang_pred, count(*) AS n FROM scored GROUP BY 1, 2
+)
+SELECT lang_label, lang_pred, n,
+  (n * 1000000) // sum(n) OVER (PARTITION BY lang_label)
+    AS share_of_label_ppm
+FROM cm
+""",
     "text_word_entropy": """
 WITH w AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
