@@ -142,3 +142,27 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_arrow_cosine_lane_matches_builtin(spark, sf_dir):
+    """The mapInPandas BLAS lane must produce the same top-k as the
+    codegen zip_with fold: same (q_id, rank, c_id) triples, cosines
+    within 1e-9 (BLAS accumulation order differs in final ulps)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (
+        q_similarity_topk_cosine,
+        q_similarity_topk_cosine_arrow,
+    )
+
+    exact = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["cosine"])
+        for r in q_similarity_topk_cosine(spark, sf_dir).collect()
+    }
+    arrow = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["cosine"])
+        for r in q_similarity_topk_cosine_arrow(spark, sf_dir).collect()
+    }
+    assert exact.keys() == arrow.keys()
+    for k, (cid, cos) in exact.items():
+        acid, acos = arrow[k]
+        assert acid == cid, (k, cid, acid)
+        assert abs(acos - cos) < 1e-9
