@@ -116,6 +116,11 @@ HEADLINE = [
     "snapshot_diff",
     "weekly_top_parts",
     "k_anonymity_audit",
+    # codegen fold vs Arrow BLAS — the UDF-lane comparison
+    # (similarity_topk_cosine itself is timed above)
+    "similarity_topk_cosine_arrow",
+    "psi_numeric_drift",
+    "join_null_skew_split",
 ]
 
 
