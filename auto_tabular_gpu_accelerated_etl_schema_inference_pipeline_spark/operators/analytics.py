@@ -973,6 +973,52 @@ GROUP BY week
 """
 
 
+def q_trimmed_mean_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistic: 10%-trimmed mean of document token
+    counts per source — outlier-resistant where plain mean is not. Fit:
+    exact per-group p10/p90 (SQL percentile — per-GROUP aggregate state,
+    fine when groups are numerous and small; a single fat group routes
+    to the distributed fit); transform: broadcast the 20-row bounds,
+    filter, exact integer average in micro-units."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("n_tok"),
+    )
+    bounds = lens.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tok, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
+    )
+    kept = lens.join(F.broadcast(bounds), "source").filter(
+        (F.col("n_tok") >= F.col("p10")) & (F.col("n_tok") <= F.col("p90"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("(sum(n_tok) * 1000000) div count(n_tok)").alias(
+            "trimmed_mean_micro"
+        ),
+    )
+
+
+_TRIMMED_ORACLE = """
+WITH lens AS (
+  SELECT source, len(string_split(lower(trim(text)), ' ')) AS n_tok
+  FROM documents
+), b AS (
+  SELECT source,
+    round(quantile_cont(n_tok, 0.1), 6) AS p10,
+    round(quantile_cont(n_tok, 0.9), 6) AS p90
+  FROM lens GROUP BY source
+)
+SELECT source, count(*) AS n_kept,
+  (sum(n_tok) * 1000000) // count(n_tok) AS trimmed_mean_micro
+FROM lens JOIN b USING (source)
+WHERE n_tok >= p10 AND n_tok <= p90
+GROUP BY source
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -985,6 +1031,7 @@ QUERIES = {
     "grouped_linear_regression": q_grouped_linear_regression,
     "category_drift_report": q_category_drift_report,
     "psi_numeric_drift": q_psi_numeric_drift,
+    "trimmed_mean_by_source": q_trimmed_mean_by_source,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -1006,6 +1053,7 @@ ORACLES = {
     "grouped_linear_regression": _GROUPED_OLS_ORACLE,
     "category_drift_report": _DRIFT_ORACLE,
     "psi_numeric_drift": _psi_oracle(),
+    "trimmed_mean_by_source": _TRIMMED_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,
