@@ -320,3 +320,24 @@ def test_dynamic_partition_pruning(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
         )
+
+
+def test_exchange_reuse_in_self_join(spark, sf_dir):
+    """A self-join of the same aggregate must REUSE the shuffle
+    (ReusedExchange/ReusedQueryStage) instead of computing it twice —
+    Spark's automatic common-subplan sharing, worth half the job's IO
+    when a pipeline joins an aggregate to itself (e.g. share-of-total)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    j = (
+        agg.alias("a")
+        .join(agg.alias("b"), F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .filter(F.col("a.q") > 100)
+    )
+    j.collect()  # AQE finalizes reuse at runtime
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
