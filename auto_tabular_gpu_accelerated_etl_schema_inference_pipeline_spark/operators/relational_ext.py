@@ -343,6 +343,35 @@ def q_text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function family: try_divide / try_cast /
+    try_element_at return NULL where strict evaluation raises
+    (divide-by-zero, malformed cast, out-of-bounds index) — the
+    poison-row containment a 100 TB batch needs so one bad record can't
+    kill a ten-hour job. DuckDB mirrors: NULL-on-zero division,
+    TRY_CAST, NULL out-of-range list index."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr("try_divide(100, l_linenumber - 1)"), 6).alias(
+            "safe_div"
+        ),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber <= 3"
+            " THEN cast(l_linenumber as string)"
+            " ELSE 'N/A' END as int)"
+        ).alias("safe_parse"),
+        F.expr("try_element_at(array('a', 'b'), l_linenumber)").alias(
+            "safe_elem"
+        ),
+    )
+
+
+
 QUERIES = {
     "window_funcs_suite": q_window_funcs_suite,
     "agg_grouped_quantiles": q_agg_grouped_quantiles,
@@ -361,6 +390,7 @@ QUERIES = {
     "collect_agg": q_collect_agg,
     "global_topn": q_global_topn,
     "null_funcs": q_null_funcs,
+    "error_safe_funcs": q_error_safe_funcs,
 }
 
 _CORR = """(CAST((count(*) * sum({x} * {y}) - sum({x}) * sum({y})) AS DOUBLE)
@@ -508,6 +538,15 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "error_safe_funcs": """
+SELECT l_orderkey, l_linenumber,
+  round(100 / (l_linenumber - 1), 6) AS safe_div,
+  TRY_CAST(CASE WHEN l_linenumber <= 3
+           THEN CAST(l_linenumber AS VARCHAR)
+           ELSE 'N/A' END AS INTEGER) AS safe_parse,
+  (['a', 'b'])[l_linenumber] AS safe_elem
+FROM lineitem
 """,
     "null_funcs": """
 SELECT c_custkey,
