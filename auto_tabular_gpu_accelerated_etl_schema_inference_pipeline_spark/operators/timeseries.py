@@ -571,7 +571,37 @@ def q_events_running_distinct_types(
     )
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def q_tz_conversion_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-conversion family: UTC event instants rendered as local
+    wall-clock in DST-free zones (Asia/Tokyo +9, Asia/Kolkata +5:30 —
+    fixed offsets, so the IANA-db vintage can't desync the engines).
+    Integer outputs (local hour/minute + day shift) keep the comparison
+    type-trivial. Map-only."""
+    ev = _ev(spark, sf_dir)
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    kolkata = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    utc_day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    return ev.select(
+        "event_id",
+        F.hour(tokyo).cast("int").alias("tokyo_hour"),
+        F.minute(kolkata).cast("int").alias("kolkata_minute"),
+        (
+            F.expr(
+                "datediff(cast(from_utc_timestamp(ts, 'Asia/Tokyo') as date),"
+                " date'1970-01-01')"
+            )
+            - utc_day
+        )
+        .cast("int")
+        .alias("tokyo_day_shift"),
+    )
+
+
 QUERIES = {
+    "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
     "cep_pattern_match": q_cep_pattern_match,
@@ -591,6 +621,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tz_conversion_funcs": f"""
+SELECT event_id,
+  CAST(extract(hour FROM timezone('Asia/Tokyo', ts::TIMESTAMPTZ))
+       AS INTEGER) AS tokyo_hour,
+  CAST(extract(minute FROM timezone('Asia/Kolkata', ts::TIMESTAMPTZ))
+       AS INTEGER) AS kolkata_minute,
+  CAST(epoch_us(CAST(timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS DATE)
+                ::TIMESTAMP) // {_US_PER_DAY}
+       - epoch_us(ts) // {_US_PER_DAY} AS INTEGER) AS tokyo_day_shift
+FROM events
+""",
     "events_running_distinct_types": """
 SELECT event_id, user_id, event_type,
   CAST(len(list_distinct(list(event_type) OVER (

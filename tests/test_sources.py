@@ -504,3 +504,21 @@ def test_copy_into_idempotent_loader(spark, sf_dir):
         assert total2 == 800
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_hidden_metadata_column(spark, sf_dir):
+    """The parquet reader must expose the hidden _metadata struct
+    (file_name/file_size/row_index) — row-level provenance without any
+    ETL bookkeeping column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    meta = df.select(
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    first = meta.first()
+    assert first["fn"] == "events.parquet"
+    assert meta.where(F.col("ri") == 0).count() == 1
