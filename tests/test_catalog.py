@@ -101,3 +101,22 @@ def test_analyze_table_cbo_stats(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """spark.sql named-parameter binding (Spark 4): same plan+result as
+    the literal query, no string interpolation (the injection-safe API
+    a production query service uses)."""
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).createOrReplaceTempView(
+        "v_param_orders"
+    )
+    got = spark.sql(
+        "SELECT count(*) AS n FROM v_param_orders WHERE o_totalprice > :thr",
+        args={"thr": 400000.0},
+    ).first()["n"]
+    want = spark.sql(
+        "SELECT count(*) AS n FROM v_param_orders WHERE o_totalprice > 400000.0"
+    ).first()["n"]
+    assert got == want and got > 0
