@@ -1019,6 +1019,65 @@ GROUP BY source
 """
 
 
+def q_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per returnflag: the smallest price
+    whose cumulative weight reaches half the group total (lower weighted
+    median — integer-exact: 2·cum ≥ total avoids any division). The
+    cumulative sum runs over a PARTITIONED window (one shuffle on the
+    group key, per-group local sort) — the distributed exact form; a
+    single fat group routes to the prefix-sum machinery instead
+    (quantile_bin.cumulative_value_counts)."""
+    configure_for_oracle(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.round("l_quantity", 0).cast("bigint")
+    base = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        w.alias("w"),
+    )
+    ww = Window.partitionBy("l_returnflag").orderBy(
+        F.col("price").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    cum = F.sum("w").over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("w").over(Window.partitionBy("l_returnflag"))
+    return (
+        base.withColumn("cum", cum)
+        .withColumn("tot", tot)
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tot").alias("total_qty"),
+        )
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+    l_extendedprice AS price,
+    CAST(round(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, price,
+    sum(w) OVER (PARTITION BY l_returnflag
+                 ORDER BY price ASC, l_orderkey ASC, l_linenumber ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM base
+)
+SELECT l_returnflag, min(price) AS weighted_median_price,
+  CAST(min(tot) AS BIGINT) AS total_qty
+FROM c WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -1032,6 +1091,7 @@ QUERIES = {
     "category_drift_report": q_category_drift_report,
     "psi_numeric_drift": q_psi_numeric_drift,
     "trimmed_mean_by_source": q_trimmed_mean_by_source,
+    "weighted_median_by_flag": q_weighted_median_by_flag,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": q_orders_market_basket,
     "key_skew_profile": q_key_skew_profile,
@@ -1054,6 +1114,7 @@ ORACLES = {
     "category_drift_report": _DRIFT_ORACLE,
     "psi_numeric_drift": _psi_oracle(),
     "trimmed_mean_by_source": _TRIMMED_ORACLE,
+    "weighted_median_by_flag": _WMEDIAN_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
     "key_skew_profile": _SKEW_ORACLE,
