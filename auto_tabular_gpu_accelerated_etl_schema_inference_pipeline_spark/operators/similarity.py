@@ -477,8 +477,111 @@ GROUP BY ex.vec_id, ex.label
 """
 
 
+#: SemDeDup cluster count — seed centroids are the K lowest vec_ids
+#: (a deterministic KMeans-init step, so the oracle can replay it).
+SEMDEDUP_K = 8
+
+
+def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication = partition
+    the embedding space into clusters, then search for near-duplicates
+    only WITHIN each cluster — the trick that keeps the quadratic pair
+    work local and makes embedding dedup feasible at web scale.
+
+    Here the cluster model is deterministic so the oracle can replay it:
+    the K lowest vec_ids act as fixed seed centroids (exactly a KMeans
+    init + one Lloyd assignment step), and each vector goes to the seed
+    with the smallest integer-exact squared distance (components micro-
+    quantized to BIGINT; ties broken by centroid id). Within a cluster,
+    members with cosine >= COSINE_DUP_THRESHOLD against a LOWER vec_id
+    are flagged ``dropped`` (keep-lowest-id, the paper's policy). Cosine
+    uses the module's bit-identical sequential double fold.
+
+    Scale shape (100 TB): the centroid table is K rows — broadcast; the
+    assignment pass is map-only. The pair stage shuffles once on
+    cluster_id and is quadratic only per cluster — with a real KMeans
+    fit (pyspark.ml, ~100k centroids at web scale) expected cluster
+    size stays bounded, which is the whole point of SemDeDup vs
+    all-pairs cosine (q_similarity_cosine_dedup's blocked subset)."""
+    emb = _emb(spark, sf_dir)
+    vm = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    vecs = emb.select("vec_id", vm.alias("vm"), _dbl_vec("embedding").alias("v"))
+    seeds = vecs.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("vm").alias("cvec")
+    )
+    ssd = F.aggregate(
+        F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", F.struct(ssd.alias("ssd"), "cid").alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("m"), F.first("v").alias("v"))
+        .select("vec_id", F.col("m.cid").alias("cluster_id"), "v")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), "cluster_id", F.col("v").alias("a_v")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "cluster_id", F.col("v").alias("b_v")
+    )
+    dropped = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_cosine(F.col("a_v"), F.col("b_v")) >= COSINE_DUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assigned.join(dropped, ["vec_id"], "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.coalesce("dropped", F.lit(0)).cast("int").alias("dropped"),
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH vm AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, vm AS cvec FROM vm WHERE vec_id < {SEMDEDUP_K}
+), scored AS (
+  SELECT v.vec_id, s.cid,
+    list_sum(list_transform(list_zip(v.vm, s.cvec),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS ssd
+  FROM vm v CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ssd, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {COSINE_DUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cluster_id AS INTEGER) AS cluster_id,
+  CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS dropped
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
+    "semdedup_embedding": q_semdedup_embedding,
     "embedding_centroids": q_embedding_centroids,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
@@ -490,6 +593,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_centroids": _CENTROID_ORACLE,
+    "semdedup_embedding": _SEMDEDUP_ORACLE,
     "similarity_topk_cosine": f"""
 WITH scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
