@@ -49,6 +49,7 @@ _MODULES = [
     "operators.asof_pandas",
     "operators.udtf_queries",
     "operators.variant_json",
+    "operators.xml_roundtrip",
     "functions.skew",
     "operators.tpch_deep",
     "operators.quantile_bin_queries",

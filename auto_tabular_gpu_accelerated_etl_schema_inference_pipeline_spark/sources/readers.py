@@ -163,3 +163,19 @@ def footer_stats(
     finally:
         conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Native XML scan (Spark 4 built-in ``xml`` source — no external
+    package). Without ``schema`` the reader infers types by sampling,
+    like CSV/JSON; at scale, infer once and pass the frozen schema (the
+    same freeze-the-schema discipline as read_csv/read_json)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -71,6 +71,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """Native XML sink (Spark 4 built-in ``xml`` source). Row-oriented
+    text like CSV/JSON — an interchange format for feeds that demand it,
+    never the analytics hot path (no columnar pruning, no pushdown)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,
