@@ -177,3 +177,101 @@ def copy_into(
             json.dump(sorted(loaded | set(fresh)), f)
         os.replace(tmp, manifest_path)
     return len(fresh)
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    partition_col: str | None = None,
+    tombstone_col: str | None = None,
+) -> None:
+    """MERGE INTO semantics over plain parquet: latest-wins upsert plus
+    optional tombstone deletes — the batch twin of
+    streaming.foreach_batch's micro-batch upsert, and the write-side
+    half the reference (parquet-only, etl_benchmark.py:19) never needed.
+
+    Per key, the surviving row is the one with the greatest
+    (version_col, is_source) pair — source wins version ties, so
+    re-merging the same batch is idempotent. Rows whose winner carries
+    ``tombstone_col = true`` are deleted.
+
+    Scale shape: with ``partition_col``, only partitions PRESENT IN THE
+    SOURCE are read (partition-pruned scan via an IN filter on the
+    collected source partition values — bounded: one row per touched
+    partition) and only those partition directories are rewritten
+    (``partitionOverwriteMode=dynamic``). A 100 TB table with a 1 GB
+    daily delta rewrites ~the delta's partitions, not the table. Without
+    ``partition_col`` the whole table is rewritten — correct but only
+    sensible for small dimension tables; table formats (Delta/Iceberg)
+    exist precisely to shrink this rewrite to file granularity.
+    """
+    from pyspark.sql import functions as SF
+
+    exists = False
+    try:
+        target = spark.read.parquet(target_path)
+        exists = True
+    except Exception:
+        target = None
+    src = source.withColumn("_is_source", SF.lit(1))
+    if exists:
+        if partition_col is not None:
+            touched = [
+                r[0]
+                for r in source.select(partition_col).distinct().collect()
+            ]
+            target = target.filter(SF.col(partition_col).isin(touched))
+        # target rows written by a previous merge no longer carry the
+        # tombstone column — union with allowMissingColumns so they
+        # surface it as null (== not deleted)
+        merged = target.withColumn("_is_source", SF.lit(0)).unionByName(
+            src, allowMissingColumns=True
+        )
+    else:
+        merged = src
+    w_key = SF.struct(SF.col(version_col), SF.col("_is_source"))
+    latest = (
+        merged.withColumn("_wk", w_key)
+        .groupBy(*key_cols)
+        .agg(SF.max_by(SF.struct("*"), SF.col("_wk")).alias("_row"))
+        .select("_row.*")
+        .drop("_wk", "_is_source")
+    )
+    if tombstone_col is not None:
+        latest = latest.filter(
+            ~SF.coalesce(SF.col(tombstone_col), SF.lit(False))
+        ).drop(tombstone_col)
+    if exists:
+        # the merged plan reads target_path and the write replaces it —
+        # materialize first (eager localCheckpoint severs the file-scan
+        # lineage; Spark otherwise refuses to overwrite an input path).
+        # Bounded: the partition-scoped merge checkpoints only touched
+        # partitions. A cluster deployment would checkpoint to reliable
+        # storage or stage to a sibling dir + swap instead.
+        latest = latest.localCheckpoint()
+    writer = latest.write.mode("overwrite")
+    if partition_col is not None and exists:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_path)
+    if partition_col is not None and exists and tombstone_col is not None:
+        # dynamic overwrite only replaces partitions it WRITES — a
+        # partition whose every row was tombstoned produces no output
+        # rows and would otherwise survive stale; drop its directory
+        survived = {
+            r[0] for r in latest.select(partition_col).distinct().collect()
+        }
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(target_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for val in set(touched) - survived:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{target_path}/{partition_col}={val}"
+            )
+            if fs.exists(p):
+                fs.delete(p, True)

@@ -522,3 +522,99 @@ def test_hidden_metadata_column(spark, sf_dir):
     first = meta.first()
     assert first["fn"] == "events.parquet"
     assert meta.where(F.col("ri") == 0).count() == 1
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native XML write -> read with frozen schema recovers every row."""
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_xml")
+    sinks.write_xml(nation, p, row_tag="nation", root_tag="nations")
+    back = readers.read_xml(
+        spark, p, row_tag="nation", schema=nation.schema
+    )
+    assert back.count() == nation.count()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """MERGE on plain parquet: updates win by version, inserts land,
+    tombstones delete (including emptying a whole partition), untouched
+    partitions are physically left alone, and re-merging the same batch
+    is a no-op."""
+    target = str(tmp_path / "merge_target")
+    seed = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (2, "a", 11, 100),
+            (3, "b", 12, 100),
+            (4, "c", 13, 100),
+        ],
+        "id int, part string, val int, v int",
+    )
+    sinks.merge_upsert(spark, target, seed, ["id"], "v", partition_col="part")
+    before = {
+        f for f in os.listdir(os.path.join(target, "part=b"))
+        if not f.startswith("_")
+    }
+
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 99, 200, False),   # update
+            (5, "a", 14, 200, False),   # insert
+            (4, "c", 0, 200, True),     # tombstone -> empties part=c
+        ],
+        "id int, part string, val int, v int, deleted boolean",
+    )
+    sinks.merge_upsert(
+        spark, target, batch, ["id"], "v",
+        partition_col="part", tombstone_col="deleted",
+    )
+    got = {
+        (r.id, r.part, r.val, r.v)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, "a", 99, 200),
+        (2, "a", 11, 100),
+        (3, "b", 12, 100),
+        (5, "a", 14, 200),
+    }
+    # part=c emptied by the tombstone -> directory gone
+    assert not os.path.exists(os.path.join(target, "part=c"))
+    # part=b untouched by the batch -> same physical files
+    after = {
+        f for f in os.listdir(os.path.join(target, "part=b"))
+        if not f.startswith("_")
+    }
+    assert after == before
+
+    # idempotent: re-merging the identical batch changes nothing
+    sinks.merge_upsert(
+        spark, target, batch, ["id"], "v",
+        partition_col="part", tombstone_col="deleted",
+    )
+    again = {
+        (r.id, r.part, r.val, r.v)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
+
+
+def test_merge_upsert_full_table(spark, tmp_path):
+    """Without partition_col: whole-table latest-wins merge (dimension-
+    table mode)."""
+    target = str(tmp_path / "merge_dim")
+    seed = spark.createDataFrame(
+        [(1, "x", 100), (2, "y", 100)], "id int, name string, v int"
+    )
+    sinks.merge_upsert(spark, target, seed, ["id"], "v")
+    batch = spark.createDataFrame(
+        [(2, "y2", 200), (3, "z", 200)], "id int, name string, v int"
+    )
+    sinks.merge_upsert(spark, target, batch, ["id"], "v")
+    got = {
+        (r.id, r.name, r.v) for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, "x", 100), (2, "y2", 200), (3, "z", 200)}
