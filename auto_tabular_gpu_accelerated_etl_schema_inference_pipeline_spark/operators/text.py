@@ -234,7 +234,90 @@ def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter #3 (Rae et al. 2021): the fraction of
+    characters covered by the MOST FREQUENT word bigram — templated spam
+    repeats one phrase, which q_text_repetition's distinct-ratio can
+    miss when the rest of the doc is varied.
+
+    Plan shape: entirely map-only — the per-doc argmax runs INSIDE array
+    expressions (count each distinct bigram with filter(), take
+    array_min of (-count, bigram) structs so 'highest count, then
+    lexicographically first' is one struct comparison). No explode, no
+    shuffle: at 100 TB this is a single pass over the documents scan.
+    Per-doc cost is O(distinct_bigrams²), bounded by doc length.
+
+    Coverage is exact integer ppm: (1e6 * count * len(bigram)) div
+    len(normalized text) — truncating integer division agrees across
+    engines on non-negatives."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    bgs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    best = F.array_min(
+        F.transform(
+            F.array_distinct(F.col("bgs")),
+            lambda b: F.struct(
+                (
+                    -F.size(F.filter(F.col("bgs"), lambda x: x == b))
+                ).alias("negcnt"),
+                b.alias("bg"),
+            ),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", norm.alias("norm"), n.alias("n"), bgs.alias("bgs")
+        )
+        # n >= 2: same sequence(1, 0) guard as q_text_repetition
+        .filter(F.col("n") >= 2)
+        .select("doc_id", "norm", best.alias("best"))
+        .select(
+            "doc_id",
+            F.col("best.bg").alias("top_bigram"),
+            (-F.col("best.negcnt")).cast("bigint").alias("bg_count"),
+            F.expr(
+                "(1000000 * (-best.negcnt) * length(best.bg))"
+                " div length(norm)"
+            ).cast("bigint").alias("cover_ppm"),
+        )
+    )
+
+
+_TOP_NGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS norm,
+    string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, norm,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+), counted AS (
+  SELECT doc_id, any_value(norm) AS norm, bg, count(*) AS cnt
+  FROM bg GROUP BY doc_id, bg
+), ranked AS (
+  SELECT doc_id, norm, bg, cnt,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC)
+      AS rn
+  FROM counted
+)
+SELECT doc_id, bg AS top_bigram, CAST(cnt AS BIGINT) AS bg_count,
+  CAST((1000000 * cnt * length(bg)) // length(norm) AS BIGINT)
+    AS cover_ppm
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "text_top_ngram_cover": q_text_top_ngram_cover,
     "text_word_entropy": q_text_word_entropy,
     "text_repetition": q_text_repetition,
     "text_token_count": q_text_token_count,
@@ -245,6 +328,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_top_ngram_cover": _TOP_NGRAM_ORACLE,
     "lang_id_confusion": f"""
 WITH s AS (
   SELECT doc_id, lang,
