@@ -579,9 +579,134 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+#: product quantization geometry: 64-dim vectors -> PQ_M subspaces of
+#: PQ_DSUB dims; per-subspace codebook = the PQ_K lowest vec_ids'
+#: subvectors (deterministic init, same policy as SEMDEDUP_K seeds)
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
+
+
+def q_similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance computation — the third ANN family next to the hyperplane-
+    LSH and IVF variants, and unlike those it is VALUE-verified: the
+    codebooks are deterministic (subvectors of the PQ_K lowest vec_ids)
+    and every distance is integer-exact micro-unit SSD, so the oracle
+    replays encode + ADC bit-for-bit.
+
+    encode: each vector splits into PQ_M subvectors; each subvector maps
+    to the nearest codeword (argmin integer SSD, ties to the lower code
+    id) — the vector compresses to PQ_M small codes (8 bytes here vs
+    256 raw: the memory story that makes billion-scale ANN fit in RAM).
+    query: per (query, subspace, codeword) distances form a lookup
+    table; a candidate's approximate distance is the sum of PQ_M table
+    entries for its codes — no candidate vector is ever touched.
+
+    Scale shape: the codebook (PQ_M x PQ_K subvectors) and the per-query
+    LUT (n_queries x PQ_M x PQ_K rows) are both broadcast; encoding and
+    ADC scoring are map-only over the corpus; the only shuffle is the
+    final per-query top-k aggregation of (q_id, c_id) partial sums."""
+    emb = _emb(spark, sf_dir)
+    vm = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    vecs = emb.select("vec_id", vm.alias("vm"))
+    subv = vecs.select(
+        "vec_id",
+        "vm",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(vm, sub * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
+    )
+    cb = subv.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    ssd = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    enc = (
+        subv.join(F.broadcast(cb), ["sub"])
+        .select(
+            "vec_id", "sub", F.struct(ssd.alias("ssd"), "code").alias("sc")
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("sc").alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+    lut = (
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), ["sub"])
+        .select("q_id", "sub", "code", ssd.alias("ssd"))
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("ssd").alias("approx_ssd"))
+    )
+    w = Window.partitionBy("q_id").orderBy("approx_ssd", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "approx_ssd")
+    )
+
+
+_PQ_ORACLE = f"""
+WITH vm AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+  FROM embeddings
+), subv AS (
+  SELECT vec_id, sub,
+    list_transform(generate_series(1, {PQ_DSUB}),
+      i -> vm[sub * {PQ_DSUB} + i]) AS sv
+  FROM (SELECT vec_id, vm,
+          unnest(generate_series(0, {PQ_M - 1})) AS sub FROM vm)
+), cb AS (
+  SELECT vec_id AS code, sub, sv AS cv FROM subv WHERE vec_id < {PQ_K}
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        ORDER BY list_sum(list_transform(list_zip(s.sv, c.cv),
+          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.code) AS rn
+    FROM subv s JOIN cb c ON s.sub = c.sub
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub, c.code,
+    list_sum(list_transform(list_zip(q.sv, c.cv),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS ssd
+  FROM subv q JOIN cb c ON q.sub = c.sub
+  WHERE q.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT l.q_id, e.vec_id AS c_id, sum(l.ssd) AS approx_ssd
+  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+  WHERE e.vec_id != l.q_id
+  GROUP BY l.q_id, e.vec_id
+), ranked AS (
+  SELECT q_id, c_id, approx_ssd,
+    CAST(row_number() OVER (PARTITION BY q_id
+      ORDER BY approx_ssd, c_id) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT q_id, rank, c_id, CAST(approx_ssd AS BIGINT) AS approx_ssd
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
+    "similarity_pq_adc_topk": q_similarity_pq_adc_topk,
     "embedding_centroids": q_embedding_centroids,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
@@ -594,6 +719,7 @@ QUERIES = {
 ORACLES = {
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,
+    "similarity_pq_adc_topk": _PQ_ORACLE,
     "similarity_topk_cosine": f"""
 WITH scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
