@@ -121,6 +121,11 @@ HEADLINE = [
     "similarity_topk_cosine_arrow",
     "psi_numeric_drift",
     "join_null_skew_split",
+    # round-3 continuation
+    "semdedup_embedding",
+    "similarity_pq_adc_topk",
+    "text_top_ngram_cover",
+    "xml_roundtrip_events",
 ]
 
 
