@@ -354,7 +354,76 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: documents per training batch within a length bucket
+LENGTH_BATCH_SIZE = 8
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching — the padding-efficiency complement to
+    q_sequence_packing: instead of concatenating short docs, group docs
+    of SIMILAR length into fixed-size batches so per-batch padding to
+    the batch max wastes little compute (the standard dataloader trick
+    for variable-length training).
+
+    Buckets are powers of two of the whitespace-token count
+    (bucket = ceil(log2(n))); within a bucket, docs are batched
+    LENGTH_BATCH_SIZE at a time in doc_id order. Per batch the query
+    reports the padding waste it would pay — exact integer ppm of
+    (batch_size * max_tokens - sum_tokens) / (batch_size * max_tokens).
+
+    Scale shape: one shuffle on the bucket key for the ordering window;
+    everything else is per-batch aggregation. At 100 TB you'd
+    repartitionByRange on (bucket, doc_id) so each output shard holds
+    whole batches."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    with_b = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.ceil(F.log2(n_tok)).cast("int").alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = with_b.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / LENGTH_BATCH_SIZE)
+        .cast("int"),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.expr(
+            "1000000 * (count(*) * max(n_tokens) - sum(n_tokens))"
+            " div (count(*) * max(n_tokens))"
+        ).cast("bigint").alias("pad_waste_ppm"),
+    )
+
+
+_LENGTH_BUCKET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(ceil(log2(len(string_split(text, ' ')))) AS INTEGER) AS bucket
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, bucket,
+    CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+      // {LENGTH_BATCH_SIZE} AS INTEGER) AS batch_id
+  FROM t
+)
+SELECT bucket, batch_id, CAST(count(*) AS INTEGER) AS n_docs,
+  max(n_tokens) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(1000000 * (count(*) * max(n_tokens) - sum(n_tokens))
+    // (count(*) * max(n_tokens)) AS BIGINT) AS pad_waste_ppm
+FROM b GROUP BY bucket, batch_id
+"""
+
+
 QUERIES = {
+    "length_bucket_batches": q_length_bucket_batches,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "sequence_packing": q_sequence_packing,
@@ -365,6 +434,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "length_bucket_batches": _LENGTH_BUCKET_ORACLE,
     "pii_redact": f"""
 SELECT event_id,
   regexp_replace(regexp_replace(props, '{RE_EMAIL}', '<EMAIL>', 'g'),

@@ -78,7 +78,7 @@ QUERIES = {
 ORACLES = {
     "xml_roundtrip_events": f"""
 SELECT event_type, count(*) AS n,
-  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 WHERE event_id < {XML_MAX_EVENT_ID}
 GROUP BY event_type

@@ -209,9 +209,48 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the third dedup API next to batch
+    dropDuplicates and streaming watermarked dropDuplicates: state for a
+    key is evicted once the watermark passes its event time, so the
+    guarantee is 'no duplicates within the delay', not 'exactly once
+    ever' — the right contract when upstream retries can only replay
+    recent data, and the reason its state stays bounded WITHOUT the
+    forever-keys memory leak.
+
+    Determinism tier: with the delay wider than the fixture's whole time
+    span and a bounded drain, no key can re-emit, so the emitted key set
+    equals batch DISTINCT — an exact oracle for the API wiring. The
+    re-emit-after-eviction behavior is inherently arrival-order-
+    dependent (which replay emits depends on batch boundaries); its
+    batch-expressible twin is events_debounce's lag()-gap dedup."""
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "stream_dedup_wm_out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling_window,
     "streaming_dedup_keys": q_streaming_dedup_keys,
+    "streaming_dedup_within_watermark": q_streaming_dedup_within_watermark,
     "streaming_session_window": q_streaming_session_window,
     "streaming_sliding_window": q_streaming_sliding_window,
 }
@@ -227,6 +266,9 @@ FROM events
 GROUP BY 1, 2
 """,
     "streaming_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "streaming_dedup_within_watermark": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
     # byte-identical oracle to the batch native session_window query:
