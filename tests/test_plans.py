@@ -341,3 +341,48 @@ def test_exchange_reuse_in_self_join(spark, sf_dir):
     j.collect()  # AQE finalizes reuse at runtime
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
+
+
+def test_semdedup_broadcasts_seeds(spark, sf_dir):
+    """SemDeDup's centroid assignment must broadcast the K-row seed
+    table (a shuffle of the corpus against an 8-row side is the wrong
+    plan), and the pair stage must join on cluster_id without a
+    nested-loop."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (
+        q_semdedup_embedding,
+    )
+
+    df = q_semdedup_embedding(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus-vs-corpus pair join must be an equi-join on cluster_id,
+    # never a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
+    """PQ encode joins the corpus subvectors against the broadcast
+    codebook; ADC joins codes against the broadcast LUT — neither side
+    may shuffle the corpus on codebook keys."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (
+        q_similarity_pq_adc_topk,
+    )
+
+    df = q_similarity_pq_adc_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_ngram_cover_map_only(spark, sf_dir):
+    """The per-doc argmax runs inside array expressions: no exchange, no
+    window, no join anywhere in the plan."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text import (
+        q_text_top_ngram_cover,
+    )
+
+    df = q_text_top_ngram_cover(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
