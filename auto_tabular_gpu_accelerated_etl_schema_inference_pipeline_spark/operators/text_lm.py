@@ -118,12 +118,131 @@ FROM tok GROUP BY 1, 2
 """
 
 
+#: number of BPE merge rounds the query performs (and the oracle unrolls)
+BPE_ROUNDS = 5
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) — the tokenizer-
+    training step of an LLM data pipeline, run as a deterministic
+    iterative algorithm: each round counts adjacent symbol pairs
+    (weighted by word frequency), merges the most frequent pair
+    (ties: higher count, then lexicographic), and rewrites the
+    vocabulary. Returns the learned merge table.
+
+    Scale shape — the reason BPE distributes at all: the iteration
+    state is the word-FREQUENCY table (Zipf-bounded: millions of rows
+    at 100 TB, not the corpus), built by ONE corpus pass. Each round is
+    one bounded pair-count shuffle over that table plus a 1-ROW argmax
+    collect (the fit-step collection pattern, same tier as quantile
+    boundary fitting); the rewrite is map-only string replace. State is
+    localCheckpoint-pinned per round so lineage doesn't re-execute
+    earlier rounds (the connected-components lesson).
+
+    Exactness: symbol strings are space-joined; the merge rewrite is
+    non-overlapping left-to-right replace of ' a b ' in the padded
+    string — identical semantics in Spark and DuckDB, so the oracle
+    replays all BPE_ROUNDS rounds bit-for-bit."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    vocab = wf.select(
+        "w",
+        "f",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" #")
+        ).alias("s"),
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, BPE_ROUNDS + 1):
+        toks = F.split("s", " ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        )
+        best = (
+            vocab.select("f", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((step, best["a"], best["b"], int(best["c"])))
+        pat = f" {best['a']} {best['b']} "
+        rep = f" {best['a']}{best['b']} "
+        vocab = vocab.select(
+            "w",
+            "f",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(pat),
+                    F.lit(rep),
+                )
+            ).alias("s"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of q_bpe_merges' iteration."""
+    sql = """
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+  GROUP BY w
+), v1 AS (
+  SELECT w, f,
+    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' #' AS s
+  FROM wf
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""", p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(f) AS BIGINT) AS c
+  FROM (SELECT f,
+          unnest(list_transform(
+            generate_series(1, len(string_split(s, ' ')) - 1),
+            i -> [string_split(s, ' ')[i], string_split(s, ' ')[i + 1]]))
+            AS pr
+        FROM v{i})
+  GROUP BY a, b
+), m{i} AS (
+  SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1
+), v{i + 1} AS (
+  SELECT w, f,
+    trim(replace(' ' || s || ' ',
+      ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',
+      ' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' ')) AS s
+  FROM v{i})"""
+    selects = [
+        f"SELECT {i} AS merge_step, a AS lhs, b AS rhs, c AS pair_count"
+        f" FROM m{i}"
+        for i in range(1, rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "unigram_lm_score": q_unigram_lm_score,
     "feature_hashing_bow": q_feature_hashing_bow,
 }
 
 ORACLES = {
+    "bpe_merges": _bpe_oracle(BPE_ROUNDS),
     "unigram_lm_score": _UNIGRAM_ORACLE,
     "feature_hashing_bow": _HASHING_ORACLE,
 }
