@@ -292,7 +292,69 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view when BOTH
+    sides receive deltas — the classic IVM identity
+    new(A ⋈ B) = A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB,
+    applied to orders ⋈ customer rolled up to (c_nationkey,
+    o_orderpriority). Each of the four terms is partially aggregated,
+    then merged by ADDITION (counts + exact integer cents) — the oracle
+    computes the direct full join+rollup, so the identity (and the
+    mergeability of the partials) is value-proven.
+
+    This is how a 100 TB materialized view absorbs a daily delta: the
+    base partials (A₀⋈B₀) are FROZEN from the previous refresh; only
+    the three delta terms compute, and each is delta-sized on at least
+    one side (ΔA⋈B₀ broadcast-joins the small delta against the big
+    base or probes a pre-bucketed layout — never a full recompute).
+    Deltas here are deterministic key-mod slices so the fixture replay
+    is stable."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    da = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    db = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    def partial(o, c):
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("cents"),
+            )
+        )
+
+    terms = (
+        partial(a0, b0)
+        .unionAll(partial(da, b0))
+        .unionAll(partial(a0, db))
+        .unionAll(partial(da, db))
+    )
+    return terms.groupBy("c_nationkey", "o_orderpriority").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_IVM_JOIN_ORACLE = """
+SELECT c.c_nationkey, o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey, o.o_orderpriority
+"""
+
+
 QUERIES = {
+    "incremental_join_view": q_incremental_join_view,
     "sample_weighted": q_sample_weighted,
     "incremental_backfill_merge": q_incremental_backfill_merge,
     "train_val_test_split": q_train_val_test_split,
@@ -303,6 +365,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_join_view": _IVM_JOIN_ORACLE,
     "sample_weighted": _WEIGHTED_ORACLE,
     "incremental_backfill_merge": _BACKFILL_ORACLE,
     "train_val_test_split": """
