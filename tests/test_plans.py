@@ -386,3 +386,35 @@ def test_top_ngram_cover_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_aqe_coalesces_small_shuffle(spark, sf_dir):
+    """AQE partition coalescing: a low-cardinality aggregate shuffled
+    across many partitions must be read back as few coalesced partitions
+    — at 100 TB this is what keeps reducer counts matched to actual
+    bytes instead of a static spark.sql.shuffle.partitions guess."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        df.collect()  # adaptive plans finalize on execution
+        plan = formatted_plan(df)
+        assert "AQEShuffleRead" in plan, plan
+        assert "coalesced" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
