@@ -122,27 +122,9 @@ FROM tok GROUP BY 1, 2
 BPE_ROUNDS = 5
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary induction (Sennrich et al. 2016) — the tokenizer-
-    training step of an LLM data pipeline, run as a deterministic
-    iterative algorithm: each round counts adjacent symbol pairs
-    (weighted by word frequency), merges the most frequent pair
-    (ties: higher count, then lexicographic), and rewrites the
-    vocabulary. Returns the learned merge table.
-
-    Scale shape — the reason BPE distributes at all: the iteration
-    state is the word-FREQUENCY table (Zipf-bounded: millions of rows
-    at 100 TB, not the corpus), built by ONE corpus pass. Each round is
-    one bounded pair-count shuffle over that table plus a 1-ROW argmax
-    collect (the fit-step collection pattern, same tier as quantile
-    boundary fitting); the rewrite is map-only string replace. State is
-    localCheckpoint-pinned per round so lineage doesn't re-execute
-    earlier rounds (the connected-components lesson).
-
-    Exactness: symbol strings are space-joined; the merge rewrite is
-    non-overlapping left-to-right replace of ' a b ' in the padded
-    string — identical semantics in Spark and DuckDB, so the oracle
-    replays all BPE_ROUNDS rounds bit-for-bit."""
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Shared BPE fit: returns (merge list, final vocabulary DataFrame
+    (w, f, s) with s = space-joined symbols after BPE_ROUNDS merges)."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     wf = (
@@ -191,13 +173,67 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         ).localCheckpoint()
+    return merges, vocab
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) — the tokenizer-
+    training step of an LLM data pipeline, run as a deterministic
+    iterative algorithm: each round counts adjacent symbol pairs
+    (weighted by word frequency), merges the most frequent pair
+    (ties: higher count, then lexicographic), and rewrites the
+    vocabulary. Returns the learned merge table.
+
+    Scale shape — the reason BPE distributes at all: the iteration
+    state is the word-FREQUENCY table (Zipf-bounded: millions of rows
+    at 100 TB, not the corpus), built by ONE corpus pass. Each round is
+    one bounded pair-count shuffle over that table plus a 1-ROW argmax
+    collect (the fit-step collection pattern, same tier as quantile
+    boundary fitting); the rewrite is map-only string replace. State is
+    localCheckpoint-pinned per round so lineage doesn't re-execute
+    earlier rounds (the connected-components lesson).
+
+    Exactness: symbol strings are space-joined; the merge rewrite is
+    non-overlapping left-to-right replace of ' a b ' in the padded
+    string — identical semantics in Spark and DuckDB, so the oracle
+    replays all BPE_ROUNDS rounds bit-for-bit."""
+    merges, _ = _bpe_fit(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_step int, lhs string, rhs string, pair_count bigint"
     )
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled DuckDB replay of q_bpe_merges' iteration."""
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply step — tokenize every document with the vocabulary
+    learned by q_bpe_merges' fit and report per-doc BPE token counts
+    (the sizing number a training pipeline actually consumes: context-
+    window budgeting, packing, cost estimates).
+
+    Because merges operate on whole words, encoding is a WORD-LEVEL
+    lookup: the fitted vocabulary (word -> merged symbol string) is
+    Zipf-bounded and broadcast; the corpus pass is explode -> broadcast
+    hash join -> per-doc sum. No per-document merge replay — the fit
+    already paid it once."""
+    _, vocab = _bpe_fit(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    per_word = F.size(F.split("s", " ")).cast("bigint")
+    return (
+        words.join(F.broadcast(vocab.select("w", "s")), ["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(per_word).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_prefix(rounds: int) -> str:
+    """Shared unrolled DuckDB replay of the BPE fit (CTEs wf, v1..v{n+1},
+    p1..pn, m1..mn)."""
     sql = """
 WITH wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f
@@ -227,22 +263,42 @@ WITH wf AS (
       ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',
       ' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' ')) AS s
   FROM v{i})"""
+    return sql
+
+
+def _bpe_oracle(rounds: int) -> str:
     selects = [
         f"SELECT {i} AS merge_step, a AS lhs, b AS rhs, c AS pair_count"
         f" FROM m{i}"
         for i in range(1, rounds + 1)
     ]
-    return sql + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_prefix(rounds) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    return (
+        _bpe_prefix(rounds)
+        + f"""
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents) d
+JOIN v{rounds + 1} v ON d.w = v.w
+GROUP BY d.doc_id
+"""
+    )
 
 
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_docs": q_bpe_encode_docs,
     "unigram_lm_score": q_unigram_lm_score,
     "feature_hashing_bow": q_feature_hashing_bow,
 }
 
 ORACLES = {
     "bpe_merges": _bpe_oracle(BPE_ROUNDS),
+    "bpe_encode_docs": _bpe_encode_oracle(BPE_ROUNDS),
     "unigram_lm_score": _UNIGRAM_ORACLE,
     "feature_hashing_bow": _HASHING_ORACLE,
 }
