@@ -418,3 +418,15 @@ def test_aqe_coalesces_small_shuffle(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_join_hint_strategies(spark, sf_dir):
+    """All three join-strategy hints must reach the planner: broadcast,
+    shuffle_hash, merge — the knobs a 100 TB job uses when the optimizer
+    guesses wrong (stats-less scans, skewed builds)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cond = o["o_custkey"] == c["c_custkey"]
+    assert "BroadcastHashJoin" in formatted_plan(o.join(c.hint("broadcast"), cond))
+    assert "ShuffledHashJoin" in formatted_plan(o.join(c.hint("shuffle_hash"), cond))
+    assert "SortMergeJoin" in formatted_plan(o.join(c.hint("merge"), cond))

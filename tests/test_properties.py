@@ -126,3 +126,33 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert rows, "probe set must not be empty"
     for r in rows:
         assert r["cms_estimate"] >= r["true_n"], r
+
+
+def test_hll_sketch_union_equals_whole(spark, sf_dir):
+    """Apache DataSketches HLL mergeability: register-wise union of two
+    half-corpus sketches must estimate EXACTLY what one whole-corpus
+    sketch estimates — the property that lets partial sketches roll up
+    across partitions/days without re-scanning (approx distinct at
+    100 TB is only usable because of this)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id").alias("ska"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id").alias("skb")))
+        .select(
+            F.hll_sketch_estimate(
+                F.hll_union("ska", "skb")
+            ).alias("est_merged")
+        )
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_whole")
+    )
+    m = sk.collect()[0]["est_merged"]
+    w = whole.collect()[0]["est_whole"]
+    assert m == w, (m, w)
