@@ -122,9 +122,12 @@ FROM tok GROUP BY 1, 2
 BPE_ROUNDS = 5
 
 
-def _bpe_fit(spark: SparkSession, sf_dir: str):
+def _bpe_fit(spark: SparkSession, sf_dir: str, want_vocab: bool = True):
     """Shared BPE fit: returns (merge list, final vocabulary DataFrame
-    (w, f, s) with s = space-joined symbols after BPE_ROUNDS merges)."""
+    (w, f, s) with s = space-joined symbols after BPE_ROUNDS merges).
+    With ``want_vocab=False`` the last round's vocabulary rewrite is
+    skipped (the merge table is already complete) and None is returned
+    for the vocab."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     wf = (
@@ -160,6 +163,8 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
             .collect()[0]
         )
         merges.append((step, best["a"], best["b"], int(best["c"])))
+        if step == BPE_ROUNDS and not want_vocab:
+            return merges, None
         pat = f" {best['a']} {best['b']} "
         rep = f" {best['a']}{best['b']} "
         vocab = vocab.select(
@@ -197,7 +202,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping left-to-right replace of ' a b ' in the padded
     string — identical semantics in Spark and DuckDB, so the oracle
     replays all BPE_ROUNDS rounds bit-for-bit."""
-    merges, _ = _bpe_fit(spark, sf_dir)
+    merges, _ = _bpe_fit(spark, sf_dir, want_vocab=False)
     return spark.createDataFrame(
         merges, "merge_step int, lhs string, rhs string, pair_count bigint"
     )

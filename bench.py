@@ -126,6 +126,9 @@ HEADLINE = [
     "similarity_pq_adc_topk",
     "text_top_ngram_cover",
     "xml_roundtrip_events",
+    "bpe_merges",
+    "incremental_join_view",
+    "length_bucket_batches",
 ]
 
 
