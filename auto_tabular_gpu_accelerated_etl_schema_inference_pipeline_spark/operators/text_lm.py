@@ -137,13 +137,22 @@ def _bpe_fit(spark: SparkSession, sf_dir: str, want_vocab: bool = True):
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
-    vocab = wf.select(
-        "w",
-        "f",
-        F.concat(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" #")
-        ).alias("s"),
-    ).localCheckpoint()
+    vocab = (
+        wf.select(
+            "w",
+            "f",
+            F.concat(
+                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+                F.lit(" #"),
+            ).alias("s"),
+        )
+        # the iteration state is vocabulary-sized (Zipf-bounded); one
+        # partition turns every round into single-task jobs instead of
+        # shuffle.partitions near-empty tasks. At 100 TB-corpus scale the
+        # vocab is millions of rows — still a handful of partitions.
+        .coalesce(1)
+        .localCheckpoint()
+    )
     merges = []
     for step in range(1, BPE_ROUNDS + 1):
         toks = F.split("s", " ")
