@@ -255,7 +255,70 @@ def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: intensity delta between consecutive frames that flags a scene cut
+SCENE_CUT_DELTA = 200
+
+_SCENE_SCHEMA = "doc_id bigint, frame_idx int, intensity bigint"
+
+
+def _scene_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-frame intensity (sum of byte values) computed INSIDE the
+    scan-side mapInPandas stage — the frame-dedup discipline: only the
+    8-byte-per-frame signal ever leaves the stage, never frame bytes.
+    A real pipeline swaps the byte-window codec for cv2 frame decode +
+    mean-pixel intensity."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "intensity": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = min(-(-len(payload) // FRAME_BYTES), MAX_FRAMES)
+            for i in range(n_frames):
+                chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["intensity"].append(
+                    int(np.frombuffer(chunk, dtype=np.uint8).sum())
+                )
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over binary payloads: consecutive-frame
+    intensity deltas above SCENE_CUT_DELTA flag a cut — the shot-
+    boundary primitive of video pipelines (sample frames -> cheap
+    per-frame signal -> temporal diff), with the codec stubbed to byte
+    windows like the rest of the multimodal lane.
+
+    Plan shape: the Python stage emits only (doc_id, frame_idx,
+    intensity); the temporal diff is a JVM-side lag() window over at
+    most MAX_FRAMES rows per doc. Exact integer arithmetic end-to-end."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    frames = with_binary_payload(docs, ascii_normalize=True).mapInPandas(
+        _scene_frame_batches, schema=_SCENE_SCHEMA
+    )
+    prev = F.lag("intensity").over(
+        Window.partitionBy("doc_id").orderBy("frame_idx")
+    )
+    is_cut = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(
+            F.abs(F.col("intensity") - prev) > SCENE_CUT_DELTA, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    return frames.select(
+        "doc_id", "frame_idx", "intensity", is_cut.cast("int").alias("is_cut")
+    )
+
+
 QUERIES = {
+    "multimodal_scene_cuts": q_multimodal_scene_cuts,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_featurize": q_multimodal_featurize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -264,6 +327,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_scene_cuts": f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), frames AS (
+  SELECT doc_id, i AS frame_idx,
+    CAST(list_sum(list_transform(
+      generate_series(1, length(substr(text, i * {FRAME_BYTES} + 1,
+                                       {FRAME_BYTES}))),
+      j -> ascii(substr(substr(text, i * {FRAME_BYTES} + 1,
+                               {FRAME_BYTES}), j, 1)))) AS BIGINT)
+      AS intensity
+  FROM norm, generate_series(0, {MAX_FRAMES - 1}) AS t(i)
+  WHERE i * {FRAME_BYTES} < length(text)
+)
+SELECT doc_id, frame_idx, intensity,
+  CAST(CASE
+    WHEN lag(intensity) OVER w IS NULL THEN 0
+    WHEN abs(intensity - lag(intensity) OVER w) > {SCENE_CUT_DELTA} THEN 1
+    ELSE 0 END AS INTEGER) AS is_cut
+FROM frames
+WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+""",
     "multimodal_frame_dedup": f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
