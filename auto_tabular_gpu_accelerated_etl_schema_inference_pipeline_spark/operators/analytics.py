@@ -1078,7 +1078,58 @@ GROUP BY l_returnflag
 """
 
 
+def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to arms by a hash of
+    their id (the md5-prefix trick from train_val_test_split — stable
+    across re-runs, engines, and incremental data, so a user can never
+    switch arms mid-experiment), then each arm reports exposure and
+    conversion. Conversion is exact integer ppm.
+
+    Scale shape: arm assignment is map-only; the per-arm rollup reduces
+    to 2 rows via partial aggregation. The distinct-user counts shuffle
+    once on user_id (exact; swap approx_count_distinct at 100 TB if ±2%
+    suffices)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("conversion_ppm"),
+    )
+
+
+_AB_ORACLE = """
+WITH per_user AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+)
+SELECT arm, count(*) AS n_users,
+  CAST(sum(converted) AS BIGINT) AS n_converted,
+  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conversion_ppm
+FROM per_user GROUP BY arm
+"""
+
+
 QUERIES = {
+    "ab_experiment_report": q_ab_experiment_report,
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "customer_rfm_segments": q_customer_rfm_segments,
@@ -1102,6 +1153,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ab_experiment_report": _AB_ORACLE,
     "cdf_transform_price": _CDF_ORACLE,
     "revenue_share_by_nation": _REV_SHARE_ORACLE,
     "customer_rfm_segments": _RFM_ORACLE,

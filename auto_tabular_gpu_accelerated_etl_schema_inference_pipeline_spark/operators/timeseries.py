@@ -600,7 +600,99 @@ def q_tz_conversion_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_US_PER_HOUR_SP = 3_600_000_000
+
+
+def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per (day-of-week, hour-of-day) slot,
+    event volume and a revenue index vs the global mean — the
+    forecasting/capacity-planning primitive. Day-of-week comes from pure
+    epoch arithmetic ((epoch_day + 3) % 7, 0 = Monday) so no calendar
+    library or timezone vintage can desync the engines; the index is a
+    two-step exact integer division (per-slot µ-scale first, then
+    normalize) mirrored verbatim in the oracle, overflow-safe to
+    fixture scales far beyond sf1.
+
+    Scale shape: one partial-agg shuffle onto at most 168 slots; the
+    1-row global total broadcasts back."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    slots = (
+        ev.select(us.alias("_us"), cents.alias("cents"))
+        .select(
+            F.expr(f"(_us div {_US_PER_DAY} + 3) % 7").cast("int").alias("dow"),
+            F.expr(f"(_us div {_US_PER_HOUR_SP}) % 24").cast("int").alias("hod"),
+            "cents",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("slot_cents"),
+        )
+    )
+    totals = slots.agg(
+        F.sum("n_events").alias("total_n"),
+        F.sum("slot_cents").alias("total_cents"),
+    )
+    return (
+        slots.crossJoin(F.broadcast(totals))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "slot_cents",
+            F.expr(
+                "(slot_cents * 1000000 div n_events) * total_n"
+                " div total_cents"
+            ).cast("bigint").alias("revenue_index_ppm"),
+        )
+    )
+
+
+def q_events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance with a floor at zero — purchases credit,
+    errors debit, the balance can never go negative (inventory/credit
+    semantics). A clamped cumulative sum is NOT a window function (the
+    clamp makes it a non-linear left fold), so it runs as an ordered
+    array fold per user: sort_array over (ts, event_id, delta) structs
+    gives the total order, aggregate() folds with greatest(0, acc+x).
+    State per user is its event list — bounded by per-user activity, the
+    same justification as the rolling-median frame. Exact integer cents
+    throughout; the oracle replays the identical fold with
+    list_reduce."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    delta = (
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "error", -cents)
+        .otherwise(F.lit(0))
+    )
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            delta.alias("delta"),
+        ).alias("r"),
+    )
+    arr = F.sort_array(F.collect_list("r"))
+    bal = F.aggregate(
+        F.transform(arr, lambda x: x["delta"]),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.greatest(F.lit(0).cast("bigint"), acc + x),
+    )
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        bal.alias("final_balance_cents"),
+    )
+
+
 QUERIES = {
+    "events_seasonality_profile": q_events_seasonality_profile,
+    "events_clamped_balance": q_events_clamped_balance,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -621,6 +713,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_seasonality_profile": f"""
+WITH slots AS (
+  SELECT CAST((epoch_us(ts) // {_US_PER_DAY} + 3) % 7 AS INTEGER) AS dow,
+    CAST((epoch_us(ts) // {_US_PER_HOUR_SP}) % 24 AS INTEGER) AS hod,
+    count(*) AS n_events,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS slot_cents
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total_n,
+    CAST(sum(slot_cents) AS BIGINT) AS total_cents
+  FROM slots
+)
+SELECT dow, hod, n_events, slot_cents,
+  CAST((slot_cents * 1000000 // n_events) * total_n // total_cents
+       AS BIGINT) AS revenue_index_ppm
+FROM slots, totals
+""",
+    "events_clamped_balance": """
+WITH r AS (
+  SELECT user_id,
+    {'us': epoch_us(ts), 'eid': event_id,
+     'delta': CASE event_type
+        WHEN 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+        WHEN 'error' THEN -CAST(round(value * 100) AS BIGINT)
+        ELSE 0 END} AS s
+  FROM events
+), g AS (
+  SELECT user_id, count(*) AS n_events,
+    list_transform(list_sort(list(s)), x -> x.delta) AS deltas
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n_events,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
+    AS final_balance_cents
+FROM g
+""",
     "tz_conversion_funcs": f"""
 SELECT event_id,
   CAST(extract(hour FROM timezone('Asia/Tokyo', ts::TIMESTAMPTZ))
