@@ -67,3 +67,28 @@ def geometric_mean_udaf():
         return len(v)
 
     return geo_mean, n_vals
+
+
+def make_searchsorted_iter_udf(interior):
+    """Iterator-form pandas_udf (Iterator[pd.Series] -> Iterator[pd.Series])
+    — same binning semantics as make_searchsorted_udf, but the kernel
+    sees ALL of a partition's Arrow batches through one generator, so
+    expensive per-task setup (loading a model, pinning GPU memory,
+    opening a sidecar) runs ONCE per task instead of once per batch.
+    Here the 'setup' is just materializing the boundary array; the form
+    is what matters — it's the production shape for model-inference
+    UDFs. Parity with the scalar form is pinned by test."""
+    from typing import Iterator
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def _bin(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bounds = np.asarray(interior, dtype=np.float64)  # once per task
+        for s in batches:
+            idx = np.searchsorted(
+                bounds, s.to_numpy(dtype="float64"), side="right"
+            )
+            yield pd.Series(idx.astype("int32"))
+
+    return _bin

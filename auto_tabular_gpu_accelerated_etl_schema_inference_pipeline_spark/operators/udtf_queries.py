@@ -53,3 +53,53 @@ GROUP BY ngram
 HAVING count(*) >= 5
 """,
 }
+
+
+def q_grouped_stats_apply_in_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped custom aggregation through ``applyInArrow`` — the
+    zero-pandas grouped lane (pyarrow.Table in, pyarrow.Table out; no
+    pandas conversion overhead on either side). Completes the Python
+    extension matrix: scalar pandas_udf / iterator pandas_udf /
+    GROUPED_AGG / applyInPandas / mapInPandas / mapInArrow /
+    applyInArrow / UDTF.
+
+    Scale note: like applyInPandas, one shuffle on the group key; each
+    group must fit an Arrow batch — fine for per-source rollups, use
+    partial aggregation (groupBy.agg) when groups are huge."""
+    import pyarrow as pa
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = table.num_rows
+        col = table.column("n_chars")
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(col).as_py()], pa.int64()
+                ),
+                "max_chars": pa.array(
+                    [pc.max(col).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        stats, schema="source string, n_docs bigint, sum_chars bigint, max_chars bigint"
+    )
+
+
+QUERIES["grouped_stats_apply_in_arrow"] = q_grouped_stats_apply_in_arrow
+ORACLES["grouped_stats_apply_in_arrow"] = """
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+"""

@@ -273,3 +273,24 @@ def test_exact_distributed_fit_matches_builtin_percentile(spark, sf_dir):
     probs = ",".join(str(i / 13) for i in range(14))
     ref = tied.agg(F.expr(f"percentile(v, array({probs}))").alias("v")).collect()[0]
     assert mine["v"] == [float(x) for x in ref["v"]]
+
+
+def test_iterator_udf_matches_scalar_udf(spark, sf_dir):
+    """Iterator-form pandas_udf (amortized per-task init) must bin
+    identically to the scalar form, including NaN/null -> last bin."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.functions.udf_kernels import (
+        make_searchsorted_iter_udf,
+        make_searchsorted_udf,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    li = li.unionAll(spark.createDataFrame([(None,), (float("nan"),)], "v double"))
+    interior = [1000.0, 5000.0, 20000.0, 50000.0]
+    scalar = make_searchsorted_udf(interior)
+    it = make_searchsorted_iter_udf(interior)
+    both = li.select(scalar("v").alias("a"), it("v").alias("b"))
+    assert both.filter("a IS DISTINCT FROM b").count() == 0
