@@ -179,12 +179,55 @@ FROM lineitem
 """
 
 
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/data-fabrication screen: natural multi-scale amounts follow
+    log10(1+1/d), fabricated ones usually don't. The first digit comes
+    from the STRING form of integer cents (no log10/pow float path, so
+    a price at an exact power of ten can't ulp-flip its digit). Output
+    is observed count + exact ppm share per digit; the χ² against the
+    Benford expectation happens downstream of this 9-row table.
+
+    Scale: map-only digit extraction + a 9-bucket partial agg."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)  # zero/negative totals excluded
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 div total").cast("bigint").alias("share_ppm"),
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+FROM c, t
+"""
+
+
 QUERIES = {
+    "benford_first_digit": q_benford_first_digit,
     "constraint_audit": q_constraint_audit,
     "k_anonymity_audit": q_k_anonymity_audit,
     "footer_stats_lineitem": q_footer_stats_lineitem,
 }
 ORACLES = {
+    "benford_first_digit": _BENFORD_ORACLE,
     "constraint_audit": _AUDIT_ORACLE,
     "k_anonymity_audit": _K_ANON_ORACLE,
     "footer_stats_lineitem": _FOOTER_ORACLE,

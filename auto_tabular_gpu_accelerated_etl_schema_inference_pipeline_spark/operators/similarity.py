@@ -703,10 +703,53 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus profile of the embedding space: count, exact
+    micro-unit sum and sum-of-squares, and integer mean per dimension —
+    the embedding-QA check that catches dead dimensions (zero variance),
+    scale drift after a model swap, and normalization bugs before they
+    poison ANN indexes. Sums stay raw integers (variance is one exact
+    division downstream) so no cross-row float accumulation and no
+    overflow products.
+
+    Scale: posexplode is a map-side 1-to-64 expansion; ONE partial-agg
+    shuffle onto 64 dimension keys."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("vm"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("sum_mu"),
+        F.sum(F.col("vm") * F.col("vm")).alias("sum_sq_mu2"),
+        F.expr("sum(vm) div count(*)").cast("bigint").alias("mean_mu"),
+    )
+
+
+_DIM_PROFILE_ORACLE = """
+WITH ex AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+      AS vm
+  FROM embeddings
+)
+SELECT dim, count(*) AS n,
+  CAST(sum(vm) AS BIGINT) AS sum_mu,
+  CAST(sum(vm * vm) AS BIGINT) AS sum_sq_mu2,
+  CAST(CASE WHEN sum(vm) >= 0 THEN sum(vm) // count(*)
+            ELSE -((-sum(vm)) // count(*)) END AS BIGINT) AS mean_mu
+FROM ex GROUP BY dim
+"""
+
+
 QUERIES = {
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
     "similarity_pq_adc_topk": q_similarity_pq_adc_topk,
+    "embedding_dim_profile": q_embedding_dim_profile,
     "embedding_centroids": q_embedding_centroids,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_cosine_dedup": q_similarity_cosine_dedup,
@@ -720,6 +763,7 @@ ORACLES = {
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,
     "similarity_pq_adc_topk": _PQ_ORACLE,
+    "embedding_dim_profile": _DIM_PROFILE_ORACLE,
     "similarity_topk_cosine": f"""
 WITH scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
