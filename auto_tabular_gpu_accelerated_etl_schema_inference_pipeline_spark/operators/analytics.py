@@ -28,7 +28,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_for_oracle, load_events, load_table
@@ -1128,8 +1128,88 @@ FROM per_user GROUP BY arm
 """
 
 
+def q_quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length ACROSS sources — map
+    each doc's within-source percentile onto the global length
+    distribution (percentile_disc semantics: the smallest global value
+    whose cumulative share reaches the doc's percentile). The classic
+    cross-batch feature alignment (quantile normalization) built from
+    exact machinery: within-source percentile = tie-inclusive
+    cumulative count in integer ppm; the global distribution is the
+    aggregated (value, cumulative-ppm) relation.
+
+    Scale shape: one shuffle on source for the within-source window; the
+    global relation aggregates to |distinct lengths| rows — broadcast
+    into the mapping join (a range probe against a bounded sorted
+    table; an IVF-style bucketed join replaces it if the value domain
+    ever stops being bounded)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    n_src = Window.partitionBy("source")
+    ranked = docs.withColumn("cnt_le", F.count(F.lit(1)).over(w_src)).withColumn(
+        "n_in_src", F.count(F.lit(1)).over(n_src)
+    ).withColumn(
+        "p_ppm", F.expr("cnt_le * 1000000 div n_in_src").cast("bigint")
+    )
+    gv = (
+        docs.groupBy(F.col("n_chars").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_g = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    total = gv.agg(F.sum("cnt").alias("n_total"))
+    gdist = (
+        gv.withColumn("cum", F.sum("cnt").over(w_g))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "val",
+            F.expr("cum * 1000000 div n_total").cast("bigint").alias("gp_ppm"),
+        )
+    )
+    mapped = (
+        ranked.join(
+            F.broadcast(gdist), F.col("gp_ppm") >= F.col("p_ppm")
+        )
+        .groupBy("doc_id", "source", "n_chars", "p_ppm")
+        .agg(F.min("val").alias("norm_chars"))
+    )
+    return mapped
+
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+    CAST((count(*) OVER (PARTITION BY source ORDER BY n_chars
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         * 1000000
+         // (count(*) OVER (PARTITION BY source)) AS BIGINT) AS p_ppm
+  FROM documents
+), gv AS (
+  SELECT n_chars AS val, count(*) AS cnt FROM documents GROUP BY n_chars
+), gdist AS (
+  SELECT val,
+    CAST((sum(cnt) OVER (ORDER BY val
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         * 1000000
+         // (SELECT sum(cnt) FROM gv) AS BIGINT) AS gp_ppm
+  FROM gv
+)
+SELECT r.doc_id, r.source, r.n_chars, r.p_ppm,
+  CAST(min(g.val) AS BIGINT) AS norm_chars
+FROM ranked r JOIN gdist g ON g.gp_ppm >= r.p_ppm
+GROUP BY r.doc_id, r.source, r.n_chars, r.p_ppm
+"""
+
+
 QUERIES = {
     "ab_experiment_report": q_ab_experiment_report,
+    "quantile_normalize_doclen": q_quantile_normalize_doclen,
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "customer_rfm_segments": q_customer_rfm_segments,
@@ -1154,6 +1234,7 @@ QUERIES = {
 
 ORACLES = {
     "ab_experiment_report": _AB_ORACLE,
+    "quantile_normalize_doclen": _QNORM_ORACLE,
     "cdf_transform_price": _CDF_ORACLE,
     "revenue_share_by_nation": _REV_SHARE_ORACLE,
     "customer_rfm_segments": _RFM_ORACLE,

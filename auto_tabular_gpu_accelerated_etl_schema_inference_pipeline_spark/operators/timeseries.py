@@ -690,7 +690,36 @@ def q_events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection (the SRE retry-storm screen): an error
+    event is part of a burst when >= 2 errors from the same user land
+    within a trailing 30-minute window (thresholds sized to the fixture
+    error rate so the gate query has signal). Same exact-integer RANGE-frame
+    machinery as q_events_rolling_1h, restricted to the error stream
+    first — the pre-filter keeps the window state proportional to error
+    volume, not total traffic (the difference between feasible and not
+    at 100 TB/day)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "error")
+    mic = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(mic)
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            mic.alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("errors_30m"),
+        )
+        .filter(F.col("errors_30m") >= 2)
+    )
+
+
 QUERIES = {
+    "events_error_bursts": q_events_error_bursts,
     "events_seasonality_profile": q_events_seasonality_profile,
     "events_clamped_balance": q_events_clamped_balance,
     "tz_conversion_funcs": q_tz_conversion_funcs,
@@ -713,6 +742,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_error_bursts": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT event_id, user_id, ts_us,
+    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS errors_30m
+  FROM e
+)
+SELECT event_id, user_id, ts_us, errors_30m FROM c WHERE errors_30m >= 2
+""",
     "events_seasonality_profile": f"""
 WITH slots AS (
   SELECT CAST((epoch_us(ts) // {_US_PER_DAY} + 3) % 7 AS INTEGER) AS dow,
