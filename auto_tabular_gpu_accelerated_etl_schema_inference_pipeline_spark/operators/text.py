@@ -241,11 +241,14 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss when the rest of the doc is varied.
 
     Plan shape: entirely map-only — the per-doc argmax runs INSIDE array
-    expressions (count each distinct bigram with filter(), take
-    array_min of (-count, bigram) structs so 'highest count, then
-    lexicographically first' is one struct comparison). No explode, no
-    shuffle: at 100 TB this is a single pass over the documents scan.
-    Per-doc cost is O(distinct_bigrams²), bounded by doc length.
+    expressions: sort the bigram array, then ONE aggregate() fold tracks
+    the current run length and the best (count, bigram) seen, so equal
+    bigrams are adjacent and counting is a single pass. 'Highest count,
+    then lexicographically first' falls out of the sorted order (a tie
+    never displaces the earlier = smaller bigram). No explode, no
+    shuffle: at 100 TB this is one pass over the documents scan,
+    O(k log k) per doc in the bigram count — safe for long documents
+    (the naive count-each-distinct form is O(k²)).
 
     Coverage is exact integer ppm: (1e6 * count * len(bigram)) div
     len(normalized text) — truncating integer division agrees across
@@ -260,17 +263,28 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)
         ),
     )
-    best = F.array_min(
-        F.transform(
-            F.array_distinct(F.col("bgs")),
-            lambda b: F.struct(
-                (
-                    -F.size(F.filter(F.col("bgs"), lambda x: x == b))
-                ).alias("negcnt"),
-                b.alias("bg"),
-            ),
-        )
+    init = F.struct(
+        F.lit("\x00init").alias("prev"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(0).cast("bigint").alias("best_cnt"),
+        F.lit("").alias("best_bg"),
     )
+
+    def step(acc, x):
+        newcnt = F.when(x == acc["prev"], acc["cnt"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = newcnt > acc["best_cnt"]
+        return F.struct(
+            x.alias("prev"),
+            newcnt.alias("cnt"),
+            F.when(better, newcnt).otherwise(acc["best_cnt"]).alias(
+                "best_cnt"
+            ),
+            F.when(better, x).otherwise(acc["best_bg"]).alias("best_bg"),
+        )
+
+    best = F.aggregate(F.array_sort(F.col("bgs")), init, step)
     return (
         docs.select(
             "doc_id", norm.alias("norm"), n.alias("n"), bgs.alias("bgs")
@@ -280,10 +294,10 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "norm", best.alias("best"))
         .select(
             "doc_id",
-            F.col("best.bg").alias("top_bigram"),
-            (-F.col("best.negcnt")).cast("bigint").alias("bg_count"),
+            F.col("best.best_bg").alias("top_bigram"),
+            F.col("best.best_cnt").cast("bigint").alias("bg_count"),
             F.expr(
-                "(1000000 * (-best.negcnt) * length(best.bg))"
+                "(1000000 * best.best_cnt * length(best.best_bg))"
                 " div length(norm)"
             ).cast("bigint").alias("cover_ppm"),
         )
