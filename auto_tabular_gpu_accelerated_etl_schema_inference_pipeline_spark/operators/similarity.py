@@ -522,18 +522,35 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.struct(ssd.alias("ssd"), "cid").alias("sc"))
         .groupBy("vec_id")
         .agg(F.min("sc").alias("m"), F.first("v").alias("v"))
-        .select("vec_id", F.col("m.cid").alias("cluster_id"), "v")
+        # norm hoisted out of the pair stage: computed once per vector
+        # here, so each candidate pair pays ONE dot-product fold, not
+        # three (the pair stage is the quadratic part — 3x matters)
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster_id"),
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
     )
     a = assigned.select(
-        F.col("vec_id").alias("a_id"), "cluster_id", F.col("v").alias("a_v")
+        F.col("vec_id").alias("a_id"),
+        "cluster_id",
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("b_id"), "cluster_id", F.col("v").alias("b_v")
+        F.col("vec_id").alias("b_id"),
+        "cluster_id",
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
     )
     dropped = (
         a.join(b, ["cluster_id"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(_cosine(F.col("a_v"), F.col("b_v")) >= COSINE_DUP_THRESHOLD)
+        .filter(
+            _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+            >= COSINE_DUP_THRESHOLD
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(1))
