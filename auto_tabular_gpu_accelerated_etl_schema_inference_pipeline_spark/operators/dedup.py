@@ -486,8 +486,15 @@ def q_dedup_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set variant: catches word-reordered near-dups as DIFFERENT) on
     a blocked subset (doc_id < 100 -> exact all-pairs). Shingles built
     with sequence+transform+substring — pure built-ins."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    txt = _norm_text()
+    # normalized text materialized BEFORE the shingle lambda reads it —
+    # an expression inside substr(i, ...) re-normalizes per shingle
+    # (O(chars^2)); a column reference evaluates once per row
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", _norm_text().alias("txt"))
+    )
+    txt = F.col("txt")
     n = F.length(txt)
     shingles = F.array_distinct(
         F.transform(

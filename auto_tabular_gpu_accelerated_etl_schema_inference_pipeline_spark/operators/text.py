@@ -165,15 +165,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside q_text_quality_score's length/stopword heuristics).
     Map-only array expressions — no shuffle, no UDF."""
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.col("text")))
-    toks = F.split(norm, " ")
+    # token array materialized BEFORE the bigram lambda reads it — an
+    # expression-valued array inside element_at is re-evaluated per
+    # element (no CSE through lambda bodies), i.e. O(tokens^2) splits
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     return (
-        docs.select("doc_id", toks.alias("toks"), n.alias("n"), bigrams.alias("bg"))
+        base.select("doc_id", "toks", n.alias("n"), bigrams.alias("bg"))
         # n >= 2: Spark's sequence(1, 0) counts DOWN ([1,0]) instead of
         # returning empty — 1-token docs must never build the bigram list
         .filter(F.col("n") >= 2)
@@ -254,8 +259,14 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     len(normalized text) — truncating integer division agrees across
     engines on non-negatives."""
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.col("text")))
-    toks = F.split(norm, " ")
+    # same materialize-before-lambda discipline as q_text_repetition:
+    # element_at over a raw split() expression re-splits per element
+    base = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("norm"),
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     bgs = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -286,9 +297,7 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     best = F.aggregate(F.array_sort(F.col("bgs")), init, step)
     return (
-        docs.select(
-            "doc_id", norm.alias("norm"), n.alias("n"), bgs.alias("bgs")
-        )
+        base.select("doc_id", "norm", n.alias("n"), bgs.alias("bgs"))
         # n >= 2: same sequence(1, 0) guard as q_text_repetition
         .filter(F.col("n") >= 2)
         .select("doc_id", "norm", best.alias("best"))
