@@ -169,10 +169,129 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, fully value-verified: quality gate
+    (the exact rational rules of quality_gate_verdict) -> exact dedup
+    among survivors (md5 digest, keep-lowest-doc_id) -> per-source
+    accounting of every document's fate plus kept-token volume. The
+    oracle replays the whole pipeline in one SQL statement, so this is
+    the composite twin of training_data_prep with a full value check
+    instead of rows-only (minhash is swapped for exact dedup precisely
+    to keep the composite deterministic).
+
+    Scale shape: gate flags are map-only; the dedup winner is a
+    min-over-window on the 32-byte digest (one shuffle, text never
+    moves); the report is a partial agg onto |sources| rows."""
+    from pyspark.sql import Window
+
+    from .operators.llm_prep2 import (
+        _UNIQ_P,
+        _UNIQ_Q,
+        _UPPER_P,
+        _UPPER_Q,
+        GATE_MIN_TOKENS,
+    )
+    from .session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Z]", "")).alias(
+            "n_upper"
+        ),
+        F.length(F.col("text")).alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    n_tok = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    keep_q = (
+        (n_tok >= GATE_MIN_TOKENS)
+        & (F.col("n_upper") * _UPPER_Q <= F.lit(_UPPER_P) * F.col("n_chars"))
+        & (n_uniq * _UNIQ_Q >= F.lit(_UNIQ_P) * n_tok)
+    ).cast("int")
+    flagged = docs.select(
+        "doc_id", "source", "fp", n_tok.alias("n_tokens"), keep_q.alias("keep_q")
+    )
+    w_fp = Window.partitionBy("fp")
+    min_kept = F.min(
+        F.when(F.col("keep_q") == 1, F.col("doc_id"))
+    ).over(w_fp)
+    fated = flagged.withColumn(
+        "fate",
+        F.when(F.col("keep_q") == 0, F.lit("quality_drop"))
+        .when(F.col("doc_id") != min_kept, F.lit("dup_drop"))
+        .otherwise(F.lit("kept")),
+    )
+    return fated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("fate") == "quality_drop").cast("int"))
+        .cast("bigint")
+        .alias("n_dropped_quality"),
+        F.sum((F.col("fate") == "dup_drop").cast("int"))
+        .cast("bigint")
+        .alias("n_dropped_dup"),
+        F.sum((F.col("fate") == "kept").cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("fate") == "kept", F.col("n_tokens")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+def _curation_oracle() -> str:
+    from .operators.llm_prep2 import (
+        _UNIQ_P,
+        _UNIQ_Q,
+        _UPPER_P,
+        _UPPER_Q,
+        GATE_MIN_TOKENS,
+    )
+
+    return f"""
+WITH flagged AS (
+  SELECT doc_id, source,
+    md5(lower(trim(text))) AS fp,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(
+      len(string_split(text, ' ')) >= {GATE_MIN_TOKENS}
+      AND length(regexp_replace(text, '[^A-Z]', '', 'g')) * {_UPPER_Q}
+          <= {_UPPER_P} * length(text)
+      AND len(list_distinct(string_split(text, ' '))) * {_UNIQ_Q}
+          >= {_UNIQ_P} * len(string_split(text, ' '))
+      AS INTEGER) AS keep_q
+  FROM documents
+), fated AS (
+  SELECT source, n_tokens,
+    CASE WHEN keep_q = 0 THEN 'quality_drop'
+         WHEN doc_id != min(CASE WHEN keep_q = 1 THEN doc_id END)
+              OVER (PARTITION BY fp) THEN 'dup_drop'
+         ELSE 'kept' END AS fate
+  FROM flagged
+)
+SELECT source, count(*) AS n_total,
+  CAST(sum(CASE WHEN fate = 'quality_drop' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_quality,
+  CAST(sum(CASE WHEN fate = 'dup_drop' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_dup,
+  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(sum(CASE WHEN fate = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS tokens_kept
+FROM fated GROUP BY source
+"""
+
+
 QUERIES = {
     "training_data_prep": q_training_data_prep,
     "mart_region_brand_daily": q_mart_region_brand_daily,
+    "corpus_curation_report": q_corpus_curation_report,
 }
 ORACLES: dict[str, str] = {
     "mart_region_brand_daily": _MART_ORACLE,
+    "corpus_curation_report": _curation_oracle(),
 }
