@@ -197,7 +197,52 @@ def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (`parse_url`): protocol / host / path /
+    single query parameter, over URLs synthesized from event columns
+    (the fixtures carry no URL column; the synthesis makes the parse
+    deterministic and the oracle mirrors it with anchored regexes —
+    what an engine without parse_url would run). Clickstream
+    normalization is the standard use: group by host/path, join on a
+    query param. Map-only."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.col("event_type"),
+        F.lit("/item?u="),
+        F.col("user_id").cast("string"),
+        F.lit("&e="),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("u")).alias("q_user"),
+    )
+
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT event_id,
+    'https://shop.example.com/' || event_type || '/item?u=' ||
+      CAST(user_id AS VARCHAR) || '&e=' || CAST(event_id AS VARCHAR)
+      AS url
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+  regexp_extract(url, '[?&]u=([^&]*)', 1) AS q_user
+FROM u
+"""
+
+
 QUERIES = {
+    "url_funcs": q_url_funcs,
     "agg_bitwise_bool": q_agg_bitwise_bool,
     "agg_approx_top_k": q_agg_approx_top_k,
     "map_funcs": q_map_funcs,
@@ -208,6 +253,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_funcs": _URL_ORACLE,
     "agg_bitwise_bool": """
 SELECT event_type,
   bit_and(user_id) AS uid_bit_and,
