@@ -241,8 +241,40 @@ FROM u
 """
 
 
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via the bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the mergeable exact alternative to both
+    count_distinct's expand-dedup shuffle and HLL's approximation: each
+    (group, bucket) compresses its members into a fixed 4 KB bitmap,
+    bitmaps OR-merge associatively (rollups and incremental refreshes
+    compose), and the final count is a popcount sum. The pattern that
+    makes exact distinct feasible on dense-ish integer keys at 100 TB.
+    Oracle = plain count(DISTINCT), proving the bitmap path exact."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("b"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(b))").cast("bigint").alias("n_users"))
+    )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "url_funcs": q_url_funcs,
+    "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_bitwise_bool": q_agg_bitwise_bool,
     "agg_approx_top_k": q_agg_approx_top_k,
     "map_funcs": q_map_funcs,
@@ -254,6 +286,7 @@ QUERIES = {
 
 ORACLES = {
     "url_funcs": _URL_ORACLE,
+    "agg_bitmap_distinct": _BITMAP_ORACLE,
     "agg_bitwise_bool": """
 SELECT event_type,
   bit_and(user_id) AS uid_bit_and,
