@@ -272,8 +272,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4) — ordered string
+    aggregation with an explicit total order (ts, event_id), so the
+    concatenation is deterministic on any engine/partitioning (an
+    unordered listagg is a nondeterminism bug, not an operator).
+    DuckDB mirrors with string_agg(... ORDER BY). One grouped shuffle."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    ev.createOrReplaceTempView("listagg_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+          listagg(event_type, ',')
+            WITHIN GROUP (ORDER BY ts, event_id) AS event_path,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM listagg_events GROUP BY user_id
+        """
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT user_id,
+  string_agg(event_type, ',' ORDER BY ts, event_id) AS event_path,
+  count(*) AS n_events
+FROM events WHERE user_id < 30 GROUP BY user_id
+"""
+
+
 QUERIES = {
     "url_funcs": q_url_funcs,
+    "agg_listagg": q_agg_listagg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_bitwise_bool": q_agg_bitwise_bool,
     "agg_approx_top_k": q_agg_approx_top_k,
@@ -287,6 +316,7 @@ QUERIES = {
 ORACLES = {
     "url_funcs": _URL_ORACLE,
     "agg_bitmap_distinct": _BITMAP_ORACLE,
+    "agg_listagg": _LISTAGG_ORACLE,
     "agg_bitwise_bool": """
 SELECT event_type,
   bit_and(user_id) AS uid_bit_and,
