@@ -156,3 +156,29 @@ def test_hll_sketch_union_equals_whole(spark, sf_dir):
     m = sk.collect()[0]["est_merged"]
     w = whole.collect()[0]["est_whole"]
     assert m == w, (m, w)
+
+
+def test_table_checksum_partition_invariant(spark, sf_dir):
+    """Orderless table fingerprint: sum + bit_xor of per-row xxhash64
+    must be invariant under repartitioning and row order — the cheap
+    anti-entropy check for comparing replicas/copies of a 100 TB table
+    without sorting or shuffling either side."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = [F.col(c) for c in orders.columns]
+
+    def fp(df):
+        r = df.select(F.xxhash64(*cols).alias("h")).agg(
+            # decimal(38,0) sum: exact, orderless, and can't hit ANSI
+            # long overflow the way sum(bigint) of hashes does
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.bit_xor("h").alias("x"),
+        ).collect()[0]
+        return (r["s"], r["x"])
+
+    base = fp(orders)
+    assert fp(orders.repartition(7)) == base
+    assert fp(orders.orderBy(F.col("o_totalprice").desc())) == base
+    # and it must actually DETECT a difference
+    assert fp(orders.limit(orders.count() - 1)) != base
