@@ -129,6 +129,12 @@ HEADLINE = [
     "bpe_merges",
     "incremental_join_view",
     "length_bucket_batches",
+    "corpus_curation_report",
+    "agg_bitmap_distinct",
+    "events_seasonality_profile",
+    "events_clamped_balance",
+    "quantile_normalize_doclen",
+    "multimodal_scene_cuts",
 ]
 
 
