@@ -345,15 +345,30 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark consumer keeps the array form: stop before this select.)"""
     configure_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(dv, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(127.0)
+    # dv and scale materialized as COLUMNS before the quantize lambdas
+    # read them: an expression referenced inside a lambda body is
+    # re-evaluated per element (the lambda-CSE lesson), which would make
+    # the scale (itself an O(dim) array_max) O(dim²) per row
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "dv"
+        ),
+    ).select(
+        "vec_id",
+        "dv",
+        (
+            F.array_max(F.transform("dv", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    dv = F.col("dv")
+    scale = F.col("scale")
     q = F.transform(dv, lambda x: F.round(x / scale).cast("int"))
     # max |x - q*scale| over the vector, in micro-units
     err = F.array_max(
         F.zip_with(dv, q, lambda x, qi: F.abs(x - qi.cast("double") * scale))
     )
-    return emb.select(
+    return base.select(
         "vec_id",
         F.round(scale * F.lit(1_000_000.0)).cast("bigint").alias("scale_mu"),
         F.array_join(

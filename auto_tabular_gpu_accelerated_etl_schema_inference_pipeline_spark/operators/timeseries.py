@@ -718,7 +718,59 @@ def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits its value
+    to the same user's most recent PRIOR click (within 24 h), rolled up
+    to the click hour — the marketing-attribution join every clickstream
+    warehouse runs. As-of machinery (equi-join on user + ranking window
+    with a deterministic tiebreak) plus a bounded lookback so the probe
+    fan-out stays windowed at scale; purchases with no qualifying click
+    credit the 'organic' bucket. Exact integer cents."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    day_us = 86_400_000_000
+    joined = purchases.join(
+        clicks,
+        (purchases["u"] == clicks["u"])
+        & (clicks["c_us"] < purchases["p_us"])
+        & (clicks["c_us"] >= purchases["p_us"] - day_us),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("c_us").desc_nulls_last(), F.col("c_id").desc_nulls_last()
+    )
+    attributed = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "cents",
+            F.when(
+                F.col("c_us").isNull(), F.lit(-1)
+            ).otherwise(F.expr(f"c_us div {3_600_000_000}")).alias(
+                "click_hour"
+            ),
+        )
+    )
+    return attributed.groupBy("click_hour").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("attributed_cents"),
+    )
+
+
 QUERIES = {
+    "attribution_last_touch": q_attribution_last_touch,
     "events_error_bursts": q_events_error_bursts,
     "events_seasonality_profile": q_events_seasonality_profile,
     "events_clamped_balance": q_events_clamped_balance,
@@ -742,6 +794,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_last_touch": """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS u,
+    CAST(epoch_us(ts) AS BIGINT) AS p_us,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS u, event_id AS c_id,
+    CAST(epoch_us(ts) AS BIGINT) AS c_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.p_id, p.cents, c.c_us, c.c_id
+  FROM p LEFT JOIN c ON p.u = c.u
+    AND c.c_us < p.p_us AND c.c_us >= p.p_us - 86400000000
+), best AS (
+  SELECT p_id, cents,
+    CASE WHEN c_us IS NULL THEN -1 ELSE c_us // 3600000000 END
+      AS click_hour,
+    row_number() OVER (PARTITION BY p_id
+      ORDER BY c_us DESC NULLS LAST, c_id DESC NULLS LAST) AS rn
+  FROM j
+)
+SELECT click_hour, count(*) AS n_purchases,
+  CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM best WHERE rn = 1 GROUP BY click_hour
+""",
     "events_error_bursts": """
 WITH e AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us

@@ -275,3 +275,67 @@ def merge_upsert(
             )
             if fs.exists(p):
                 fs.delete(p, True)
+
+
+def erase_rows(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list,
+    partition_col: str | None = None,
+) -> int:
+    """Right-to-be-forgotten erasure on plain parquet: rewrite the table
+    WITHOUT rows whose ``key_col`` is in ``keys`` and return how many
+    were erased. With ``partition_col``, only partitions that actually
+    CONTAIN a target row are rewritten (dynamic partition overwrite);
+    untouched partitions keep their physical files — on a 100 TB table
+    a deletion request rewrites only the partitions the user appears
+    in. Without it, full rewrite (dimension-table mode).
+
+    Table formats do this with deletion vectors; the parquet-native
+    version is rewrite-and-replace, and the invariant that matters —
+    surviving rows byte-identical, targets gone — is pinned by test via
+    an orderless table checksum."""
+    from pyspark.sql import functions as SF
+
+    df = spark.read.parquet(path)
+    hit = SF.col(key_col).isin(keys)
+    n_erased = df.filter(hit).count()
+    if n_erased == 0:
+        return 0
+    if partition_col is not None:
+        touched = [
+            r[0]
+            for r in df.filter(hit).select(partition_col).distinct().collect()
+        ]
+        survivors = df.filter(SF.col(partition_col).isin(touched)).filter(
+            ~hit
+        )
+        # lineage reads the path being overwritten -> materialize first
+        # (same reasoning as merge_upsert)
+        survivors = survivors.localCheckpoint()
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        # a partition whose every row was erased produces no output and
+        # would survive stale under dynamic overwrite — drop it
+        survived = {
+            r[0] for r in survivors.select(partition_col).distinct().collect()
+        }
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for val in set(touched) - survived:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={val}"
+            )
+            if fs.exists(p):
+                fs.delete(p, True)
+    else:
+        survivors = df.filter(~hit).localCheckpoint()
+        survivors.write.mode("overwrite").parquet(path)
+    return n_erased

@@ -618,3 +618,42 @@ def test_merge_upsert_full_table(spark, tmp_path):
         (r.id, r.name, r.v) for r in spark.read.parquet(target).collect()
     }
     assert got == {(1, "x", 100), (2, "y2", 200), (3, "z", 200)}
+
+
+def test_erase_rows_partition_scoped(spark, tmp_path):
+    """GDPR erasure: targets gone, survivors byte-identical (orderless
+    checksum), untouched partitions physically untouched, fully-erased
+    partitions dropped, no-op on unknown keys."""
+    target = str(tmp_path / "erase_target")
+    df = spark.createDataFrame(
+        [(u, f"d{u % 3}", u * 10) for u in range(30)],
+        "user_id int, day string, v int",
+    )
+    df.write.partitionBy("day").parquet(target)
+    before_files_d2 = set(os.listdir(os.path.join(target, "day=d2")))
+
+    def checksum(frame):
+        r = frame.select(
+            F.xxhash64("user_id", "day", "v").alias("h")
+        ).agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
+        return r["s"]
+
+    expected = checksum(df.filter(~F.col("user_id").isin([3, 6])))
+    n = sinks.erase_rows(spark, target, "user_id", [3, 6], partition_col="day")
+    assert n == 2
+    back = spark.read.parquet(target)
+    assert back.filter(F.col("user_id").isin([3, 6])).count() == 0
+    assert back.count() == 28
+    assert checksum(back) == expected
+    # user 3 -> day=d0, user 6 -> day=d0; day=d2 untouched physically
+    after_files_d2 = set(os.listdir(os.path.join(target, "day=d2")))
+    assert after_files_d2 == before_files_d2
+    # no-op erase
+    assert sinks.erase_rows(spark, target, "user_id", [999], partition_col="day") == 0
+    # erase an entire partition's rows -> its directory is gone
+    d1_users = [r.user_id for r in back.filter("day='d1'").collect()]
+    n2 = sinks.erase_rows(spark, target, "user_id", d1_users, partition_col="day")
+    assert n2 == len(d1_users)
+    assert not os.path.exists(os.path.join(target, "day=d1"))
