@@ -182,3 +182,61 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
     assert fp(orders.orderBy(F.col("o_totalprice").desc())) == base
     # and it must actually DETECT a difference
     assert fp(orders.limit(orders.count() - 1)) != base
+
+
+def test_degenerate_inputs_quantile_bin(spark):
+    """Degenerate inputs must not crash or go silently wrong: a constant
+    column (every boundary equal), a single row, and an all-null column.
+    The 10-hour-job reality: degenerate partitions/columns WILL occur at
+    100 TB and must produce defined results."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        bucketize,
+        exact_quantile_bin,
+        fit_quantile_boundaries,
+    )
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(100)], "id int, v double")
+    # exact lane: constant column still fills bins by the total order
+    binned = exact_quantile_bin(const, ["v"], bins=4, keys=["id"])
+    got = {r["v_bin"] for r in binned.collect()}
+    assert got == {0, 1, 2, 3}
+    # fitted lane: duplicate boundaries collapse -> everything lands in
+    # one defined bin, never an error
+    bounds = fit_quantile_boundaries(const, ["v"], bins=4)
+    out = bucketize(const, bounds)
+    assert out.select("v_bin").distinct().count() == 1
+
+    single = spark.createDataFrame([(1, 3.25)], "id int, v double")
+    b1 = fit_quantile_boundaries(single, ["v"], bins=4)
+    assert bucketize(single, b1).count() == 1
+
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(10)], "id int, v double"
+    )
+    bn = fit_quantile_boundaries(
+        const, ["v"], bins=4
+    )  # fit on real data, transform null rows
+    outn = bucketize(nulls, bn)
+    # pinned NaN/null policy: last bin
+    assert outn.select("v_bin").distinct().collect()[0][0] is not None
+
+
+def test_degenerate_inputs_dedup(spark):
+    """Empty and single-doc corpora through the dedup lanes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.dedup import (
+        minhash_near_dup_drop_ids,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    assert minhash_near_dup_drop_ids(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "a b c d e f g h", "en", "s", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert minhash_near_dup_drop_ids(one).count() == 0
