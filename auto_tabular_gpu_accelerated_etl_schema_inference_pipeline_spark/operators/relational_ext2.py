@@ -300,8 +300,39 @@ FROM events WHERE user_id < 30 GROUP BY user_id
 """
 
 
+def q_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding function family: base64/unbase64 roundtrip and
+    integer hex — the wire-format conversions of every export/ingest
+    boundary (signed URLs, digest columns, opaque keys). The roundtrip
+    flag proves decode(unbase64(base64(x))) is lossless; values mirror
+    DuckDB's to_base64/hex exactly. Map-only."""
+    configure_for_oracle(spark)
+    from ..session import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    b64 = F.base64(F.encode(F.col("p_name"), "utf-8"))
+    back = F.decode(F.unbase64(b64), "utf-8")
+    return part.select(
+        "p_partkey",
+        b64.alias("name_b64"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        (back == F.col("p_name")).cast("int").alias("roundtrip_ok"),
+    )
+
+
+_ENCODING_ORACLE = """
+SELECT p_partkey,
+  to_base64(encode(p_name)) AS name_b64,
+  hex(p_partkey) AS key_hex,
+  CAST(from_base64(to_base64(encode(p_name))) = encode(p_name) AS INTEGER)
+    AS roundtrip_ok
+FROM part
+"""
+
+
 QUERIES = {
     "url_funcs": q_url_funcs,
+    "encoding_funcs": q_encoding_funcs,
     "agg_listagg": q_agg_listagg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_bitwise_bool": q_agg_bitwise_bool,
@@ -317,6 +348,7 @@ ORACLES = {
     "url_funcs": _URL_ORACLE,
     "agg_bitmap_distinct": _BITMAP_ORACLE,
     "agg_listagg": _LISTAGG_ORACLE,
+    "encoding_funcs": _ENCODING_ORACLE,
     "agg_bitwise_bool": """
 SELECT event_type,
   bit_and(user_id) AS uid_bit_and,
