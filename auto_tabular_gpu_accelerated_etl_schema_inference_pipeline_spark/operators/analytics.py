@@ -1207,8 +1207,76 @@ GROUP BY r.doc_id, r.source, r.n_chars, r.p_ppm
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (preference query): parts not
+    dominated on (cheapest observed price — minimize, total quantity
+    sold — maximize). A part is dominated when another is at least as
+    good on both axes and strictly better on one.
+
+    Scalable formulation: sort by price, then one RANGE-frame window —
+    a candidate survives iff its quantity (a) strictly exceeds the max
+    quantity among STRICTLY cheaper parts (range ... -1 preceding on
+    integer cents) and (b) equals the max within its own price point.
+    O(n log n) — the O(n²) NOT-EXISTS form (which the oracle runs,
+    proving equivalence) is infeasible at scale. Exact integer
+    cents/units throughout.
+
+    The prefix-max window here is global (exact/oracle lane over the
+    per-PART aggregate, not per row). When the key domain itself is
+    huge, the same two-phase prefix machinery as
+    quantile_bin.cumulative_value_counts applies: range-partition by
+    price, local running max, broadcast per-partition boundary maxima —
+    identical results, no single-task sort."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "min_price_c"
+        ),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("tot_qty"),
+    )
+    w_cheaper = (
+        Window.orderBy("min_price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("min_price_c")
+    return (
+        per_part.withColumn(
+            "best_cheaper", F.max("tot_qty").over(w_cheaper)
+        )
+        .withColumn("best_same", F.max("tot_qty").over(w_same))
+        .filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("tot_qty") > F.col("best_cheaper"))
+            )
+            & (F.col("tot_qty") == F.col("best_same"))
+        )
+        .select("l_partkey", "min_price_c", "tot_qty")
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS min_price_c,
+    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS tot_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.l_partkey, p.min_price_c, p.tot_qty
+FROM per_part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_part o
+  WHERE o.min_price_c <= p.min_price_c AND o.tot_qty >= p.tot_qty
+    AND (o.min_price_c < p.min_price_c OR o.tot_qty > p.tot_qty)
+)
+"""
+
+
 QUERIES = {
     "ab_experiment_report": q_ab_experiment_report,
+    "skyline_parts": q_skyline_parts,
     "quantile_normalize_doclen": q_quantile_normalize_doclen,
     "cdf_transform_price": q_cdf_transform_price,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -1235,6 +1303,7 @@ QUERIES = {
 ORACLES = {
     "ab_experiment_report": _AB_ORACLE,
     "quantile_normalize_doclen": _QNORM_ORACLE,
+    "skyline_parts": _SKYLINE_ORACLE,
     "cdf_transform_price": _CDF_ORACLE,
     "revenue_share_by_nation": _REV_SHARE_ORACLE,
     "customer_rfm_segments": _RFM_ORACLE,
