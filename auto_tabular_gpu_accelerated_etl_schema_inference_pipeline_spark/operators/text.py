@@ -339,7 +339,61 @@ FROM ranked WHERE rn = 1
 """
 
 
+#: demo sentiment lexicon over the fixture's vocabulary (the pattern of
+#: "Large Scale Sentiment Analysis on Twitter with Spark", EDBT 2016:
+#: lexicon lookup + counting — swap in AFINN/VADER wordlists in prod)
+SENT_POS = ["fast", "big"]
+SENT_NEG = ["slow", "error", "small"]
+
+
+def q_text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring: count positive/negative lexicon
+    hits per document, polarity = (pos - neg) * 1e6 div n_tokens (exact
+    integer ppm). The EDBT-2016 Spark-sentiment shape: the lexicon is a
+    tiny broadcast-able set, the scan is map-only array filtering — no
+    shuffle, no UDF, linear at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    pos_arr = F.array(*[F.lit(w) for w in SENT_POS])
+    neg_arr = F.array(*[F.lit(w) for w in SENT_NEG])
+    n = F.size(toks)
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_arr, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_arr, t)))
+    return docs.select(
+        "doc_id",
+        n_pos.cast("int").alias("n_pos"),
+        n_neg.cast("int").alias("n_neg"),
+        F.expr(
+            f"(size(filter(split(text, ' '), "
+            f"t -> array_contains(array({','.join(repr(w) for w in SENT_POS)}), t))) - "
+            f"size(filter(split(text, ' '), "
+            f"t -> array_contains(array({','.join(repr(w) for w in SENT_NEG)}), t)))) "
+            f"* 1000000 div size(split(text, ' '))"
+        ).cast("bigint").alias("polarity_ppm"),
+    )
+
+
+_SENTIMENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n,
+    len(list_filter(toks, x -> list_contains({SENT_POS!r}, x))) AS np,
+    len(list_filter(toks, x -> list_contains({SENT_NEG!r}, x))) AS nn
+  FROM t
+)
+SELECT doc_id, CAST(np AS INTEGER) AS n_pos, CAST(nn AS INTEGER) AS n_neg,
+  -- Spark `div` truncates toward zero; DuckDB // floors. Polarity can
+  -- be negative, so mirror truncation sign-explicitly.
+  CAST(CASE WHEN np >= nn THEN (np - nn) * 1000000 // n
+            ELSE -((nn - np) * 1000000 // n) END AS BIGINT)
+    AS polarity_ppm
+FROM c
+"""
+
+
 QUERIES = {
+    "text_sentiment_lexicon": q_text_sentiment_lexicon,
     "text_top_ngram_cover": q_text_top_ngram_cover,
     "text_word_entropy": q_text_word_entropy,
     "text_repetition": q_text_repetition,
@@ -351,6 +405,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_sentiment_lexicon": _SENTIMENT_ORACLE,
     "text_top_ngram_cover": _TOP_NGRAM_ORACLE,
     "lang_id_confusion": f"""
 WITH s AS (
