@@ -413,7 +413,71 @@ FROM names n JOIN (
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (bounded shortest path in hops) over the part
+    co-purchase graph — the graph-TRAVERSAL primitive next to the
+    closure (connected_components), ranking (pagerank), and census
+    (triangle) ops. Source = the minimum part key appearing in an edge;
+    output every part reachable within BFS_MAX_HOPS with its exact hop
+    distance.
+
+    Scale design: frontier-expansion BFS — per round ONE edge-join
+    shuffle keyed by vertex, and the join input is only the FRONTIER
+    (vertices first reached last round), not the full distance table;
+    visited vertices are excluded with a left-anti join so each vertex
+    is settled exactly once (level-synchronous BFS, the Pregel
+    formulation). ``localCheckpoint`` truncates lineage per round as in
+    connected_components. The hop bound makes the result deterministic
+    and lets the oracle replay it as a depth-capped recursive closure."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.toDF("okey", "p1")
+    b = it.toDF("okey", "p2")
+    pairs = (
+        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("id")).select(
+        "id", F.lit(0).alias("hops")
+    )
+    dist = seed.localCheckpoint()
+    frontier = dist.select("id")
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return dist.select(
+        F.col("id").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
+    )
+
+
 QUERIES = {
+    "graph_bfs_hops": q_graph_bfs_hops,
     "entity_resolution_clusters": q_entity_resolution_clusters,
     "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,
@@ -423,6 +487,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    # depth-capped recursive closure: UNION-dedup on (id, hops) bounds
+    # the state, min(hops) per id == level-synchronous BFS distance
+    "graph_bfs_hops": f"""
+WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+walk(id, hops) AS (
+  SELECT (SELECT min(src) FROM edges), 0
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT id AS p_partkey, CAST(min(hops) AS INTEGER) AS hops
+FROM walk GROUP BY id
+""",
     "eigencentrality_parts": _eigen_oracle(),
     "entity_resolution_clusters": _ER_ORACLE_TEMPLATE.format(maxd=FUZZY_MAX_DIST),
     "graph_triangle_count": """

@@ -39,6 +39,7 @@ _MODULES = [
     "operators.timeseries",
     "operators.retrieval",
     "operators.interval_join",
+    "operators.geo",
     "operators.audit",
     "operators.cdc",
     "operators.llm_prep",
