@@ -446,7 +446,74 @@ FROM b GROUP BY bucket, batch_id
 """
 
 
+def q_html_strip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the first stage of every crawled-text
+    pretraining pipeline (strip markup, unescape entities, normalize
+    whitespace) with a per-doc losslessness audit. The fixture corpus is
+    plain text, so the markup column is STAGED deterministically (body
+    wrap + a <b> tag around every ' the ' + an &amp; entity for ' and '
+    + a footer div) — the staging is part of the query on BOTH engines,
+    so the strip pipeline is value-verified end-to-end: clean output
+    must equal the independently-computed expected text, and
+    retained_ppm audits how much of the raw markup survives.
+
+    Entirely map-only regexp/replace (whole-stage codegen, zero
+    shuffle): the 100 TB shape is a pure scan-transform. The tag regex
+    '<[^>]*>' and the explicit whitespace class are chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB oracle)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><p>'),
+        F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" <b>the</b> ")),
+            F.lit(" and "),
+            F.lit(" &amp; "),
+        ),
+        F.lit('</p><div class="footer">(c) '),
+        F.col("source"),
+        F.lit("</div></body></html>"),
+    )
+    no_tags = F.regexp_replace(html, r"<[^>]*>", " ")
+    unesc = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"),
+            F.lit("<"),
+        ),
+        F.lit("&gt;"),
+        F.lit(">"),
+    )
+    clean = F.trim(F.regexp_replace(unesc, "[ \t\n\r]+", " "))
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.replace(F.col("text"), F.lit(" and "), F.lit(" & ")),
+                F.lit(" (c) "),
+                F.col("source"),
+            ),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    df = docs.select(
+        "doc_id",
+        html.alias("_html"),
+        clean.alias("clean_text"),
+        expected.alias("_expected"),
+    )
+    return df.select(
+        "doc_id",
+        "clean_text",
+        (F.col("clean_text") == F.col("_expected")).alias("is_lossless"),
+        F.expr("length(clean_text) * 1000000L div length(_html)").alias(
+            "retained_ppm"
+        ),
+    )
+
+
 QUERIES = {
+    "html_strip_clean": q_html_strip_clean,
     "length_bucket_batches": q_length_bucket_batches,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
@@ -458,6 +525,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "html_strip_clean": """
+WITH staged AS (
+  SELECT doc_id, source,
+    '<html><body><p>' ||
+    replace(replace(text, ' the ', ' <b>the</b> '), ' and ', ' &amp; ') ||
+    '</p><div class="footer">(c) ' || source || '</div></body></html>'
+      AS html,
+    text
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(
+        regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      '[ \t\n\r]+', ' ', 'g')) AS clean_text,
+    trim(regexp_replace(
+      replace(text, ' and ', ' & ') || ' (c) ' || source,
+      '[ \t\n\r]+', ' ', 'g')) AS expected
+  FROM staged
+)
+SELECT doc_id, clean_text,
+  clean_text = expected AS is_lossless,
+  CAST(length(clean_text) AS BIGINT) * 1000000 // length(html)
+    AS retained_ppm
+FROM stripped
+""",
     "length_bucket_batches": _LENGTH_BUCKET_ORACLE,
     "pii_redact": f"""
 SELECT event_id,

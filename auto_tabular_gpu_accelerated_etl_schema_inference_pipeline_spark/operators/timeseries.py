@@ -690,6 +690,49 @@ def q_events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type next-day revenue forecast by simple exponential
+    smoothing with alpha = 1/2 — the forecasting primitive of the
+    time-series lane. SES state is a non-linear left fold (s_t =
+    alpha*x_t + (1-alpha)*s_{t-1}, seeded s_1 = x_1), NOT a window
+    function, so like q_events_clamped_balance it runs as an ordered
+    array fold: daily revenue cents per type (one groupBy shuffle,
+    partial-aggregated map-side), then sort_array over (day, cents)
+    structs and aggregate() with integer halving — (acc + x) div 2 keeps
+    every intermediate exact (inputs are non-negative cents, so Spark's
+    `div` and DuckDB's `//` agree), which is what makes the fold
+    bit-replayable by the oracle's list_reduce. Fold state per group is
+    the DAY-level series (bounded by calendar span, not event volume) —
+    the same state-bound argument as the rolling-median frame.
+    """
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("day"), F.col("day_cents")))
+    )
+    series = F.transform(arr, lambda x: x["day_cents"])
+    # integer halving as shiftright — exact for the non-negative cents
+    ses = F.aggregate(
+        F.slice(series, 2, F.size(series) - 1),
+        F.element_at(series, 1),
+        lambda acc, x: F.shiftright(acc + x, 1),
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_cents").alias("total_cents"),
+        ses.alias("ses_forecast_cents"),
+    )
+
+
 def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-burst detection (the SRE retry-storm screen): an error
     event is part of a burst when >= 2 errors from the same user land
@@ -774,6 +817,7 @@ QUERIES = {
     "events_error_bursts": q_events_error_bursts,
     "events_seasonality_profile": q_events_seasonality_profile,
     "events_clamped_balance": q_events_clamped_balance,
+    "events_ses_forecast": q_events_ses_forecast,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -794,6 +838,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    # list_reduce seeds from the first element, matching the Spark
+    # fold's element_at(series, 1) init; // 2 == shiftright 1 for the
+    # non-negative cents
+    "events_ses_forecast": """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(day_cents) AS BIGINT) AS total_cents,
+         list(day_cents ORDER BY day) AS l
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, total_cents,
+       CAST(list_reduce(l, (a, x) -> (a + x) // 2) AS BIGINT)
+         AS ses_forecast_cents
+FROM s
+""",
     "attribution_last_touch": """
 WITH p AS (
   SELECT event_id AS p_id, user_id AS u,
