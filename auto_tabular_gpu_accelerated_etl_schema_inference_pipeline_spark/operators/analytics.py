@@ -1274,7 +1274,98 @@ WHERE NOT EXISTS (
 """
 
 
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via MAD (median absolute
+    deviation) — the screen that, unlike z-scores, outliers cannot
+    poison (mean AND stddev both move with the outlier; medians do
+    not). Per nation: lower-median account balance, then lower-median
+    absolute deviation, flag customers with |dev| > 3·MAD. All in exact
+    integer cents; the lower median (percentile_disc semantics — the
+    smallest value whose row_number doubles past the group size under
+    the total order (value, key)) avoids interpolation entirely, so the
+    oracle replays it bit-for-bit.
+
+    Plan: two windowed passes over the SAME partitioning key (nation) —
+    Catalyst reuses the exchange, so it is one shuffle plus local
+    sorts; per-group state is the group itself (nations are numerous
+    and bounded). A single fat group routes to the prefix-sum fit in
+    quantile_bin, same as weighted_median."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("c_nationkey")
+    wo = w.orderBy("cents", "c_custkey")
+    med = F.min(
+        F.when(
+            2 * F.row_number().over(wo) >= F.count(F.lit(1)).over(w),
+            F.col("cents"),
+        )
+    ).over(w)
+    step1 = cust.select(
+        "c_custkey", "c_nationkey", "cents", med.alias("med_cents")
+    )
+    dev = F.abs(F.col("cents") - F.col("med_cents"))
+    wd = Window.partitionBy("c_nationkey")
+    wdo = wd.orderBy(dev, "c_custkey")
+    mad = F.min(
+        F.when(
+            2 * F.row_number().over(wdo) >= F.count(F.lit(1)).over(wd),
+            dev,
+        )
+    ).over(wd)
+    return step1.select(
+        "c_custkey",
+        "c_nationkey",
+        "cents",
+        dev.alias("dev_cents"),
+        mad.alias("mad_cents"),
+        (dev > 3 * mad).alias("is_outlier"),
+    )
+
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), m AS (
+  SELECT *, min(CASE WHEN 2 * rn >= n THEN cents END)
+              OVER (PARTITION BY c_nationkey) AS med_cents
+  FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY c_nationkey
+                         ORDER BY cents, c_custkey) AS rn,
+      count(*) OVER (PARTITION BY c_nationkey) AS n
+    FROM c
+  )
+), d AS (
+  SELECT c_custkey, c_nationkey, cents,
+         abs(cents - med_cents) AS dev_cents
+  FROM m
+), md AS (
+  SELECT *, min(CASE WHEN 2 * rn >= n THEN dev_cents END)
+              OVER (PARTITION BY c_nationkey) AS mad_cents
+  FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY c_nationkey
+                         ORDER BY dev_cents, c_custkey) AS rn,
+      count(*) OVER (PARTITION BY c_nationkey) AS n
+    FROM d
+  )
+)
+SELECT c_custkey, c_nationkey, cents, dev_cents, mad_cents,
+       dev_cents > 3 * mad_cents AS is_outlier
+FROM md
+"""
+
+
 QUERIES = {
+    "mad_outlier_flags": q_mad_outlier_flags,
     "ab_experiment_report": q_ab_experiment_report,
     "skyline_parts": q_skyline_parts,
     "quantile_normalize_doclen": q_quantile_normalize_doclen,
@@ -1301,6 +1392,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mad_outlier_flags": _MAD_ORACLE,
     "ab_experiment_report": _AB_ORACLE,
     "quantile_normalize_doclen": _QNORM_ORACLE,
     "skyline_parts": _SKYLINE_ORACLE,

@@ -220,13 +220,99 @@ FROM c, t
 """
 
 
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit of a monotonically-assigned id space (the CDC
+    / ingestion invariant "no event was dropped"): one summary row over
+    events.event_id — row count, distinct count, id range, how many ids
+    the range says are missing, how many contiguous gap runs, and the
+    widest run. Dropped-batch incidents show up as a few WIDE gaps;
+    retry-duplication shows up as n_rows > n_distinct.
+
+    Plan: the range/count stats are one scan-level aggregate. The gap
+    runs need consecutive-id adjacency — a GLOBAL-order window would
+    collapse the table to one partition, so adjacency is split: (a)
+    within-bucket gaps via a window PARTITIONED by id-bucket (id div
+    4096 — parallel, bounded per-partition state), (b) cross-bucket
+    boundary gaps from the per-bucket (min, max) summary, a table
+    ~n/4096 rows where a partitionless window is fine (and whose row
+    count is tunable via the bucket width at 100 TB). The union of (a)
+    and (b) is exactly the global adjacency gap set — what the oracle
+    computes directly with one global lead()."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    BUCKET = 4096
+    ids = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(f"event_id div {BUCKET}").alias("b")
+    )
+    wi = Window.partitionBy("b").orderBy("event_id")
+    inner = (
+        ids.select(
+            (F.lead("event_id").over(wi) - F.col("event_id") - 1).alias(
+                "gap_len"
+            )
+        )
+        .filter(F.col("gap_len") > 0)
+    )
+    bsum = ids.groupBy("b").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    wb = Window.orderBy("b")
+    boundary = (
+        bsum.select(
+            (F.lead("lo").over(wb) - F.col("hi") - 1).alias("gap_len")
+        )
+        .filter(F.col("gap_len") > 0)
+    )
+    gaps = inner.unionAll(boundary)
+    stats = ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    gstats = gaps.agg(
+        F.count(F.lit(1)).alias("n_gap_runs"),
+        F.coalesce(F.max("gap_len"), F.lit(0)).cast("bigint").alias(
+            "max_gap_len"
+        ),
+        F.coalesce(F.sum("gap_len"), F.lit(0)).cast("bigint").alias(
+            "n_missing"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(gstats)).select(
+        "n_rows", "n_distinct", "min_id", "max_id",
+        "n_missing", "n_gap_runs", "max_gap_len",
+    )
+
+
+_SEQ_GAP_ORACLE = """
+WITH ids AS (SELECT event_id FROM events),
+g AS (
+  SELECT lead(event_id) OVER (ORDER BY event_id) - event_id - 1 AS gap_len
+  FROM ids
+),
+gaps AS (SELECT gap_len FROM g WHERE gap_len > 0)
+SELECT
+  (SELECT count(*) FROM ids) AS n_rows,
+  (SELECT count(DISTINCT event_id) FROM ids) AS n_distinct,
+  (SELECT min(event_id) FROM ids) AS min_id,
+  (SELECT max(event_id) FROM ids) AS max_id,
+  CAST((SELECT coalesce(sum(gap_len), 0) FROM gaps) AS BIGINT) AS n_missing,
+  (SELECT count(*) FROM gaps) AS n_gap_runs,
+  CAST((SELECT coalesce(max(gap_len), 0) FROM gaps) AS BIGINT) AS max_gap_len
+"""
+
+
 QUERIES = {
+    "sequence_gap_audit": q_sequence_gap_audit,
     "benford_first_digit": q_benford_first_digit,
     "constraint_audit": q_constraint_audit,
     "k_anonymity_audit": q_k_anonymity_audit,
     "footer_stats_lineitem": q_footer_stats_lineitem,
 }
 ORACLES = {
+    "sequence_gap_audit": _SEQ_GAP_ORACLE,
     "benford_first_digit": _BENFORD_ORACLE,
     "constraint_audit": _AUDIT_ORACLE,
     "k_anonymity_audit": _K_ANON_ORACLE,
