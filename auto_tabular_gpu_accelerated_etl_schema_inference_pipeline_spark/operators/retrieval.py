@@ -239,13 +239,155 @@ FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
 """
 
 
+RRF_K = 60
+RRF_TOP_N = 100
+RRF_OUT_K = 20
+RRF_QUERY_VEC_ID = 0
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009):
+    fuse the LEXICAL ranking (the BM25 query above) with a SEMANTIC
+    ranking (integer dot product of int8-quantized embeddings against
+    the vec_id=0 query vector) as score = Σ_lists 1/(k + rank), k=60 —
+    the standard way RAG stacks combine keyword and vector hits without
+    score calibration. Every fused quantity is an exact integer: BM25 in
+    µ-units, the semantic score as an int8×int8 dot product, and the RRF
+    sum in e9-units via integer division, so the oracle matches
+    bit-for-bit.
+
+    Scale shape: each list is cut to its top-100 by TakeOrderedAndProject
+    (distributed heap top-k — no global sort, no single-partition
+    window over the corpus); ranks are then assigned on the 100-row
+    result where a partitionless window is free. The fusion join is
+    100x100 tiny. The quantized dot product itself is a map-only
+    zip_with/aggregate against one broadcast query vector."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    bm25 = (
+        q_bm25_search(spark, sf_dir)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(RRF_TOP_N)
+    )
+    wb = Window.orderBy(F.desc("score_micro"), "doc_id")
+    bm25r = bm25.select(
+        "doc_id", F.row_number().over(wb).cast("int").alias("bm25_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "dv"
+        ),
+    ).select(
+        "vec_id",
+        "dv",
+        (
+            F.array_max(F.transform("dv", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    dv, scale = F.col("dv"), F.col("scale")
+    q8 = base.select(
+        "vec_id",
+        F.transform(dv, lambda x: F.round(x / scale).cast("int")).alias("q8"),
+    )
+    qvec = q8.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("q8").alias("qq")
+    )
+    dots = (
+        q8.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("q8", "qq", lambda a, b: (a * b).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(RRF_TOP_N)
+    )
+    we = Window.orderBy(F.desc("qdot"), "vec_id")
+    embr = dots.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(we).cast("int").alias("emb_rank"),
+    )
+
+    fused = bm25r.join(embr, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "emb_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000L div ({RRF_K} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000L div ({RRF_K} + emb_rank)"), F.lit(0)
+            )
+        ).alias("rrf_e9"),
+    )
+    return fused.orderBy(F.desc("rrf_e9"), "doc_id").limit(RRF_OUT_K)
+
+
+_RRF_ORACLE = f"""
+WITH bm AS ({_BM25_ORACLE.strip()}),
+bm_top AS (
+  SELECT doc_id, score_micro FROM bm
+  ORDER BY score_micro DESC, doc_id LIMIT {RRF_TOP_N}
+),
+bm_r AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER)
+      AS bm25_rank
+  FROM bm_top
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, dv,
+    list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id,
+    list_transform(dv, x -> CAST(round(x / scale) AS INTEGER)) AS q8
+  FROM s
+), qv AS (SELECT q8 AS qq FROM q WHERE vec_id = {RRF_QUERY_VEC_ID}),
+dots AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(list_zip(q8, qq),
+      z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS qdot
+  FROM q CROSS JOIN qv
+  ORDER BY qdot DESC, vec_id LIMIT {RRF_TOP_N}
+),
+e_r AS (
+  SELECT vec_id AS doc_id,
+    CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS INTEGER)
+      AS emb_rank
+  FROM dots
+),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.bm25_rank, v.emb_rank,
+    coalesce(1000000000 // ({RRF_K} + b.bm25_rank), 0)
+      + coalesce(1000000000 // ({RRF_K} + v.emb_rank), 0) AS rrf_e9
+  FROM bm_r b FULL OUTER JOIN e_r v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, bm25_rank, emb_rank, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT {RRF_OUT_K}
+"""
+
+
 QUERIES = {
+    "hybrid_rrf_search": q_hybrid_rrf_search,
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
 }
 
 ORACLES = {
+    "hybrid_rrf_search": _RRF_ORACLE,
     "inverted_index": _INVERTED_INDEX_ORACLE,
     "bm25_search": _BM25_ORACLE,
     "duplicate_ngram_spans": _SPANS_ORACLE,

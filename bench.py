@@ -135,6 +135,13 @@ HEADLINE = [
     "events_clamped_balance",
     "quantile_normalize_doclen",
     "multimodal_scene_cuts",
+    # round-3 second-half additions
+    "geo_grid_distance_join",
+    "graph_bfs_hops",
+    "events_ses_forecast",
+    "html_strip_clean",
+    "mad_outlier_flags",
+    "sequence_gap_audit",
 ]
 
 
