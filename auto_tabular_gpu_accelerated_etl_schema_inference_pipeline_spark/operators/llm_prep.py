@@ -512,7 +512,86 @@ def q_html_strip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_P_NUM, TOP_P_DEN = 8, 10  # keep the top-80% token mass per source
+
+
+def q_top_p_source_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus selection per source: rank documents by
+    lexical richness (distinct-token count — an exact integer, so the
+    order is bit-stable), then keep the SHORTEST prefix covering 80% of
+    the source's token mass. The curation move that trims each source's
+    low-quality tail without a hand-tuned absolute threshold — budget
+    adapts to every source's own distribution (the same reasoning as
+    nucleus sampling in decoding).
+
+    Membership is pure integer arithmetic: a doc is kept iff the mass
+    BEFORE it is still under p·total (DEN·cum_before < NUM·total), so
+    the boundary doc that crosses the threshold is included and
+    everything after is dropped — no division anywhere. Plan: one
+    groupBy for per-source totals (broadcast back), one windowed
+    cumulative sum partitioned by source — one shuffle each, state
+    bounded per source group."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+    totals = feat.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_uniq"), "doc_id"
+    )
+    ranked = feat.join(F.broadcast(totals), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_uniq",
+        "total_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.row_number().over(w).cast("int").alias("sel_rank"),
+    )
+    return ranked.filter(
+        TOP_P_DEN * (F.col("cum_tokens") - F.col("n_tokens"))
+        < TOP_P_NUM * F.col("total_tokens")
+    ).select(
+        "doc_id", "source", "n_tokens", "n_uniq", "sel_rank",
+        "cum_tokens", "total_tokens",
+    )
+
+
+_TOP_P_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS BIGINT)
+      AS n_uniq
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM feat GROUP BY source
+), ranked AS (
+  SELECT f.doc_id, f.source, f.n_tokens, f.n_uniq, t.total_tokens,
+    CAST(sum(f.n_tokens) OVER (PARTITION BY f.source
+      ORDER BY f.n_uniq DESC, f.doc_id) AS BIGINT) AS cum_tokens,
+    CAST(row_number() OVER (PARTITION BY f.source
+      ORDER BY f.n_uniq DESC, f.doc_id) AS INTEGER) AS sel_rank
+  FROM feat f JOIN totals t ON f.source = t.source
+)
+SELECT doc_id, source, n_tokens, n_uniq, sel_rank, cum_tokens, total_tokens
+FROM ranked
+WHERE {TOP_P_DEN} * (cum_tokens - n_tokens) < {TOP_P_NUM} * total_tokens
+"""
+
+
 QUERIES = {
+    "top_p_source_selection": q_top_p_source_selection,
     "html_strip_clean": q_html_strip_clean,
     "length_bucket_batches": q_length_bucket_batches,
     "pii_redact": q_pii_redact,
@@ -525,6 +604,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "top_p_source_selection": _TOP_P_ORACLE,
     "html_strip_clean": """
 WITH staged AS (
   SELECT doc_id, source,
