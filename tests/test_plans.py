@@ -430,3 +430,44 @@ def test_join_hint_strategies(spark, sf_dir):
     assert "BroadcastHashJoin" in formatted_plan(o.join(c.hint("broadcast"), cond))
     assert "ShuffledHashJoin" in formatted_plan(o.join(c.hint("shuffle_hash"), cond))
     assert "SortMergeJoin" in formatted_plan(o.join(c.hint("merge"), cond))
+
+
+def test_geo_grid_join_is_equi_join_not_cartesian(spark, sf_dir):
+    """The spatial join must plan as an equi-join on the cell id with
+    the 9x-replicated supplier side broadcast — never a cartesian/
+    nested-loop with a distance predicate (the naive plan the oracle
+    runs)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.geo import (
+        q_geo_grid_distance_join,
+    )
+
+    plan = formatted_plan(q_geo_grid_distance_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hybrid_rrf_topk_no_global_sort(spark, sf_dir):
+    """Both retrieval lists are cut with TakeOrderedAndProject
+    (distributed heap top-k); the corpus must never pass through a
+    single-partition global Sort or a corpus-wide Window."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.retrieval import (
+        q_hybrid_rrf_search,
+    )
+
+    plan = formatted_plan(q_hybrid_rrf_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sequence_gap_audit_partitioned_adjacency(spark, sf_dir):
+    """The id-adjacency window must be partitioned by the id bucket:
+    the full events table may never collapse into one partition (the
+    only partitionless window allowed is over the tiny per-bucket
+    summary)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.audit import (
+        q_sequence_gap_audit,
+    )
+
+    plan = formatted_plan(q_sequence_gap_audit(spark, sf_dir))
+    # the bucket-partitioned window pass shows hashpartitioning on b
+    assert "hashpartitioning(b" in plan, plan
