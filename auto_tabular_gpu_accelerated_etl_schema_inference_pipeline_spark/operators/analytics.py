@@ -1364,7 +1364,86 @@ FROM md
 """
 
 
+KS_SOURCE_A, KS_SOURCE_B = "src0", "src1"
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the doc-length
+    distributions of two sources — the distribution-level drift test
+    next to PSI (which needs binning; KS does not). D = max over
+    observed values of |F_A(v) − F_B(v)|, with each empirical CDF in
+    TRUNCATED ppm (cum·1e6 div n — the truncation is part of the
+    stated statistic, identical on both engines, so the result is an
+    exact integer).
+
+    The CDFs come from ONE pass: a RANGE-framed count over the merged
+    sample ordered by value (RANGE includes ties — exactly #≤v). The
+    window is partitionless BY NATURE of the statistic (a CDF is a
+    global order) but runs over the two SAMPLES being compared, not a
+    raw table — at 100 TB the samples are the bounded output of the
+    sampling operators (production.py), which is the statistically
+    correct input to a KS test anyway (its p-values are meaningless at
+    billion-n)."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(
+        F.col("source").isin(KS_SOURCE_A, KS_SOURCE_B)
+    ).select("source", F.col("n_chars").cast("bigint").alias("v"))
+    n = d.groupBy().pivot("source", [KS_SOURCE_A, KS_SOURCE_B]).count()
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    ca = F.sum(
+        F.when(F.col("source") == KS_SOURCE_A, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    cb = F.sum(
+        F.when(F.col("source") == KS_SOURCE_B, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    cdf = d.select("v", ca.alias("ca"), cb.alias("cb")).crossJoin(
+        F.broadcast(
+            n.select(
+                F.col(KS_SOURCE_A).alias("na"), F.col(KS_SOURCE_B).alias("nb")
+            )
+        )
+    )
+    diff = F.abs(
+        F.expr("ca * 1000000L div na") - F.expr("cb * 1000000L div nb")
+    )
+    return cdf.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(diff).alias("ks_ppm"),
+    )
+
+
+_KS_ORACLE = f"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE source IN ('{KS_SOURCE_A}', '{KS_SOURCE_B}')
+), n AS (
+  SELECT
+    count(*) FILTER (source = '{KS_SOURCE_A}') AS na,
+    count(*) FILTER (source = '{KS_SOURCE_B}') AS nb
+  FROM d
+), cdf AS (
+  SELECT v,
+    sum(CASE WHEN source = '{KS_SOURCE_A}' THEN 1 ELSE 0 END)
+      OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS ca,
+    sum(CASE WHEN source = '{KS_SOURCE_B}' THEN 1 ELSE 0 END)
+      OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cb
+  FROM d
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+  CAST(max(abs(ca * 1000000 // na - cb * 1000000 // nb)) AS BIGINT)
+    AS ks_ppm
+FROM cdf CROSS JOIN n
+"""
+
+
 QUERIES = {
+    "ks_two_sample": q_ks_two_sample,
     "mad_outlier_flags": q_mad_outlier_flags,
     "ab_experiment_report": q_ab_experiment_report,
     "skyline_parts": q_skyline_parts,
@@ -1392,6 +1471,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ks_two_sample": _KS_ORACLE,
     "mad_outlier_flags": _MAD_ORACLE,
     "ab_experiment_report": _AB_ORACLE,
     "quantile_normalize_doclen": _QNORM_ORACLE,

@@ -359,7 +359,102 @@ def q_embedding_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: safety / policy screen terms (fixture stand-ins for a real deny list)
+BLOCKLIST_TERMS = ("slow", "error", "null", "drop")
+BLOCKLIST_FLAG_MIN = 2  # flag when >= 2 DISTINCT terms hit
+
+
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list content screen — the safety-filtering stage of a
+    pretraining pipeline (policy terms, dirty words, PII keywords):
+    per doc, which blocklist terms appear (sorted, comma-joined — the
+    canonicalizable export form), how many DISTINCT terms hit, and the
+    flag at >= BLOCKLIST_FLAG_MIN. Matching is set intersection of the
+    doc's distinct tokens against the broadcast term list — map-only
+    array expressions, zero shuffle, whole-stage codegen; at 100 TB a
+    large deny list swaps the array literal for a broadcast join
+    against a terms table (same plan shape as decontaminate)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+    block = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    hits = F.array_sort(F.array_intersect(toks, block))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_join(hits, ",").alias("matched_terms"),
+        F.size(hits).cast("int").alias("n_matched"),
+        (F.size(hits) >= BLOCKLIST_FLAG_MIN).alias("is_flagged"),
+    )
+
+
+_BLOCKLIST_SQL_LIST = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+_BLOCKLIST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    list_sort(list_intersect(
+      list_distinct(string_split(lower(trim(text)), ' ')),
+      [{_BLOCKLIST_SQL_LIST}])) AS hits
+  FROM documents
+)
+SELECT doc_id, source,
+  array_to_string(hits, ',') AS matched_terms,
+  CAST(len(hits) AS INTEGER) AS n_matched,
+  len(hits) >= {BLOCKLIST_FLAG_MIN} AS is_flagged
+FROM t
+"""
+
+NEG_K = 4  # negatives per anchor
+NEG_A, NEG_C = 7, 13  # deterministic stride multipliers
+
+
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair generation for contrastive training
+    (embedding models train on (anchor, negative) pairs; random choice
+    is not replayable across runs/partitions): for each anchor doc,
+    NEG_K pseudo-random partners neg = (a·7 + k·13) mod N, skipping
+    self-collisions. Pure modular arithmetic = identical on any engine
+    and any partitioning; the corpus size N is a 1-row broadcast.
+    Map-side explode of a K-element sequence — no shuffle, output
+    exactly K·N rows minus self-collisions."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_docs",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("k").cast("int").alias("neg_rank"),
+            F.expr(
+                f"(doc_id * {NEG_A} + k * {NEG_C}) % n_docs"
+            ).alias("neg_id"),
+        )
+    )
+    return pairs.filter(F.col("neg_id") != F.col("anchor_id"))
+
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+  SELECT d.doc_id AS anchor_id, CAST(k AS INTEGER) AS neg_rank,
+    (d.doc_id * {NEG_A} + k * {NEG_C}) % n.n_docs AS neg_id
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(generate_series(1, {NEG_K})) AS k)
+)
+SELECT anchor_id, neg_rank, neg_id FROM p WHERE neg_id <> anchor_id
+"""
+
+
 QUERIES = {
+    "blocklist_screen": q_blocklist_screen,
+    "negative_sampling_pairs": q_negative_sampling_pairs,
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "embedding_quality_score": q_embedding_quality_score,
     "zscore_normalize": q_zscore_normalize,
@@ -371,6 +466,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "blocklist_screen": _BLOCKLIST_ORACLE,
+    "negative_sampling_pairs": _NEG_ORACLE,
     "doc_chunk_overlap": f"""
 WITH t AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks

@@ -733,6 +733,48 @@ def q_events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the metering/
+    billing/market-data aggregate where each observation counts for as
+    long as it was CURRENT, not once): weight = milliseconds until the
+    user's next event (the final observation carries zero weight — the
+    right-open convention, stated). Exact integer arithmetic end to
+    end: cents × duration_ms sums stay far inside bigint because
+    durations are per-user inter-event gaps, and the final `div` is
+    integral — no decimal rounding anywhere to desync engines. One
+    window pass partitioned by user (lead), one groupBy — two shuffles
+    on the same key, AQE-coalesced; per-row state is a single lead."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    rows = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.lead(us).over(w) - us) / 1000).cast("bigint").alias("_dur_raw"),
+    ).select(
+        "user_id",
+        "cents",
+        F.coalesce(F.col("_dur_raw"), F.lit(0)).alias("dur_ms"),
+    )
+    agg = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+        F.sum(F.col("cents") * F.col("dur_ms")).alias("_num"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "total_dur_ms",
+        F.when(
+            F.col("total_dur_ms") > 0,
+            F.expr("_num div total_dur_ms"),
+        ).alias("twap_cents"),
+    )
+
+
 def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-burst detection (the SRE retry-storm screen): an error
     event is part of a burst when >= 2 errors from the same user land
@@ -818,6 +860,7 @@ QUERIES = {
     "events_seasonality_profile": q_events_seasonality_profile,
     "events_clamped_balance": q_events_clamped_balance,
     "events_ses_forecast": q_events_ses_forecast,
+    "events_twap": q_events_twap,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -856,6 +899,27 @@ SELECT event_type, n_days, total_cents,
        CAST(list_reduce(l, (a, x) -> (a + x) // 2) AS BIGINT)
          AS ses_forecast_cents
 FROM s
+""",
+    # cents and gaps are non-negative, so // (floor) == Spark div
+    # (truncation) everywhere; last event carries zero weight by the
+    # right-open convention on both sides
+    "events_twap": """
+WITH r AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+    coalesce((lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000,
+      0) AS dur_ms
+  FROM events
+), a AS (
+  SELECT user_id, count(*) AS n_events,
+    CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+    sum(cents * dur_ms) AS num
+  FROM r GROUP BY 1
+)
+SELECT user_id, n_events, total_dur_ms,
+  CASE WHEN total_dur_ms > 0
+       THEN CAST(num // total_dur_ms AS BIGINT) END AS twap_cents
+FROM a
 """,
     "attribution_last_touch": """
 WITH p AS (
