@@ -359,8 +359,9 @@ def q_embedding_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: safety / policy screen terms (fixture stand-ins for a real deny list)
-BLOCKLIST_TERMS = ("slow", "error", "null", "drop")
+#: safety / policy screen terms (fixture stand-ins for a real deny
+#: list; drawn from the fixture vocabulary so the flag has signal)
+BLOCKLIST_TERMS = ("slow", "dup", "big", "sort")
 BLOCKLIST_FLAG_MIN = 2  # flag when >= 2 DISTINCT terms hit
 
 
@@ -399,7 +400,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, source,
-  array_to_string(hits, ',') AS matched_terms,
+  coalesce(array_to_string(hits, ','), '') AS matched_terms,
   CAST(len(hits) AS INTEGER) AS n_matched,
   len(hits) >= {BLOCKLIST_FLAG_MIN} AS is_flagged
 FROM t
