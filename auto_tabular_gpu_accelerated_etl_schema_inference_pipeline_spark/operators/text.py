@@ -392,7 +392,64 @@ FROM c
 """
 
 
+READABILITY_COMPLEX_PPM = 1_900_000  # > 1.9 vowel groups per word
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability proxy per document: syllables approximated as vowel
+    GROUPS (maximal [aeiou]+ runs — the standard cheap estimator; runs
+    cannot span the space-separated tokens, so whole-text extraction
+    equals per-word counting), reported as exact integer syllables-
+    per-word ppm with a complexity flag. The Flesch-style float formula
+    is deliberately NOT emitted — the ratio in truncated ppm carries
+    the same ordering with zero cross-engine float risk. Map-only
+    regexp_extract_all + size: zero shuffle at any scale; the regex is
+    a plain character class, identical under Java regex and RE2."""
+    docs = _docs(spark, sf_dir)
+    words = F.size(_tokens())
+    syll = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[aeiou]+"), F.lit(0)
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        syll.cast("int").alias("n_syllables"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0))"
+            " AS BIGINT) * 1000000 div size(split(text, ' '))"
+        ).alias("syl_per_word_ppm"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "syl_per_word_ppm",
+        (F.col("syl_per_word_ppm") > READABILITY_COMPLEX_PPM).alias(
+            "is_complex"
+        ),
+    )
+
+
+_READABILITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+      AS INTEGER) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables,
+  CAST(n_syllables AS BIGINT) * 1000000 // n_words AS syl_per_word_ppm,
+  CAST(n_syllables AS BIGINT) * 1000000 // n_words
+    > {READABILITY_COMPLEX_PPM} AS is_complex
+FROM t
+"""
+
+
 QUERIES = {
+    "text_readability": q_text_readability,
     "text_sentiment_lexicon": q_text_sentiment_lexicon,
     "text_top_ngram_cover": q_text_top_ngram_cover,
     "text_word_entropy": q_text_word_entropy,
@@ -405,6 +462,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_readability": _READABILITY_ORACLE,
     "text_sentiment_lexicon": _SENTIMENT_ORACLE,
     "text_top_ngram_cover": _TOP_NGRAM_ORACLE,
     "lang_id_confusion": f"""

@@ -733,6 +733,75 @@ def q_events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: S_t = max(0, S_{t-1}
+    + (x_t − µ)) over the daily revenue series, alarming when the
+    accumulated positive drift exceeds µ (one full mean day of excess) — the classic sequential
+    upward-shift detector (Page 1954). Like the clamped balance, CUSUM
+    is a NON-linear left fold (the max-reset), so no window frame
+    expresses it; it runs as an ordered array fold per type that
+    APPENDS each state (try_element_at(acc, -1) reads the previous one —
+    NULL, not an error, on the empty initial accumulator), and
+    the per-day states are exploded back to rows zipped with their
+    days. µ is the per-type integer mean (total div n_days — truncated
+    identically on both engines); every quantity stays in exact cents.
+    Fold state per type is the day-level series — bounded by calendar
+    span, the same argument as the SES fold. The oracle replays the
+    recursion as a depth-indexed recursive CTE."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("sum(day_cents) div count(*)").alias("mean_cents")
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("day"), F.col("day_cents")))
+    )
+    grouped = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mean_cents")
+        .agg(arr.alias("arr"))
+    )
+    zero = F.lit(0).cast("bigint")
+    cusums = F.aggregate(
+        F.col("arr"),
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    zero,
+                    F.coalesce(F.try_element_at(acc, F.lit(-1)), zero)
+                    + x["day_cents"]
+                    - F.col("mean_cents"),
+                )
+            ),
+        ),
+    )
+    rows = grouped.select(
+        "event_type",
+        "mean_cents",
+        F.explode(
+            F.arrays_zip(F.col("arr"), cusums.alias("cusum"))
+        ).alias("z"),
+    )
+    return rows.select(
+        "event_type",
+        F.col("z.arr.day").alias("day"),
+        F.col("z.arr.day_cents").alias("day_cents"),
+        F.col("z.cusum").alias("cusum_cents"),
+        (F.col("z.cusum") > F.col("mean_cents")).alias("is_alarm"),
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (TWAP — the metering/
     billing/market-data aggregate where each observation counts for as
@@ -861,6 +930,7 @@ QUERIES = {
     "events_clamped_balance": q_events_clamped_balance,
     "events_ses_forecast": q_events_ses_forecast,
     "events_twap": q_events_twap,
+    "events_cusum_changepoints": q_events_cusum_changepoints,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -884,6 +954,37 @@ ORACLES = {
     # list_reduce seeds from the first element, matching the Spark
     # fold's element_at(series, 1) init; // 2 == shiftright 1 for the
     # non-negative cents
+    # the nonlinear fold replayed as a depth-indexed recursion; div/
+    # // truncation identical (all sums non-negative)
+    "events_cusum_changepoints": """
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(sum(day_cents) // count(*) AS BIGINT) AS mean_cents
+  FROM daily GROUP BY 1
+), o AS (
+  SELECT d.event_type, d.day, d.day_cents, m.mean_cents,
+    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN m USING (event_type)
+), walk(event_type, day, day_cents, mean_cents, rn, cusum) AS (
+  SELECT event_type, day, day_cents, mean_cents, rn,
+    greatest(CAST(0 AS BIGINT), day_cents - mean_cents)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.event_type, t.day, t.day_cents, t.mean_cents, t.rn,
+    greatest(CAST(0 AS BIGINT), w.cusum + t.day_cents - t.mean_cents)
+  FROM walk w JOIN o t
+    ON t.event_type = w.event_type AND t.rn = w.rn + 1
+)
+SELECT event_type, day, day_cents,
+  CAST(cusum AS BIGINT) AS cusum_cents,
+  cusum > mean_cents AS is_alarm
+FROM walk
+""",
     "events_ses_forecast": """
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
