@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_events
+from ..session import configure_for_oracle, load_events, load_table
 
 
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +330,36 @@ FROM part
 """
 
 
+#: ONE SQL text running VERBATIM on Spark 4 and DuckDB (the
+#: recursive-CTE parity claim applied to correlated LATERAL
+#: subqueries): per nation, its top-3 customers by exact balance cents.
+#: The correlated ORDER BY/LIMIT is the "top-k per group as a JOIN"
+#: surface — Spark plans it as a rewritten ranking join, DuckDB as a
+#: lateral nested loop; both produce the same 3 rows per group under
+#: the stated total order (cents DESC, c_custkey).
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_custkey, t.cents
+FROM nation n, LATERAL (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY cents DESC, c_custkey LIMIT 3
+) t
+"""
+
+
+def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY/LIMIT —
+    byte-identical SQL on both engines (see _LATERAL_TOPK_SQL)."""
+    configure_for_oracle(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 QUERIES = {
+    "lateral_join_topk": q_lateral_join_topk,
     "url_funcs": q_url_funcs,
     "encoding_funcs": q_encoding_funcs,
     "agg_listagg": q_agg_listagg,
@@ -345,6 +374,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lateral_join_topk": _LATERAL_TOPK_SQL,
     "url_funcs": _URL_ORACLE,
     "agg_bitmap_distinct": _BITMAP_ORACLE,
     "agg_listagg": _LISTAGG_ORACLE,
