@@ -317,7 +317,98 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_SUB_BYTES = 16  # bytes per sub-window ("pixel block")
+PHASH_MAX_BITS = 16  # signature bits = sub-windows hashed
+PHASH_MAX_HAMMING = 1
+
+_PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash (aHash) signature computed INSIDE the scan-side
+    mapInPandas stage: 16 sub-window intensities, bit i set iff
+    n·intensity_i > Σ intensities (the integer form of 'above the
+    mean' — no float mean crosses the comparison). Only the 8-byte
+    signature leaves the stage, never payload bytes. A real pipeline
+    swaps the byte-window codec for PIL 'resize to 4x4, threshold at
+    mean pixel'."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            subs = [
+                int(
+                    np.frombuffer(
+                        payload[i * PHASH_SUB_BYTES : (i + 1) * PHASH_SUB_BYTES],
+                        dtype=np.uint8,
+                    ).sum()
+                )
+                for i in range(
+                    min(
+                        -(-len(payload) // PHASH_SUB_BYTES), PHASH_MAX_BITS
+                    )
+                )
+            ]
+            n, total = len(subs), sum(subs)
+            h = 0
+            for i, s in enumerate(subs):
+                if n * s > total:
+                    h |= 1 << i
+            out["doc_id"].append(doc_id)
+            out["phash"].append(h)
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs across binary payloads:
+    aHash signatures (see _phash_batches), pairs at Hamming distance
+    <= 1 — the image-near-dup primitive (exact-digest dedup catches
+    re-uploads; pHash catches re-encodes/crops).
+
+    Scale shape: NOT an all-pairs scan — each doc emits its signature
+    plus the 16 single-bit flips (multi-probe LSH on the Hamming ball),
+    and candidates come from the EQUI-join probe == signature, which is
+    lossless for d <= 1 (equal hashes meet on the identity probe; d=1
+    pairs meet exactly where the flipped bit lands). One shuffle on an
+    8-byte key, candidate volume proportional to true near-dup volume.
+    The oracle replays signatures in SQL byte-window arithmetic and
+    verifies the pair set with a naive bit_count(xor) cross join."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = with_binary_payload(docs, ascii_normalize=True).mapInPandas(
+        _phash_batches, schema=_PHASH_SCHEMA
+    )
+    probes = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("phash").alias("a_phash"),
+        F.explode(
+            F.expr(
+                "concat(array(phash),"
+                f" transform(sequence(0, {PHASH_MAX_BITS - 1}),"
+                " i -> phash ^ shiftleft(1L, i)))"
+            )
+        ).alias("probe"),
+    )
+    right = sigs.select(
+        F.col("doc_id").alias("b_id"), F.col("phash").alias("b_phash")
+    )
+    return (
+        probes.join(right, probes.probe == right.b_phash)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(
+                F.col("a_phash").bitwiseXOR(F.col("b_phash"))
+            ).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 QUERIES = {
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
     "multimodal_scene_cuts": q_multimodal_scene_cuts,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_featurize": q_multimodal_featurize,
@@ -327,6 +418,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_phash_neardup": f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+  FROM documents
+), subs AS (
+  SELECT doc_id, i,
+    CAST(list_sum(list_transform(
+      generate_series(1, length(substr(text, i * {PHASH_SUB_BYTES} + 1,
+                                       {PHASH_SUB_BYTES}))),
+      j -> ascii(substr(substr(text, i * {PHASH_SUB_BYTES} + 1,
+                               {PHASH_SUB_BYTES}), j, 1)))) AS BIGINT)
+      AS s
+  FROM norm, generate_series(0, {PHASH_MAX_BITS - 1}) AS t(i)
+  WHERE i * {PHASH_SUB_BYTES} < length(text)
+), sigs2 AS (
+  SELECT a.doc_id,
+    CAST(sum(CASE WHEN g.n * a.s > g.total THEN 1 << a.i ELSE 0 END)
+      AS BIGINT) AS phash
+  FROM subs a JOIN (
+    SELECT doc_id, count(*) AS n, sum(s) AS total FROM subs GROUP BY 1
+  ) g USING (doc_id)
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM sigs2 a JOIN sigs2 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+""",
     "multimodal_scene_cuts": f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
