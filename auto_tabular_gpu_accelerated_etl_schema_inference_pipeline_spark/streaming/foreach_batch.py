@@ -223,12 +223,101 @@ def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+TOPK_K = 10
+
+
+def _topk_batch(target_dir: str, spark: SparkSession):
+    """foreachBatch callback maintaining a global top-K table. Top-K
+    under a TOTAL order is a monoid: topk(A ∪ B) = topk(topk(A) ∪
+    topk(B)), so the target never holds more than K rows and each batch
+    contributes only its own top-K — bounded state regardless of stream
+    length, the property that makes streaming top-k exact without a
+    full-history store."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.orderBy(
+            F.desc("cents"), "event_id"
+        ).limit(TOPK_K)
+        cur_path = os.path.join(target_dir, "current")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            merged = (
+                cur.unionByName(part)
+                .orderBy(F.desc("cents"), "event_id")
+                .limit(TOPK_K)
+            )
+        else:
+            merged = part
+        new_path = os.path.join(target_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        old = os.path.join(target_dir, "prev")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(cur_path):
+            os.rename(cur_path, old)
+        os.rename(new_path, cur_path)
+
+    return apply
+
+
+def q_streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-10 events by exact value cents (tiebreak
+    event_id — a stated total order, so the result is deterministic and
+    batch-boundary-invariant): the monoid-merge foreachBatch pattern
+    (see _topk_batch). The oracle is the batch top-10 over the same
+    data — equality proves the merge loses nothing across micro-batch
+    splits."""
+    configure_for_oracle(spark)
+    from .windows import _events_stream
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    target_dir = tempfile.mkdtemp(prefix="topk_target_")
+    ckpt = os.path.join(target_dir, "ckpt")
+    q = (
+        ev.writeStream.foreachBatch(_topk_batch(target_dir, spark))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cents"), "event_id")
+    out = (
+        spark.read.parquet(os.path.join(target_dir, "current"))
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
+    "streaming_topk_events": q_streaming_topk_events,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_cdc_latest": q_streaming_cdc_latest,
 }
 
 ORACLES = {
+    "streaming_topk_events": f"""
+SELECT event_id, user_id,
+  CAST(round(value * 100) AS BIGINT) AS cents,
+  CAST(row_number() OVER (ORDER BY round(value * 100) DESC, event_id)
+    AS INTEGER) AS rnk
+FROM events
+ORDER BY cents DESC, event_id LIMIT {TOPK_K}
+""",
     "streaming_foreach_batch_upsert": """
 SELECT user_id, count(*) AS n_events,
   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
