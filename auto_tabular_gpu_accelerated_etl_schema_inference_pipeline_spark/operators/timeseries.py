@@ -802,6 +802,59 @@ def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weekdays with epoch day in [e1, e2): W(e2) - W(e1), where
+#: W(e) = 5*((e+3) div 7) + least((e+3) % 7, 5) counts weekdays below e
+#: ((e+3) % 7 == 0 is Monday; epoch day 0 = Thursday). Pure integer
+#: arithmetic — no calendar library, no timezone, identical text on
+#: both engines.
+_BUSDAY_W = "(5 * (({e} + 3) div 7) + least(({e} + 3) % 7, 5))"
+
+
+def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day order→ship latency per order priority: weekdays in
+    [o_orderdate, l_shipdate) via the closed-form weekday counter
+    (docstring at _BUSDAY_W) — the SLA metric calendars make slow and
+    integer arithmetic makes free. The order-to-lineitem equi-join
+    shuffles on orderkey (both sides large at 100 TB — the SMJ case);
+    the rollup groups on the 5-value priority with map-side partials
+    and AQE coalescing. Averages reported in exact truncated milli-days
+    (sum·1000 div n)."""
+    configure_for_oracle(spark)
+    # epoch DAY via date arithmetic, never epoch micros: the fixture
+    # timestamps are NTZ, and a micros path would route through the
+    # session timezone — datediff on the DATE cast is tz-free on both
+    # engines
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT)"
+        ).alias("e_ship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT)"
+        ).alias("e_ord"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (
+            F.expr(_BUSDAY_W.format(e="e_ship"))
+            - F.expr(_BUSDAY_W.format(e="e_ord"))
+        ).alias("busdays"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("busdays").alias("sum_busdays"),
+        F.expr("sum(busdays) * 1000 div count(*)").alias(
+            "avg_busdays_milli"
+        ),
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (TWAP — the metering/
     billing/market-data aggregate where each observation counts for as
@@ -931,6 +984,7 @@ QUERIES = {
     "events_ses_forecast": q_events_ses_forecast,
     "events_twap": q_events_twap,
     "events_cusum_changepoints": q_events_cusum_changepoints,
+    "business_days_to_ship": q_business_days_to_ship,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1004,6 +1058,25 @@ FROM s
     # cents and gaps are non-negative, so // (floor) == Spark div
     # (truncation) everywhere; last event carries zero weight by the
     # right-open convention on both sides
+    "business_days_to_ship": """
+WITH d AS (
+  SELECT o.o_orderpriority,
+    CAST(datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+      AS BIGINT) AS e_ship,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+      AS BIGINT) AS e_ord
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), j AS (
+  SELECT o_orderpriority,
+    (5 * ((e_ship + 3) // 7) + least((e_ship + 3) % 7, 5))
+    - (5 * ((e_ord + 3) // 7) + least((e_ord + 3) % 7, 5)) AS busdays
+  FROM d
+)
+SELECT o_orderpriority, count(*) AS n_lineitems,
+  CAST(sum(busdays) AS BIGINT) AS sum_busdays,
+  CAST(sum(busdays) * 1000 // count(*) AS BIGINT) AS avg_busdays_milli
+FROM j GROUP BY 1
+""",
     "events_twap": """
 WITH r AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
