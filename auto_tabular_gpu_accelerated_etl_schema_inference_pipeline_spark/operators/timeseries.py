@@ -855,6 +855,81 @@ def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XCORR_MAX_LAG = 2
+XCORR_A, XCORR_B = "purchase", "error"
+
+
+def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the purchase and error daily
+    revenue series — the lead/lag dependence probe ("do errors follow
+    purchase spikes k days later?"). For each lag k in [0, 2], pairs
+    (x_t, y_{t+k}) over the COMPLETE day grid (min..max observed day,
+    absent days as exact 0 — stated convention so the series is
+    alignment-deterministic), reporting n and the covariance NUMERATOR
+    n·Σxy − Σx·Σy as an exact integer. The float normalization
+    (÷ n²·σxσy) is left to the consumer — like the KS test, the exact
+    integer core is what the engine owes.
+
+    Plan: two tiny per-day aggregates, a sequence()-exploded day grid
+    (rows = calendar span), one self-join shifted by k per lag over
+    that grid — all broadcast-sized after the first aggregation, so
+    the 100 TB cost is the ONE scan producing daily totals."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    xa = daily.filter(F.col("event_type") == XCORR_A).select(
+        "day", F.col("day_cents").alias("x")
+    )
+    yb = daily.filter(F.col("event_type") == XCORR_B).select(
+        "day", F.col("day_cents").alias("y")
+    )
+    filled = (
+        grid.join(xa, "day", "left")
+        .join(yb, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = filled.crossJoin(
+        F.broadcast(
+            spark.range(XCORR_MAX_LAG + 1).select(
+                F.col("id").cast("bigint").alias("lag")
+            )
+        )
+    )
+    shifted = lags.alias("l").join(
+        filled.select(F.col("day").alias("yday"), F.col("y").alias("y_lag")),
+        F.col("yday") == F.col("l.day") + F.col("lag"),
+    )
+    return (
+        shifted.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y_lag"))
+                - F.sum("x") * F.sum("y_lag")
+            ).alias("cov_numerator"),
+        )
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (TWAP — the metering/
     billing/market-data aggregate where each observation counts for as
@@ -985,6 +1060,7 @@ QUERIES = {
     "events_twap": q_events_twap,
     "events_cusum_changepoints": q_events_cusum_changepoints,
     "business_days_to_ship": q_business_days_to_ship,
+    "events_cross_correlation": q_events_cross_correlation,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1058,6 +1134,34 @@ FROM s
     # cents and gaps are non-negative, so // (floor) == Spark div
     # (truncation) everywhere; last event carries zero weight by the
     # right-open convention on both sides
+    "events_cross_correlation": f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+  GROUP BY 1, 2
+), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+grid AS (
+  SELECT unnest(generate_series(d0, d1)) AS day FROM b
+), filled AS (
+  SELECT g.day,
+    coalesce(x.day_cents, 0) AS x,
+    coalesce(y.day_cents, 0) AS y
+  FROM grid g
+  LEFT JOIN daily x ON x.day = g.day AND x.event_type = '{XCORR_A}'
+  LEFT JOIN daily y ON y.day = g.day AND y.event_type = '{XCORR_B}'
+), lags AS (
+  SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag
+)
+SELECT l.lag, count(*) AS n,
+  CAST(count(*) * sum(f.x * s.y) - sum(f.x) * sum(s.y) AS BIGINT)
+    AS cov_numerator
+FROM lags l
+JOIN filled f ON TRUE
+JOIN filled s ON s.day = f.day + l.lag
+GROUP BY l.lag
+""",
     "business_days_to_ship": """
 WITH d AS (
   SELECT o.o_orderpriority,
