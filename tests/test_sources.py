@@ -657,3 +657,44 @@ def test_erase_rows_partition_scoped(spark, tmp_path):
     n2 = sinks.erase_rows(spark, target, "user_id", d1_users, partition_col="day")
     assert n2 == len(d1_users)
     assert not os.path.exists(os.path.join(target, "day=d1"))
+
+
+def test_reader_file_discovery_options(spark, tmp_path):
+    """File-discovery reader options a lake layout depends on:
+    pathGlobFilter (scan only matching files), recursiveFileLookup
+    (flatten nested non-partition dirs), and modifiedAfter (time-based
+    incremental pickup) — each must change WHICH files are read, not
+    just post-filter rows."""
+    import os
+    import time
+
+    base = tmp_path / "lake"
+    (base / "a" / "deep").mkdir(parents=True)
+    df = spark.range(10).toDF("v")
+    df.write.mode("overwrite").parquet(str(base / "a" / "deep" / "p1"))
+    df.write.mode("overwrite").json(str(base / "a" / "deep" / "j1"))
+
+    # pathGlobFilter: only parquet part-files under the tree
+    got = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(base))
+    )
+    assert got.count() == 10
+
+    # recursiveFileLookup off: direct read of the nested dir still works
+    assert spark.read.parquet(str(base / "a" / "deep" / "p1")).count() == 10
+
+    # modifiedAfter: a file written later is picked up, older ones not
+    time.sleep(1.1)
+    cutoff = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
+    time.sleep(1.1)
+    df2 = spark.range(3).toDF("v")
+    df2.write.mode("overwrite").parquet(str(base / "a" / "deep" / "p2"))
+    picked = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("modifiedAfter", cutoff)
+        .parquet(str(base))
+    )
+    assert picked.count() == 3
