@@ -240,3 +240,42 @@ def test_degenerate_inputs_dedup(spark):
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     assert minhash_near_dup_drop_ids(one).count() == 0
+
+
+def test_fold_ops_partition_invariant(spark, sf_dir):
+    """Distributed determinism of the nonlinear-fold operators (CUSUM,
+    SES, TWAP): identical results whether the engine splits the scan
+    into many tiny partitions and shuffles across 3 reducers, or reads
+    big splits across 64 — because every fold orders its series with
+    sort_array under a stated total order before folding, no
+    aggregation-order nondeterminism can leak into results. This is the
+    property that makes the ops safe on a 1000-executor cluster."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_events_cusum_changepoints,
+        q_events_ses_forecast,
+        q_events_twap,
+    )
+
+    def run():
+        return [
+            sorted(map(tuple, q(spark, sf_dir).collect()), key=repr)
+            for q in (
+                q_events_cusum_changepoints,
+                q_events_ses_forecast,
+                q_events_twap,
+            )
+        ]
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        tiny = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        big = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+    assert tiny == big
