@@ -1442,7 +1442,101 @@ FROM cdf CROSS JOIN n
 """
 
 
+ITEM_SIM_TOPK = 3
+
+
+def q_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order co-occurrence (the
+    'customers who bought X also bought Y' primitive): for every part,
+    its top-3 most-similar parts by SQUARED cosine over the order-
+    incidence vectors — cos²(a,b) = cooc(a,b)² / (deg(a)·deg(b)),
+    reported in exact truncated ppm (squaring dodges the sqrt float —
+    the monotone transform preserves the ranking, the KS/ xcorr
+    exact-core philosophy). Ties break on the neighbor key, so top-3
+    is a stated total order.
+
+    Plan: co-occurrence pairs from the market-basket self-join
+    (orientation-bounded), degrees from one distinct aggregate
+    broadcast onto the pairs, ranking via a window partitioned by the
+    anchor part — no corpus-wide window, no cartesian."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    pairs = q_orders_market_basket(spark, sf_dir).select(
+        "p1", "p2", F.col("support").cast("bigint").alias("cooc")
+    )
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = it.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    sym = pairs.select("p1", "p2", "cooc").unionAll(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(F.broadcast(deg.toDF("p1", "deg1")), "p1")
+        .join(F.broadcast(deg.toDF("p2", "deg2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            "cooc",
+            F.expr(
+                "cooc * cooc * 1000000L div (deg1 * deg2)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("p1").orderBy(
+        F.desc("cos2_ppm"), "p2"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= ITEM_SIM_TOPK)
+        .select(
+            F.col("p1").alias("p_partkey"),
+            F.col("p2").alias("similar_partkey"),
+            "cooc",
+            "cos2_ppm",
+            "rnk",
+        )
+    )
+
+
+_ITEM_SIM_ORACLE = f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cooc
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (SELECT l_partkey AS p, count(*) AS deg FROM it GROUP BY 1),
+sym AS (
+  SELECT p1, p2, cooc FROM pairs
+  UNION ALL SELECT p2, p1, cooc FROM pairs
+),
+scored AS (
+  SELECT s.p1, s.p2, CAST(s.cooc AS BIGINT) AS cooc,
+    CAST(s.cooc * s.cooc * 1000000 // (d1.deg * d2.deg) AS BIGINT)
+      AS cos2_ppm
+  FROM sym s JOIN deg d1 ON s.p1 = d1.p JOIN deg d2 ON s.p2 = d2.p
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY p1
+    ORDER BY cos2_ppm DESC, p2) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT p1 AS p_partkey, p2 AS similar_partkey, cooc, cos2_ppm, rnk
+FROM ranked WHERE rnk <= {ITEM_SIM_TOPK}
+"""
+
+
 QUERIES = {
+    "item_item_similarity": q_item_item_similarity,
     "ks_two_sample": q_ks_two_sample,
     "mad_outlier_flags": q_mad_outlier_flags,
     "ab_experiment_report": q_ab_experiment_report,
@@ -1471,6 +1565,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "item_item_similarity": _ITEM_SIM_ORACLE,
     "ks_two_sample": _KS_ORACLE,
     "mad_outlier_flags": _MAD_ORACLE,
     "ab_experiment_report": _AB_ORACLE,

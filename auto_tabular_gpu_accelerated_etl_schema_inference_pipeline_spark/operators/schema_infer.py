@@ -392,13 +392,91 @@ FROM lineitem t, b
 """
 
 
+#: partition-advisor cardinality bands (rows-per-value reasoning:
+#: a partition column should create FEW, LARGE directories; a bucket/
+#: sort key wants high cardinality)
+ADVISOR_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_linenumber",
+    "l_suppkey",
+    "l_partkey",
+    "l_orderkey",
+)
+
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor over lineitem — the 'Auto' capability pointed at
+    PHYSICAL layout: for each candidate column, exact NDV, null ppm,
+    and a deterministic recommendation band — `partition` (2..100
+    values: few large directories, prunable), `bucket` (101..10000:
+    too many dirs, right for bucketing/z-order), `sort_within` (>
+    10000: only useful as a file-internal sort key). The heuristic a
+    data engineer applies before writing a 100 TB table, as a query.
+
+    ONE pass computes every column's stats (a single multi-aggregate —
+    no per-column scans), then the wide row unpivots to (column,
+    stats) rows via stack()."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ADVISOR_COLS:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__ndv"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nnull"
+            )
+        )
+    wide = li.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__ndv, {c}__nnull" for c in ADVISOR_COLS
+    )
+    tall = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(ADVISOR_COLS)}, {stack_expr})"
+            " AS (column_name, ndv, n_null)"
+        ),
+    )
+    rec = (
+        F.when(F.col("ndv") <= 1, F.lit("constant"))
+        .when(F.col("ndv") <= 100, F.lit("partition"))
+        .when(F.col("ndv") <= 10000, F.lit("bucket"))
+        .otherwise(F.lit("sort_within"))
+    )
+    return tall.select(
+        "column_name",
+        F.col("ndv").cast("bigint").alias("ndv"),
+        F.expr("n_null * 1000000L div n_rows").alias("null_ppm"),
+        F.expr("n_rows div ndv").alias("rows_per_value"),
+        rec.alias("recommendation"),
+    )
+
+
+_ADVISOR_ORACLE_PARTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1000000
+       // count(*) AS BIGINT) AS null_ppm,
+  CAST(count(*) // count(DISTINCT {c}) AS BIGINT) AS rows_per_value,
+  CASE WHEN count(DISTINCT {c}) <= 1 THEN 'constant'
+       WHEN count(DISTINCT {c}) <= 100 THEN 'partition'
+       WHEN count(DISTINCT {c}) <= 10000 THEN 'bucket'
+       ELSE 'sort_within' END AS recommendation
+FROM lineitem"""
+    for c in ADVISOR_COLS
+)
+
+
 QUERIES = {
+    "partition_advisor": q_partition_advisor,
     "schema_infer": q_schema_infer,
     "categorical_encode": q_categorical_encode,
     "auto_tokenize_lineitem": q_auto_tokenize_lineitem,
 }
 
 ORACLES = {
+    "partition_advisor": _ADVISOR_ORACLE_PARTS,
     "schema_infer": _schema_infer_oracle(),
     "auto_tokenize_lineitem": _AUTO_TOKENIZE_LINEITEM_ORACLE,
     "categorical_encode": """
