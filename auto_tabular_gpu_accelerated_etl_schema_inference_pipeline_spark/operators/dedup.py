@@ -223,6 +223,96 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join at the DISTINCT-set level: which token sets
+    are proper subsets of which (the quote/excerpt-detection primitive —
+    J(A,B) misses A ⊂ B when |B| >> |A|; containment |A∩B|/|A| = 1
+    catches it). Reported per (subset, superset) canonical-set pair
+    with group sizes — doc-level expansion is a join away and
+    intentionally NOT materialized (a universal superset would cross
+    every group; the mask-level relation is the bounded artifact).
+
+    Same canonicalization as the dedup clustering collapse: docs group
+    by their 62-bit token mask (one 8-byte-key shuffle), and
+    containment is ma & mb == ma over the D² mask pairs — map-only
+    popcount-free bit math on a crossJoin of two D-row relations
+    (D bounded by the same <= 4096 guard; the general path blocks by a
+    rare token first, PPJoin-style). Oracle: list_has_all over the
+    recomputed distinct sets."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", F.array_distinct(F.split(_norm_text(), " ")).alias("toks")
+    )
+    vocab = [
+        r["tok"]
+        for r in toks_df.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(63)
+        .collect()
+    ]
+    assert len(vocab) <= 62, "fixture vocabulary exceeds mask width"
+    tok_bit = F.create_map(
+        *[
+            c
+            for i, t in enumerate(vocab)
+            for c in (F.lit(t), F.lit(1 << i).cast("bigint"))
+        ]
+    )
+    mask = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc.bitwiseOR(tok_bit[t]),
+    )
+    groups = (
+        toks_df.select("doc_id", mask.alias("m"))
+        .groupBy("m")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .localCheckpoint()
+    )
+    a = groups.select(
+        F.col("m").alias("ma"),
+        F.col("rep").alias("subset_rep"),
+        F.col("n_docs").alias("n_subset_docs"),
+    )
+    b = groups.select(
+        F.col("m").alias("mb"),
+        F.col("rep").alias("superset_rep"),
+        F.col("n_docs").alias("n_superset_docs"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("ma") != F.col("mb"))
+            & (F.col("ma").bitwiseAND(F.col("mb")) == F.col("ma"))
+        )
+        .select(
+            "subset_rep",
+            "superset_rep",
+            "n_subset_docs",
+            "n_superset_docs",
+        )
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS s
+  FROM documents
+), groups AS (
+  SELECT s, min(doc_id) AS rep, count(*) AS n_docs
+  FROM toks GROUP BY s
+)
+SELECT a.rep AS subset_rep, b.rep AS superset_rep,
+  a.n_docs AS n_subset_docs, b.n_docs AS n_superset_docs
+FROM groups a JOIN groups b
+  ON a.rep <> b.rep AND list_has_all(b.s, a.s)
+"""
+
+
 def _minhash_sig_col(tokens_col, k: int):
     """Array of k minhashes: min over tokens of xxhash64(token, seed=i).
     Pure built-ins (transform + array_min + xxhash64) — no UDF, fully
@@ -556,6 +646,7 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "containment_pairs": q_containment_pairs,
     "dedup_exact": q_dedup_exact,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "dedup_char_shingle_jaccard": q_dedup_char_shingle_jaccard,
@@ -566,6 +657,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "containment_pairs": _CONTAINMENT_ORACLE,
     "fuzzy_join_parts": f"""
 WITH names AS (
   SELECT p_name, count(*) AS n_parts,
