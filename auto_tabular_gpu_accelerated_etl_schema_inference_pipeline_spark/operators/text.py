@@ -392,6 +392,67 @@ FROM c
 """
 
 
+KWIC_TERM = "slow"
+KWIC_WIDTH = 2  # context tokens each side
+
+
+def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for one term: every occurrence
+    with its ±2-token context windows — the corpus-inspection tool
+    linguists and data auditors run before deciding a filter rule
+    ("how is this word actually used?"). posexplode gives (position,
+    token); the context is a slice of the SAME materialized token
+    array (lambda-CSE rule: the array is a column before slicing).
+    Positions are 1-based to match SQL ordinality. Map-only explode —
+    output rows = term frequency, not corpus size."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks")
+    )
+    hits = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).filter(F.col("tok") == KWIC_TERM)
+    pos = F.col("pos0") + 1  # 1-based
+    left = F.array_join(
+        F.slice(
+            F.col("toks"),
+            F.greatest(F.lit(1), pos - KWIC_WIDTH),
+            F.least(F.lit(KWIC_WIDTH), pos - 1),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(F.col("toks"), pos + 1, F.lit(KWIC_WIDTH)), " "
+    )
+    return hits.select(
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
+    )
+
+
+_KWIC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, toks, CAST(u.i AS INTEGER) AS pos
+  FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+  WHERE toks[u.i] = '{KWIC_TERM}'
+)
+SELECT doc_id, pos,
+  coalesce(array_to_string(
+    list_slice(toks, greatest(1, pos - {KWIC_WIDTH}), pos - 1), ' '), '')
+    AS left_ctx,
+  coalesce(array_to_string(
+    list_slice(toks, pos + 1, pos + {KWIC_WIDTH}), ' '), '') AS right_ctx
+FROM hits
+"""
+
+
 READABILITY_COMPLEX_PPM = 1_900_000  # > 1.9 vowel groups per word
 
 
@@ -449,6 +510,7 @@ FROM t
 
 
 QUERIES = {
+    "text_kwic": q_text_kwic,
     "text_readability": q_text_readability,
     "text_sentiment_lexicon": q_text_sentiment_lexicon,
     "text_top_ngram_cover": q_text_top_ngram_cover,
@@ -462,6 +524,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_kwic": _KWIC_ORACLE,
     "text_readability": _READABILITY_ORACLE,
     "text_sentiment_lexicon": _SENTIMENT_ORACLE,
     "text_top_ngram_cover": _TOP_NGRAM_ORACLE,

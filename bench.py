@@ -142,6 +142,20 @@ HEADLINE = [
     "html_strip_clean",
     "mad_outlier_flags",
     "sequence_gap_audit",
+    "hybrid_rrf_search",
+    "top_p_source_selection",
+    "events_twap",
+    "ks_two_sample",
+    "blocklist_screen",
+    "events_cusum_changepoints",
+    "events_cross_correlation",
+    "business_days_to_ship",
+    "multimodal_phash_neardup",
+    "streaming_topk_events",
+    "item_item_similarity",
+    "partition_advisor",
+    "containment_pairs",
+    "lateral_join_topk",
 ]
 
 
