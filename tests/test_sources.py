@@ -698,3 +698,31 @@ def test_reader_file_discovery_options(spark, tmp_path):
         .parquet(str(base))
     )
     assert picked.count() == 3
+
+
+def test_ignore_corrupt_files(spark, tmp_path):
+    """A 100 TB lake always contains a few truncated/garbage files;
+    spark.sql.files.ignoreCorruptFiles must let the scan survive them
+    (returning the healthy rows) while the default strict mode fails
+    loudly — both behaviors pinned."""
+    import pytest
+
+    d = tmp_path / "mixed"
+    spark.range(10).toDF("v").write.mode("overwrite").parquet(str(d))
+    (d / "garbage.parquet").write_bytes(b"PAR1 this is not a parquet file")
+
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with pytest.raises(Exception):
+            spark.read.parquet(str(d)).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # explicit schema: footer-based schema inference samples files on
+        # the driver BEFORE the per-task corrupt-file tolerance applies,
+        # so a robust pipeline pins the schema (which a production lake
+        # does anyway — schema from the catalog, not from footers)
+        assert (
+            spark.read.schema("v bigint").parquet(str(d)).count() == 10
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
