@@ -138,9 +138,64 @@ def q_geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: zone rectangles (zone_id, x0, x1, y0, y1) — half-open [x0, x1) ×
+#: [y0, y1): the four quadrants (a partition of the grid) plus an
+#: overlapping center zone, so multi-assignment semantics are exercised
+ZONES = (
+    (1, 0, 5000, 0, 5000),
+    (2, 5000, 10000, 0, 5000),
+    (3, 0, 5000, 5000, 10000),
+    (4, 5000, 10000, 5000, 10000),
+    (5, 2500, 7500, 2500, 7500),
+)
+
+
+def q_geo_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle zone assignment (the bounding-box stage every
+    point-in-polygon pipeline runs first): customers against the 5-zone
+    table, per-zone count and exact balance cents. A point inside the
+    overlapping center zone counts in BOTH its quadrant and zone 5 —
+    multi-assignment is the stated semantics (geofence alerting), not
+    double-count bug. Plan: the zone table broadcasts (5 rows) and the
+    containment predicate runs as a BroadcastNestedLoopJoin — correct
+    HERE because the build side is O(zones); thousands of zones
+    re-use the grid-cell equi-join of q_geo_grid_distance_join."""
+    from pyspark.sql import Row
+
+    from ..session import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * AX % GRID).cast("bigint").alias("x"),
+        (F.col("c_custkey") * AY % GRID).cast("bigint").alias("y"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    zones = spark.createDataFrame(
+        [Row(zone_id=z, x0=a, x1=b, y0=c, y1=d) for z, a, b, c, d in ZONES]
+    )
+    hit = cust.join(
+        F.broadcast(zones),
+        (F.col("x") >= F.col("x0"))
+        & (F.col("x") < F.col("x1"))
+        & (F.col("y") >= F.col("y0"))
+        & (F.col("y") < F.col("y1")),
+    )
+    return hit.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("balance_cents"),
+    )
+
+
+_ZONES_SQL = " UNION ALL ".join(
+    f"SELECT {z} AS zone_id, {a} AS x0, {b} AS x1, {c} AS y0, {d} AS y1"
+    for z, a, b, c, d in ZONES
+)
+
+
 QUERIES = {
     "geo_grid_distance_join": q_geo_grid_distance_join,
     "geo_cell_rollup": q_geo_cell_rollup,
+    "geo_zone_stats": q_geo_zone_stats,
 }
 
 ORACLES = {
@@ -175,6 +230,19 @@ SELECT cu.c_custkey,
 FROM c cu
 LEFT JOIN agg a ON cu.c_custkey = a.c_custkey
 LEFT JOIN near ON cu.c_custkey = near.c_custkey
+""",
+    "geo_zone_stats": f"""
+WITH c AS (
+  SELECT c_custkey, (c_custkey * {AX}) % {GRID} AS x,
+         (c_custkey * {AY}) % {GRID} AS y,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), z AS ({_ZONES_SQL})
+SELECT z.zone_id, count(*) AS n_customers,
+       CAST(sum(c.cents) AS BIGINT) AS balance_cents
+FROM c JOIN z
+  ON c.x >= z.x0 AND c.x < z.x1 AND c.y >= z.y0 AND c.y < z.y1
+GROUP BY z.zone_id
 """,
     "geo_cell_rollup": f"""
 WITH c AS (

@@ -930,6 +930,49 @@ def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands rewrite: within a user's DISTINCT active days,
+    day − row_number(day order) is constant exactly along a consecutive
+    run, so one window pass + one groupBy finds every island, and an
+    argmax (min-struct on (−len, start)) picks the longest with the
+    EARLIEST-start tiebreak stated. The engagement/retention metric
+    (DAU streaks) in pure integer day arithmetic; both shuffles key on
+    user_id and AQE-coalesce."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    days = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    best = islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.min(F.struct((-F.col("len")).alias("neg"), F.col("start_day")))
+        .alias("b"),
+    )
+    return best.select(
+        "user_id",
+        "n_active_days",
+        (-F.col("b.neg")).cast("bigint").alias("longest_streak"),
+        F.col("b.start_day").alias("streak_start_day"),
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (TWAP — the metering/
     billing/market-data aggregate where each observation counts for as
@@ -1061,6 +1104,7 @@ QUERIES = {
     "events_cusum_changepoints": q_events_cusum_changepoints,
     "business_days_to_ship": q_business_days_to_ship,
     "events_cross_correlation": q_events_cross_correlation,
+    "events_longest_streak": q_events_longest_streak,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1134,6 +1178,28 @@ FROM s
     # cents and gaps are non-negative, so // (floor) == Spark div
     # (truncation) everywhere; last event carries zero weight by the
     # right-open convention on both sides
+    "events_longest_streak": """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), islands AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+  FROM isl GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, len, start_day,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY len DESC, start_day) AS rn,
+    sum(len) OVER (PARTITION BY user_id) AS tot
+  FROM islands
+)
+SELECT user_id, CAST(tot AS BIGINT) AS n_active_days,
+  CAST(len AS BIGINT) AS longest_streak,
+  CAST(start_day AS BIGINT) AS streak_start_day
+FROM ranked WHERE rn = 1
+""",
     "events_cross_correlation": f"""
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
