@@ -120,3 +120,26 @@ def test_parameterized_sql(spark, sf_dir):
         "SELECT count(*) AS n FROM v_param_orders WHERE o_totalprice > 400000.0"
     ).first()["n"]
     assert got == want and got > 0
+
+
+def test_cli_list_and_unknown():
+    """The CLI surface: `list` enumerates the registry with oracle
+    markers; an unknown name exits 2 with a did-you-mean hint. (run/
+    explain spin a JVM — exercised by the smoke scripts, not per-test.)"""
+    import io
+    import contextlib
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.__main__ import (
+        main,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list"]) == 0
+    out = buf.getvalue()
+    assert "tpch_q1" in out and "oracle-backed" in out
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["run", "tpch_q1_typo"]) == 2
+    assert "did you mean" in err.getvalue()
