@@ -1535,7 +1535,68 @@ FROM ranked WHERE rnk <= {ITEM_SIM_TOPK}
 """
 
 
+def q_abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the prefix reaching 70% of total revenue cents, B = to
+    90%, C = the tail. Membership by the same integer threshold rule as
+    top-p selection (10·cum_before < 7·total ⇒ A, < 9·total ⇒ B) — the
+    boundary part that crosses a threshold belongs to the HIGHER class,
+    no division anywhere. One aggregation on partkey, one ranking
+    window over the part-level rollup (rows = |parts|, not lineitems),
+    one broadcast total."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    total = rev.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy(F.desc("cents"), "l_partkey")
+    ranked = rev.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "cents",
+        "total",
+        (F.sum("cents").over(w) - F.col("cents")).alias("cum_before"),
+        F.row_number().over(w).cast("int").alias("rev_rank"),
+    )
+    cls = (
+        F.when(10 * F.col("cum_before") < 7 * F.col("total"), F.lit("A"))
+        .when(10 * F.col("cum_before") < 9 * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(
+        "l_partkey", "cents", "rev_rank", cls.alias("abc_class")
+    )
+
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM lineitem GROUP BY 1
+), t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+ranked AS (
+  SELECT l_partkey, cents, total,
+    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey) - cents
+      AS BIGINT) AS cum_before,
+    CAST(row_number() OVER (ORDER BY cents DESC, l_partkey) AS INTEGER)
+      AS rev_rank
+  FROM rev CROSS JOIN t
+)
+SELECT l_partkey, cents, rev_rank,
+  CASE WHEN 10 * cum_before < 7 * total THEN 'A'
+       WHEN 10 * cum_before < 9 * total THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
 QUERIES = {
+    "abc_classification_parts": q_abc_classification_parts,
     "item_item_similarity": q_item_item_similarity,
     "ks_two_sample": q_ks_two_sample,
     "mad_outlier_flags": q_mad_outlier_flags,
@@ -1565,6 +1626,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "abc_classification_parts": _ABC_ORACLE,
     "item_item_similarity": _ITEM_SIM_ORACLE,
     "ks_two_sample": _KS_ORACLE,
     "mad_outlier_flags": _MAD_ORACLE,
