@@ -304,7 +304,70 @@ SELECT
 """
 
 
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail financial reconciliation: every order's
+    o_totalprice against the sum of its lineitems' extended prices —
+    the ledger-integrity check a warehouse runs after every load
+    (mismatches mean dropped lines, double-applied discounts, or
+    partial loads). One summary row per order STATUS: orders checked,
+    orders with detail present, exact-match count (in cents), and the
+    largest absolute delta. All arithmetic in exact cents; orders with
+    no lineitems are counted separately (headers-without-detail is its
+    own failure mode, not a zero delta).
+
+    Plan: one groupBy on the lineitem side (partial-aggregated), a
+    LEFT join from headers on orderkey, one rollup on the 3-value
+    status — nothing wider than the detail aggregation ever shuffles."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("detail_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "header_cents"
+        ),
+    ).join(detail, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    delta = F.abs(F.col("header_cents") - F.col("detail_cents"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("detail_cents").alias("n_with_detail"),
+        F.sum(
+            F.when(delta == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_exact_match"),
+        F.max(delta).alias("max_abs_delta_cents"),
+    )
+
+
+_RECON_ORACLE = """
+WITH detail AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS detail_cents
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderstatus,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+    d.detail_cents
+  FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+  count(detail_cents) AS n_with_detail,
+  CAST(sum(CASE WHEN abs(header_cents - detail_cents) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+  CAST(max(abs(header_cents - detail_cents)) AS BIGINT)
+    AS max_abs_delta_cents
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
+    "order_reconciliation": q_order_reconciliation,
     "sequence_gap_audit": q_sequence_gap_audit,
     "benford_first_digit": q_benford_first_digit,
     "constraint_audit": q_constraint_audit,
@@ -312,6 +375,7 @@ QUERIES = {
     "footer_stats_lineitem": q_footer_stats_lineitem,
 }
 ORACLES = {
+    "order_reconciliation": _RECON_ORACLE,
     "sequence_gap_audit": _SEQ_GAP_ORACLE,
     "benford_first_digit": _BENFORD_ORACLE,
     "constraint_audit": _AUDIT_ORACLE,
