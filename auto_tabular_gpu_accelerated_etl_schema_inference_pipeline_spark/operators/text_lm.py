@@ -303,7 +303,79 @@ GROUP BY d.doc_id
     )
 
 
+def q_perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity banding (Wenzek et al. 2020): docs ranked
+    by mean unigram NLL WITHIN each source, split into integer terciles
+    (band = 3·(rank−1) div n — no percentile interpolation), and kept
+    when in the head or middle band — the famous head/middle/tail
+    filter that drops each source's most-surprising (spammy/garbled)
+    third while keeping its own fluency scale. Mean NLL is exact
+    integer µ-nats per token (total div n_tokens); ranking ties break
+    on doc_id. One window per source over the doc-level scores (rows =
+    docs, not tokens)."""
+    from pyspark.sql import Window
+
+    scored = q_unigram_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        F.expr("nll_micro_total div n_tokens").alias("mean_nll_micro"),
+    )
+    w = Window.partitionBy("source").orderBy("mean_nll_micro", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    band = F.expr("CAST(3 * (rank - 1) div n AS INT)")
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "mean_nll_micro",
+        F.row_number().over(w).alias("rank"),
+        n.alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "mean_nll_micro",
+        band.alias("ppl_band"),
+        (band < 2).alias("kept"),
+    )
+
+
+_PPL_BAND_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+), tot AS (SELECT count(*) AS total FROM tok),
+wm AS (
+  SELECT w,
+    CAST(round(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+               * 1000000) AS BIGINT) AS nll_micro
+  FROM vocab, tot
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(nll_micro) AS nll_total
+  FROM tok JOIN wm USING (w) GROUP BY doc_id
+), j AS (
+  SELECT s.doc_id, d.source,
+    CAST(s.nll_total // s.n_tokens AS BIGINT) AS mean_nll_micro
+  FROM scored s JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT doc_id, source, mean_nll_micro,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY mean_nll_micro, doc_id) AS rank,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, mean_nll_micro,
+  CAST(3 * (rank - 1) // n AS INTEGER) AS ppl_band,
+  3 * (rank - 1) // n < 2 AS kept
+FROM ranked
+"""
+
+
 QUERIES = {
+    "perplexity_band_filter": q_perplexity_band_filter,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode_docs,
     "unigram_lm_score": q_unigram_lm_score,
@@ -311,6 +383,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "perplexity_band_filter": _PPL_BAND_ORACLE,
     "bpe_merges": _bpe_oracle(BPE_ROUNDS),
     "bpe_encode_docs": _bpe_encode_oracle(BPE_ROUNDS),
     "unigram_lm_score": _UNIGRAM_ORACLE,
