@@ -192,10 +192,90 @@ _ZONES_SQL = " UNION ALL ".join(
 )
 
 
+HILBERT_BITS = 8  # 8-bit coords -> 16-bit curve index (256x256 grid)
+
+
+def _hilbert_sql() -> str:
+    """ONE SQL text (runs verbatim on Spark and DuckDB) computing the
+    Hilbert d-index of each customer's 8-bit grid cell by unrolling the
+    standard xy2d loop into one CTE per bit level. The quadrant term
+    (3·rx) XOR ry is written as a CASE over rx·2+ry (engine-portable —
+    DuckDB spells xor as a function, Spark as an operator) and the
+    level rotation/flip as CASEs over (rx, ry). Only `&`, `-`,
+    arithmetic, and CASE appear, which the two parsers treat
+    identically."""
+    steps = []
+    prev = "c0"
+    for i, s in enumerate(
+        1 << b for b in reversed(range(HILBERT_BITS))
+    ):
+        cur = f"c{i + 1}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT c_custkey,
+    CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - y
+         WHEN ry = 0 THEN y ELSE x END AS x,
+    CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - x
+         WHEN ry = 0 THEN x ELSE y END AS y,
+    d + {s * s} * (CASE rx * 2 + ry WHEN 0 THEN 0 WHEN 1 THEN 1
+                   WHEN 2 THEN 3 ELSE 2 END) AS d
+  FROM (
+    SELECT c_custkey, x, y, d,
+      CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+      CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+    FROM {prev}
+  )
+)"""
+        )
+        prev = cur
+    body = ",\n".join(steps)
+    # integer division written as (v - v % k) / k: exact-integral on
+    # both engines (Spark / truncates on cast, DuckDB ROUNDS — an
+    # integral double casts identically either way)
+    xv = f"((c_custkey * {AX}) % {GRID})"
+    yv = f"((c_custkey * {AY}) % {GRID})"
+    return f"""
+WITH c0 AS (
+  SELECT c_custkey,
+    CAST(({xv} - {xv} % 40) / 40 AS BIGINT) AS x,
+    CAST(({yv} - {yv} % 40) / 40 AS BIGINT) AS y,
+    0 AS d
+  FROM customer
+),
+{body}
+SELECT c_custkey,
+  CAST(({xv} - {xv} % 40) / 40 AS BIGINT) AS cell_x,
+  CAST(({yv} - {yv} % 40) / 40 AS BIGINT) AS cell_y,
+  CAST(d AS BIGINT) AS hilbert_d,
+  CAST((d - d % 256) / 256 AS BIGINT) AS hilbert_bucket
+FROM {prev}
+"""
+
+
+def q_geo_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key — the space-filling-curve layout
+    alternative to the Morton z-order (relational_ext2.q_zorder_layout):
+    Hilbert has strictly better locality (no diagonal jumps between
+    quadrants), which is why lakehouse OPTIMIZE implementations offer
+    it for multi-dimensional clustering. The xy2d walk is unrolled into
+    8 chained CTEs of pure integer CASE arithmetic — one SQL text on
+    both engines (see _hilbert_sql), map-only, shuffle-free;
+    hilbert_bucket (top bits) is the target file id a layout job would
+    range-partition by."""
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_hilbert_sql())
+
+
 QUERIES = {
     "geo_grid_distance_join": q_geo_grid_distance_join,
     "geo_cell_rollup": q_geo_cell_rollup,
     "geo_zone_stats": q_geo_zone_stats,
+    "geo_hilbert_layout": q_geo_hilbert_layout,
 }
 
 ORACLES = {
@@ -244,6 +324,7 @@ FROM c JOIN z
   ON c.x >= z.x0 AND c.x < z.x1 AND c.y >= z.y0 AND c.y < z.y1
 GROUP BY z.zone_id
 """,
+    "geo_hilbert_layout": _hilbert_sql(),
     "geo_cell_rollup": f"""
 WITH c AS (
   SELECT (c_custkey * {AX}) % {GRID} AS x,
