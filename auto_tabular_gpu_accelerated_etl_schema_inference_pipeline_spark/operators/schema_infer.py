@@ -468,8 +468,103 @@ FROM lineitem"""
 )
 
 
+RARE_LEVEL_MIN = 90  # levels below this count collapse to OTHER
+
+
+def q_rare_level_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-level collapsing for categorical features: part brands with
+    fewer than RARE_LEVEL_MIN rows recode to 'OTHER' — the cardinality
+    control that keeps one-hot/dict encodings bounded when a category's
+    tail is endless (the companion to categorical_encode). One groupBy
+    builds the level-frequency table (broadcast back); the recode is a
+    map-side join — the fit/transform split again. Output: per FINAL
+    level, row count and distinct original levels absorbed."""
+    configure_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part")
+    freq = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    recoded = part.join(F.broadcast(freq), "p_brand").select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("n") >= RARE_LEVEL_MIN, F.col("p_brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand_final"),
+    )
+    return recoded.groupBy("brand_final").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_brand").alias("n_source_levels"),
+    )
+
+
+_RARE_ORACLE = f"""
+WITH freq AS (
+  SELECT p_brand, count(*) AS n FROM part GROUP BY 1
+), recoded AS (
+  SELECT p.p_partkey, p.p_brand,
+    CASE WHEN f.n >= {RARE_LEVEL_MIN} THEN p.p_brand
+         ELSE 'OTHER' END AS brand_final
+  FROM part p JOIN freq f USING (p_brand)
+)
+SELECT brand_final, count(*) AS n_rows,
+  count(DISTINCT p_brand) AS n_source_levels
+FROM recoded GROUP BY 1
+"""
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each customer's market segment
+    encoded as the mean balance of the OTHER customers in the segment —
+    (Σ − own) div (n − 1) in exact cents. LOO is the standard leakage
+    guard for target encoding (plain category means teach the model its
+    own label); the integer form makes the encoding deterministic and
+    oracle-exact. One groupBy for per-segment (Σ, n), broadcast back,
+    map-only arithmetic — fit/transform shape. The numerator Σ − own is
+    provably positive here (segment sums ≈ 1.4e9 cents vs |own| ≤ 1e5),
+    so Spark's truncating `div` and the oracle's flooring `//` agree;
+    a target whose group sums can go negative routes through the
+    offset-shift trick instead."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    return cust.join(F.broadcast(seg), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        F.when(
+            F.col("seg_n") > 1,
+            F.expr("(seg_sum - cents) div (seg_n - 1)"),
+        ).alias("loo_mean_cents"),
+    )
+
+
+_LOO_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), seg AS (
+  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS seg_sum,
+    count(*) AS seg_n
+  FROM cust GROUP BY 1
+)
+SELECT c.c_custkey, c.c_mktsegment, c.cents,
+  CASE WHEN s.seg_n > 1
+       THEN CAST((s.seg_sum - c.cents) // (s.seg_n - 1) AS BIGINT)
+  END AS loo_mean_cents
+FROM cust c JOIN seg s USING (c_mktsegment)
+"""
+
+
 QUERIES = {
     "partition_advisor": q_partition_advisor,
+    "rare_level_collapse": q_rare_level_collapse,
+    "target_encode_loo": q_target_encode_loo,
     "schema_infer": q_schema_infer,
     "categorical_encode": q_categorical_encode,
     "auto_tokenize_lineitem": q_auto_tokenize_lineitem,
@@ -477,6 +572,8 @@ QUERIES = {
 
 ORACLES = {
     "partition_advisor": _ADVISOR_ORACLE_PARTS,
+    "rare_level_collapse": _RARE_ORACLE,
+    "target_encode_loo": _LOO_ORACLE,
     "schema_infer": _schema_infer_oracle(),
     "auto_tokenize_lineitem": _AUTO_TOKENIZE_LINEITEM_ORACLE,
     "categorical_encode": """
