@@ -30,3 +30,40 @@ class BigramUDTF:
         toks = text.split(" ")
         for i in range(len(toks) - 1):
             yield (toks[i] + " " + toks[i + 1],)
+
+
+class NgramUDTF:
+    """POLYMORPHIC UDTF (Spark 4 static ``analyze``): emits order-n
+    n-grams with 1-based positions, where the OUTPUT SCHEMA is computed
+    from the constant ``n`` argument at plan time — the column is named
+    ``ngram<n>``. This is the schema-from-arguments half of the UDTF
+    contract that a fixed ``returnType`` (BigramUDTF above) cannot
+    express; pipelines use it for width-parameterized exploders
+    (n-grams, fixed-stride chunkers) without one class per width."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        order = int(n.value)
+        return AnalyzeResult(
+            StructType(
+                [
+                    StructField(f"ngram{order}", StringType()),
+                    StructField("pos", IntegerType()),
+                ]
+            )
+        )
+
+    def eval(self, text, n):
+        if not text:
+            return
+        toks = text.split(" ")
+        for i in range(len(toks) - int(n) + 1):
+            yield " ".join(toks[i : i + int(n)]), i + 1

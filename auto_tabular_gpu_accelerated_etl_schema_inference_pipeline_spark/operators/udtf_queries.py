@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.udtfs import BigramUDTF
+from ..functions.udtfs import BigramUDTF, NgramUDTF
 from ..session import configure_for_oracle, load_table
 
 MIN_BIGRAM_COUNT = 5
@@ -36,11 +36,44 @@ def q_udtf_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_trigram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 n-grams WITH positions via the polymorphic NgramUDTF —
+    the output schema (column `ngram3`) is decided by analyze() from
+    the literal argument at plan time. Restricted to doc_id < 50 so the
+    expansion stays oracle-comparison-sized; the lateral expansion
+    itself is map-only at any scale."""
+    configure_for_oracle(spark)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 50")
+    docs.createOrReplaceTempView("udtf_docs3")
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("ngrams_n", _udtf(NgramUDTF))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.ngram3, t.pos
+        FROM udtf_docs3 d,
+             LATERAL ngrams_n(lower(trim(d.text)), 3) t
+        """
+    )
+
+
 QUERIES = {
+    "udtf_trigram_positions": q_udtf_trigram_positions,
     "udtf_bigram_vocab": q_udtf_bigram_vocab,
 }
 
 ORACLES = {
+    "udtf_trigram_positions": """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+  array_to_string(list_slice(toks, i, i + 2), ' ') AS ngram3,
+  CAST(i AS INTEGER) AS pos
+FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+""",
     "udtf_bigram_vocab": """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 pairs AS (
