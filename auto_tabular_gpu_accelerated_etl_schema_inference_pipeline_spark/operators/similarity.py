@@ -762,7 +762,114 @@ FROM ex GROUP BY dim
 """
 
 
+FILT_TOPK = 5
+FILT_QUERY_IDS = (0, 1, 2)
+
+
+def q_similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate + top-k shape
+    every vector store must get right (pre-filter, THEN score: scoring
+    the whole corpus and filtering after burns compute and can return
+    < k rows): for each query vector, top-5 neighbors AMONG vectors
+    sharing its label. Scores are int8-quantized integer dot products
+    (the embedding_quantize_int8 convention), so ranking is bit-stable
+    and the oracle replays it exactly; ties break on vec_id.
+
+    Plan: the label predicate joins query-side labels to the corpus
+    BEFORE any scoring (an equi-join on label — at scale the corpus is
+    partitioned by the filter column, making this partition pruning);
+    the 3-query side broadcasts; per-group ranking is a window over
+    each query's candidate set."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "dv"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "dv",
+        (
+            F.array_max(F.transform("dv", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q8 = base.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("dv"), lambda x: F.round(x / F.col("scale")).cast("int")
+        ).alias("q8"),
+    )
+    queries = q8.filter(
+        F.col("vec_id").isin(*FILT_QUERY_IDS)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q8").alias("qq"),
+    )
+    cands = q8.join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with("q8", "qq", lambda a, b: (a * b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "vec_id")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= FILT_TOPK)
+        .select("query_id", "vec_id", "label", "qdot", "rnk")
+    )
+
+
+_FILT_IDS_SQL = ", ".join(str(i) for i in FILT_QUERY_IDS)
+
+_FILTERED_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, dv,
+    list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, label,
+    list_transform(dv, x -> CAST(round(x / scale) AS INTEGER)) AS q8
+  FROM s
+), queries AS (
+  SELECT vec_id AS query_id, label AS qlabel, q8 AS qq
+  FROM q WHERE vec_id IN ({_FILT_IDS_SQL})
+), cands AS (
+  SELECT qs.query_id, c.vec_id, c.label,
+    CAST(list_sum(list_transform(list_zip(c.q8, qs.qq),
+      z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS qdot
+  FROM q c JOIN queries qs
+    ON c.label = qs.qlabel AND c.vec_id <> qs.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY qdot DESC, vec_id) AS INTEGER) AS rnk
+  FROM cands
+)
+SELECT query_id, vec_id, label, qdot, rnk
+FROM ranked WHERE rnk <= {FILT_TOPK}
+"""
+
+
 QUERIES = {
+    "similarity_filtered_topk": q_similarity_filtered_topk,
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
     "similarity_pq_adc_topk": q_similarity_pq_adc_topk,
@@ -777,6 +884,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_filtered_topk": _FILTERED_TOPK_ORACLE,
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,
     "similarity_pq_adc_topk": _PQ_ORACLE,
