@@ -1595,7 +1595,67 @@ FROM ranked
 """
 
 
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: Herfindahl–Hirschman index of
+    supplier revenue within each supplier nation — HHI = Σ share², the
+    antitrust/vendor-risk number (10_000-point scale: > 2500 =
+    concentrated). Shares are per-supplier revenue in truncated ppm of
+    the nation total (the truncation is part of the stated statistic),
+    HHI = Σ share_ppm² div 1e8 lands on the familiar 0..10000 scale —
+    exact integers only. Two aggregations (supplier rollup, nation
+    rollup broadcast back), one final groupBy."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").alias("nation_cents")
+    )
+    shares = rev.join(F.broadcast(nat), "s_nationkey").select(
+        "s_nationkey",
+        F.expr("cents * 1000000L div nation_cents").alias("share_ppm"),
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("sum(share_ppm * share_ppm) div 100000000").alias(
+            "hhi_10000"
+        ),
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS nation_cents
+  FROM rev GROUP BY 1
+), shares AS (
+  SELECT r.s_nationkey,
+    CAST(r.cents * 1000000 // n.nation_cents AS BIGINT) AS share_ppm
+  FROM rev r JOIN nat n USING (s_nationkey)
+)
+SELECT s_nationkey, count(*) AS n_suppliers,
+  CAST(sum(share_ppm * share_ppm) // 100000000 AS BIGINT) AS hhi_10000
+FROM shares GROUP BY 1
+"""
+
+
 QUERIES = {
+    "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
     "abc_classification_parts": q_abc_classification_parts,
     "item_item_similarity": q_item_item_similarity,
     "ks_two_sample": q_ks_two_sample,
@@ -1626,6 +1686,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_hhi_by_nation": _HHI_ORACLE,
     "abc_classification_parts": _ABC_ORACLE,
     "item_item_similarity": _ITEM_SIM_ORACLE,
     "ks_two_sample": _KS_ORACLE,

@@ -973,6 +973,59 @@ def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOLL_WINDOW = 7  # trailing days
+BOLL_K = 2  # band width in sigmas
+
+
+def q_events_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection on daily revenue WITHOUT square
+    roots: x breaches the k-sigma band iff (n·x − S1)² > k²·(n·S2 −
+    S1²), the squared-deviation inequality over the trailing window's
+    integer power sums (S1 = Σx, S2 = Σx² in cents) — algebraically
+    identical to |x − µ| > k·σ but every quantity stays an exact
+    integer, so both engines agree bit-for-bit (the MAD/KS/xcorr
+    exact-core philosophy applied to a rolling-volatility indicator).
+    Magnitudes: day sums ≤ ~1e9 cents keep all products inside int64;
+    a larger deployment lifts the squares into decimal(38,0).
+
+    The trailing ROWS frame runs over the DAY-level series (calendar-
+    bounded, like the SES/CUSUM state) — partitionless by nature of a
+    single global series; per-type banding would partition by type."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(BOLL_WINDOW - 1), 0)
+    )
+    stats = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    breach = dev * dev > BOLL_K * BOLL_K * var_n2
+    return stats.select(
+        "day",
+        F.col("x").alias("day_cents"),
+        F.col("n").cast("int").alias("n_win"),
+        (breach & (dev > 0)).alias("breach_up"),
+        (breach & (dev < 0)).alias("breach_down"),
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (TWAP — the metering/
     billing/market-data aggregate where each observation counts for as
@@ -1105,6 +1158,7 @@ QUERIES = {
     "business_days_to_ship": q_business_days_to_ship,
     "events_cross_correlation": q_events_cross_correlation,
     "events_longest_streak": q_events_longest_streak,
+    "events_bollinger_breach": q_events_bollinger_breach,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1178,6 +1232,27 @@ FROM s
     # cents and gaps are non-negative, so // (floor) == Spark div
     # (truncation) everywhere; last event carries zero weight by the
     # right-open convention on both sides
+    "events_bollinger_breach": f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT day, x,
+    count(*) OVER w AS n,
+    CAST(sum(x) OVER w AS BIGINT) AS s1,
+    CAST(sum(x * x) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, x AS day_cents, CAST(n AS INTEGER) AS n_win,
+  (n * x - s1) * (n * x - s1) > {BOLL_K * BOLL_K} * (n * s2 - s1 * s1)
+    AND n * x - s1 > 0 AS breach_up,
+  (n * x - s1) * (n * x - s1) > {BOLL_K * BOLL_K} * (n * s2 - s1 * s1)
+    AND n * x - s1 < 0 AS breach_down
+FROM stats
+""",
     "events_longest_streak": """
 WITH days AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
