@@ -471,3 +471,29 @@ def test_sequence_gap_audit_partitioned_adjacency(spark, sf_dir):
     plan = formatted_plan(q_sequence_gap_audit(spark, sf_dir))
     # the bucket-partitioned window pass shows hashpartitioning on b
     assert "hashpartitioning(b" in plan, plan
+
+
+def test_cbo_stats_after_analyze(spark, sf_dir):
+    """Cost-based optimization needs table/column statistics: after
+    ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, the optimized
+    plan must carry a rowCount estimate (not just sizeInBytes) — the
+    input join-reordering and broadcast decisions feed on at 100 TB,
+    where guessing cardinalities from file sizes is how 5-way joins
+    pick disastrous orders."""
+    import os
+    import uuid
+
+    name = f"cbo_nation_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.saveAsTable(name)
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        df = spark.table(name).groupBy("n_nationkey").count()
+        stats = df._jdf.queryExecution().optimizedPlan().stats().toString()
+        assert "rowCount" in stats, stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
