@@ -1096,6 +1096,67 @@ def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase's cents split
+    EQUALLY across all of the user's clicks in the prior 24 h, with the
+    integer remainder going to the EARLIEST touch (cents div n to every
+    click, plus cents mod n to rank 1): the stated largest-remainder
+    rule makes the split exact — per purchase the credited cents sum to
+    the purchase cents by construction, no floating residue to leak.
+    Purchases with no qualifying click credit 'organic' whole. Output:
+    credited cents per click hour (plus the organic bucket) — the
+    comparable rollup to q_attribution_last_touch, so the two models'
+    disagreement is directly queryable. Same bounded-lookback join
+    shape; one extra count window per purchase."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    day_us = 86_400_000_000
+    joined = purchases.join(
+        clicks,
+        (purchases["u"] == clicks["u"])
+        & (clicks["c_us"] < purchases["p_us"])
+        & (clicks["c_us"] >= purchases["p_us"] - day_us),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    wr = wp.orderBy("c_us", "c_id")
+    per_touch = joined.select(
+        "p_id",
+        "cents",
+        "c_us",
+        F.count("c_id").over(wp).alias("n_touch"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    credit = F.when(F.col("n_touch") == 0, F.col("cents")).otherwise(
+        F.expr("cents div n_touch")
+        + F.when(
+            F.col("rn") == 1, F.expr("cents % n_touch")
+        ).otherwise(F.lit(0))
+    )
+    hour = F.when(F.col("c_us").isNull(), F.lit(-1)).otherwise(
+        F.expr("c_us div 3600000000")
+    )
+    return (
+        per_touch.select(hour.alias("click_hour"), credit.alias("credit"))
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("credited_cents"),
+        )
+    )
+
+
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: each purchase credits its value
     to the same user's most recent PRIOR click (within 24 h), rolled up
@@ -1159,6 +1220,7 @@ QUERIES = {
     "events_cross_correlation": q_events_cross_correlation,
     "events_longest_streak": q_events_longest_streak,
     "events_bollinger_breach": q_events_bollinger_breach,
+    "attribution_linear": q_attribution_linear,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1232,6 +1294,43 @@ FROM s
     # cents and gaps are non-negative, so // (floor) == Spark div
     # (truncation) everywhere; last event carries zero weight by the
     # right-open convention on both sides
+    # n_touch = 0 only on the NULL left-join row (count(c_id) skips
+    # nulls); cents and counts non-negative so div/% agree across
+    # engines
+    "attribution_linear": """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS u,
+    CAST(epoch_us(ts) AS BIGINT) AS p_us,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS u, event_id AS c_id,
+    CAST(epoch_us(ts) AS BIGINT) AS c_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.p_id, p.cents, c.c_us, c.c_id
+  FROM p LEFT JOIN c
+    ON p.u = c.u AND c.c_us < p.p_us
+   AND c.c_us >= p.p_us - 86400000000
+), t AS (
+  SELECT p_id, cents, c_us,
+    count(c_id) OVER (PARTITION BY p_id) AS n_touch,
+    row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn
+  FROM j
+), credited AS (
+  SELECT
+    CASE WHEN c_us IS NULL THEN -1 ELSE c_us // 3600000000 END
+      AS click_hour,
+    CASE WHEN n_touch = 0 THEN cents
+         ELSE cents // n_touch
+              + CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END
+    END AS credit
+  FROM t
+)
+SELECT click_hour, count(*) AS n_touches,
+  CAST(sum(credit) AS BIGINT) AS credited_cents
+FROM credited GROUP BY 1
+""",
     "events_bollinger_breach": f"""
 WITH daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day,
