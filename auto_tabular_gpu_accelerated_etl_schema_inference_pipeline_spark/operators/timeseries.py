@@ -1096,6 +1096,37 @@ def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-first-purchase distribution: minutes from each user's
+    FIRST event to their FIRST purchase, bucketed into a power-of-two
+    histogram (<1 min, <2, <4, ... via the bit-length trick: bucket =
+    floor(log2(minutes+1)) computed as length-of-binary-string — no
+    float log). Users who never purchase land in bucket −1 (the
+    never-converted cohort is the product question, not a dropped row).
+    Two tiny per-user aggregates, one histogram groupBy."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    first_ev = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us")
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_p_us"))
+    )
+    lat = first_ev.join(first_p, "user_id", "left").select(
+        "user_id",
+        F.expr("(first_p_us - first_us) div 60000000").alias("latency_min"),
+    )
+    # floor(log2(m+1)) without floats: length of m+1 in binary, minus 1
+    bucket = F.when(F.col("latency_min").isNull(), F.lit(-1)).otherwise(
+        F.length(F.conv(F.col("latency_min") + 1, 10, 2)) - 1
+    )
+    return lat.select(bucket.cast("int").alias("latency_bucket")).groupBy(
+        "latency_bucket"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR multi-touch attribution — each purchase's cents split
     EQUALLY across all of the user's clicks in the prior 24 h, with the
@@ -1221,6 +1252,7 @@ QUERIES = {
     "events_longest_streak": q_events_longest_streak,
     "events_bollinger_breach": q_events_bollinger_breach,
     "attribution_linear": q_attribution_linear,
+    "conversion_latency_histogram": q_conversion_latency_histogram,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1297,6 +1329,24 @@ FROM s
     # n_touch = 0 only on the NULL left-join row (count(c_id) skips
     # nulls); cents and counts non-negative so div/% agree across
     # engines
+    # bucket = floor(log2(m+1)) via binary-string length on both sides
+    "conversion_latency_histogram": """
+WITH fe AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1
+), fp AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_p_us
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lat AS (
+  SELECT fe.user_id,
+    (fp.first_p_us - fe.first_us) // 60000000 AS latency_min
+  FROM fe LEFT JOIN fp USING (user_id)
+)
+SELECT CAST(CASE WHEN latency_min IS NULL THEN -1
+            ELSE length(bin(latency_min + 1)) - 1 END AS INTEGER)
+  AS latency_bucket,
+  count(*) AS n_users
+FROM lat GROUP BY 1
+""",
     "attribution_linear": """
 WITH p AS (
   SELECT event_id AS p_id, user_id AS u,
