@@ -119,5 +119,117 @@ GROUP BY o_orderkey
 """
 
 
-QUERIES = {"interval_bucket_join_orders": q_interval_bucket_join_orders}
-ORACLES = {"interval_bucket_join_orders": _INTERVAL_ORACLE}
+SPAN_TERM = "slow"
+SPAN_PAD = 2
+
+
+def q_interval_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (merge overlapping spans) — the redaction/
+    highlight-consolidation primitive (PII spans, search-hit windows,
+    genomic intervals all need "coalesce overlaps before acting"):
+    per document, token spans of ±2 around every SPAN_TERM hit are
+    merged wherever they overlap, reporting raw-hit count, merged-run
+    count, and total covered tokens. The sweep is gaps-and-islands on
+    intervals: order spans by start; a span opens a NEW island iff its
+    start exceeds the running max end of all EARLIER spans (strictly —
+    touching spans merge); island id = running sum of that flag. Two
+    window passes partitioned by doc — state per doc is its span list.
+    """
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
+    hits = base.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).filter(F.col("tok") == SPAN_TERM)
+    spans = hits.select(
+        "doc_id",
+        F.greatest(F.lit(1), F.col("pos0") + 1 - SPAN_PAD).alias("s"),
+        F.least(F.col("n_toks"), F.col("pos0") + 1 + SPAN_PAD).alias("e"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    islanded = flagged.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("new_island").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    merged = islanded.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("raw_in_island"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.sum("raw_in_island").alias("n_raw_spans"),
+        F.count(F.lit(1)).alias("n_merged_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("covered_tokens"),
+    )
+
+
+_SPAN_MERGE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, len(toks) AS n_toks, CAST(u.i AS INTEGER) AS pos
+  FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+  WHERE toks[u.i] = '{SPAN_TERM}'
+), spans AS (
+  SELECT doc_id,
+    greatest(1, pos - {SPAN_PAD}) AS s,
+    least(n_toks, pos + {SPAN_PAD}) AS e
+  FROM hits
+), flagged AS (
+  SELECT doc_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_island
+  FROM spans
+), islanded AS (
+  SELECT doc_id, s, e,
+    sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), merged AS (
+  SELECT doc_id, island, min(s) AS ms, max(e) AS me,
+    count(*) AS raw_in_island
+  FROM islanded GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(raw_in_island) AS BIGINT) AS n_raw_spans,
+  count(*) AS n_merged_spans,
+  CAST(sum(me - ms + 1) AS BIGINT) AS covered_tokens
+FROM merged GROUP BY 1
+"""
+
+
+QUERIES = {
+    "interval_bucket_join_orders": q_interval_bucket_join_orders,
+    "interval_merge_spans": q_interval_merge_spans,
+}
+ORACLES = {
+    "interval_bucket_join_orders": _INTERVAL_ORACLE,
+    "interval_merge_spans": _SPAN_MERGE_ORACLE,
+}
