@@ -156,6 +156,22 @@ HEADLINE = [
     "partition_advisor",
     "containment_pairs",
     "lateral_join_topk",
+    "text_kwic",
+    "geo_zone_stats",
+    "geo_hilbert_layout",
+    "events_longest_streak",
+    "rare_level_collapse",
+    "target_encode_loo",
+    "abc_classification_parts",
+    "order_reconciliation",
+    "perplexity_band_filter",
+    "udtf_trigram_positions",
+    "similarity_filtered_topk",
+    "events_bollinger_breach",
+    "supplier_hhi_by_nation",
+    "attribution_linear",
+    "conversion_latency_histogram",
+    "interval_merge_spans",
 ]
 
 
