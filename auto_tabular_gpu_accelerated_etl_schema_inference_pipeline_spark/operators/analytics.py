@@ -1654,7 +1654,86 @@ FROM shares GROUP BY 1
 """
 
 
+def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types at user-day granularity:
+    for each type pair (a < b), lift = P(a,b) / (P(a)·P(b)) over the
+    user-day universe, reported as the exact integer n_ab·N·1e6 div
+    (n_a·n_b) — lift > 1e6 means the types co-occur more than
+    independence predicts (the association-mining score behind
+    "people who error also retry"). The distinct (user, day, type)
+    relation collapses events to incidence first (the same move as
+    market basket's order-part dedup), so frequencies count user-days,
+    not raw event volume. One distinct aggregate + a self-join on
+    user-day bounded by types-per-user-day (≤ |event types|)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    inc = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    # the universe size rides as a broadcast 1-row aggregate, never a
+    # construction-time driver action (plan builds stay action-free)
+    nd = (
+        inc.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    freq = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = inc.toDF("u", "d", "ta")
+    b = inc.toDF("u", "d", "tb")
+    pairs = (
+        a.join(b, ["u", "d"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.toDF("ta", "n_a")
+    fb = freq.toDF("tb", "n_b")
+    return (
+        pairs.join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_ab",
+            F.expr(
+                "n_ab * n_days * 1000000L div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+_LIFT_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+  FROM events
+), nd AS (SELECT count(*) AS n_days FROM (SELECT DISTINCT user_id, day FROM inc)),
+freq AS (SELECT event_type, count(*) AS n FROM inc GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+  FROM inc a JOIN inc b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+  CAST(p.n_ab AS BIGINT) AS n_ab,
+  CAST(p.n_ab * nd.n_days * 1000000 // (fa.n * fb.n) AS BIGINT)
+    AS lift_ppm
+FROM pairs p
+JOIN freq fa ON p.ta = fa.event_type
+JOIN freq fb ON p.tb = fb.event_type
+CROSS JOIN nd
+"""
+
+
 QUERIES = {
+    "event_type_lift": q_event_type_lift,
     "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
     "abc_classification_parts": q_abc_classification_parts,
     "item_item_similarity": q_item_item_similarity,
@@ -1686,6 +1765,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_type_lift": _LIFT_ORACLE,
     "supplier_hhi_by_nation": _HHI_ORACLE,
     "abc_classification_parts": _ABC_ORACLE,
     "item_item_similarity": _ITEM_SIM_ORACLE,
