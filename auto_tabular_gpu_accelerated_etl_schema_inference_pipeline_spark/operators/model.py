@@ -95,3 +95,113 @@ class QuantileBinModel:
             relative_error=payload["relative_error"],
             fit_strategy=payload["fit_strategy"],
         )
+
+
+# --- ML inference as pure SQL (operator fusion — the ICDE 2025
+# "Machine Learning Inference Pipeline Execution Using Pure SQL"
+# pattern applied to a fitted decision tree) -------------------------
+
+#: a depth-3 tree over lineitem features, FITTED OFFLINE and shipped as
+#: literals — inference is one fused CASE expression inside the scan
+#: projection: zero UDF, zero model server, whole-stage codegen. Leaf
+#: scores are the model's predicted return-rate (ppm).
+TREE_LEAVES = {
+    1: ("small_lowdisc", 240_000),
+    2: ("small_discounted", 260_000),
+    3: ("bulk_cheap", 250_000),
+    4: ("bulk_mid", 245_000),
+    5: ("bulk_large", 255_000),
+}
+
+_TREE_CASE = """
+CASE
+  WHEN l_quantity <= 25 THEN
+    CASE WHEN CAST(round(l_discount * 100) AS INTEGER) <= 5
+         THEN 1 ELSE 2 END
+  ELSE
+    CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) <= 3000000
+         THEN 3
+         ELSE CASE WHEN l_quantity <= 40 THEN 4 ELSE 5 END
+    END
+END
+"""
+
+
+def q_decision_tree_calibration(spark, sf_dir: str):
+    """Decision-tree INFERENCE in pure SQL + calibration audit: every
+    lineitem routes through the fused CASE tree (see _TREE_CASE — the
+    shipped model), then per leaf the PREDICTED return-rate ppm is laid
+    next to the OBSERVED rate (returnflag = 'R' share, exact integer
+    ppm) — the model-monitoring table that tells you which leaves have
+    drifted. Inference is map-only inside the scan stage; the audit is
+    one 5-group aggregate. At 100 TB this replaces a row-at-a-time
+    model server with the scan itself — the operator-fusion argument."""
+    from pyspark.sql import functions as F
+
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    leaf_label = F.create_map(
+        *[
+            c
+            for k, (label, _) in TREE_LEAVES.items()
+            for c in (F.lit(k), F.lit(label))
+        ]
+    )
+    leaf_score = F.create_map(
+        *[
+            c
+            for k, (_, score) in TREE_LEAVES.items()
+            for c in (F.lit(k), F.lit(score))
+        ]
+    )
+    scored = li.select(
+        F.expr(_TREE_CASE).alias("leaf_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )
+    agg = scored.groupBy("leaf_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_return").alias("n_returns"),
+    )
+    return agg.select(
+        "leaf_id",
+        leaf_label[F.col("leaf_id")].alias("leaf_label"),
+        "n_rows",
+        leaf_score[F.col("leaf_id")].cast("bigint").alias(
+            "predicted_return_ppm"
+        ),
+        F.expr("n_returns * 1000000L div n_rows").alias(
+            "observed_return_ppm"
+        ),
+    )
+
+
+def _tree_oracle() -> str:
+    label_case = " ".join(
+        f"WHEN {k} THEN '{label}'" for k, (label, _) in TREE_LEAVES.items()
+    )
+    score_case = " ".join(
+        f"WHEN {k} THEN {score}" for k, (_, score) in TREE_LEAVES.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT {_TREE_CASE} AS leaf_id,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return
+  FROM lineitem
+), agg AS (
+  SELECT leaf_id, count(*) AS n_rows,
+    CAST(sum(is_return) AS BIGINT) AS n_returns
+  FROM scored GROUP BY 1
+)
+SELECT leaf_id,
+  CASE leaf_id {label_case} END AS leaf_label,
+  n_rows,
+  CAST(CASE leaf_id {score_case} END AS BIGINT) AS predicted_return_ppm,
+  CAST(n_returns * 1000000 // n_rows AS BIGINT) AS observed_return_ppm
+FROM agg
+"""
+
+
+QUERIES = {"decision_tree_calibration": q_decision_tree_calibration}
+ORACLES = {"decision_tree_calibration": _tree_oracle()}

@@ -44,6 +44,7 @@ _MODULES = [
     "operators.cdc",
     "operators.llm_prep",
     "operators.llm_prep2",
+    "operators.model",
     "operators.corpus_reports",
     "operators.sketches",
     "operators.production",
