@@ -1096,6 +1096,66 @@ def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_SIG_LEN = 8
+PATH_MAX_LEV = 3
+
+
+def q_user_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-trajectory similarity (the REPOSE/trajectory-search
+    shape at event granularity): each user's path signature = the
+    initials of their first 8 events in time order; users in the same
+    signup-week COHORT pair up when edit distance <= 3 — who behaves
+    like whom, among contemporaries. The cohort block bounds the
+    pair join exactly like the entity-resolution name block (never
+    all-pairs); the signature build is one sort_array fold per user.
+    levenshtein is a JVM builtin with an identical DuckDB twin, so the
+    pair set is value-exact."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("r"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list("r")), lambda x: x["c"]
+                ),
+                1,
+                PATH_SIG_LEN,
+            ),
+        ).alias("sig"),
+        F.expr("min(r.us) div 604800000000").alias("cohort_week"),
+    )
+    a = per_user.toDF("ua", "sig_a", "wk")
+    b = per_user.toDF("ub", "sig_b", "wkb")
+    return (
+        a.join(
+            b,
+            (F.col("wk") == F.col("wkb"))
+            & (F.col("ua") < F.col("ub"))
+            & (
+                F.levenshtein("sig_a", "sig_b") <= PATH_MAX_LEV
+            ),
+        )
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "sig_a",
+            "sig_b",
+            F.levenshtein("sig_a", "sig_b").cast("int").alias("lev"),
+        )
+    )
+
+
 def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-first-purchase distribution: minutes from each user's
     FIRST event to their FIRST purchase, bucketed into a power-of-two
@@ -1253,6 +1313,7 @@ QUERIES = {
     "events_bollinger_breach": q_events_bollinger_breach,
     "attribution_linear": q_attribution_linear,
     "conversion_latency_histogram": q_conversion_latency_histogram,
+    "user_path_similarity": q_user_path_similarity,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1329,6 +1390,27 @@ FROM s
     # n_touch = 0 only on the NULL left-join row (count(c_id) skips
     # nulls); cents and counts non-negative so div/% agree across
     # engines
+    "user_path_similarity": f"""
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+    substr(event_type, 1, 1) AS c
+  FROM events
+), per_user AS (
+  SELECT user_id,
+    array_to_string(list_slice(
+      list_transform(
+        list_sort(list(ROW(us, event_id, c))), x -> x[3]),
+      1, {PATH_SIG_LEN}), '') AS sig,
+    min(us) // 604800000000 AS cohort_week
+  FROM r GROUP BY user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+  a.sig AS sig_a, b.sig AS sig_b,
+  CAST(levenshtein(a.sig, b.sig) AS INTEGER) AS lev
+FROM per_user a JOIN per_user b
+  ON a.cohort_week = b.cohort_week AND a.user_id < b.user_id
+ AND levenshtein(a.sig, b.sig) <= {PATH_MAX_LEV}
+""",
     # bucket = floor(log2(m+1)) via binary-string length on both sides
     "conversion_latency_histogram": """
 WITH fe AS (
