@@ -1732,7 +1732,60 @@ CROSS JOIN nd
 """
 
 
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the engagement-
+    diversity metric (entropy 0 = single-mode user; ln 5 ≈ 1.609 = uses
+    everything evenly). Follows the unigram-LM exactness convention:
+    per-type −ln(p) quantized to integer µ-nats BEFORE the weighted
+    sum, entropy = Σ n_t·nll_t div n — so the cross-engine comparison
+    is pure integers despite the log. Two small aggregates keyed on
+    user."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_t").alias("n")
+    )
+    j = per_type.join(per_user, "user_id").select(
+        "user_id",
+        "n_t",
+        "n",
+        F.round(
+            F.round(
+                -F.log(F.col("n_t").cast("double") / F.col("n").cast("double")),
+                6,
+            )
+            * 1_000_000
+        ).cast("bigint").alias("nll_micro"),
+    )
+    return j.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.expr("sum(n_t * nll_micro) div max(n)").alias("entropy_micro"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n_t
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n FROM per_type GROUP BY 1
+), j AS (
+  SELECT t.user_id, t.n_t, u.n,
+    CAST(round(round(-ln(CAST(t.n_t AS DOUBLE) / CAST(u.n AS DOUBLE)), 6)
+         * 1000000) AS BIGINT) AS nll_micro
+  FROM per_type t JOIN per_user u USING (user_id)
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+  CAST(sum(n_t * nll_micro) // max(n) AS BIGINT) AS entropy_micro
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
+    "user_behavior_entropy": q_user_behavior_entropy,
     "event_type_lift": q_event_type_lift,
     "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
     "abc_classification_parts": q_abc_classification_parts,
@@ -1765,6 +1818,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_behavior_entropy": _ENTROPY_ORACLE,
     "event_type_lift": _LIFT_ORACLE,
     "supplier_hhi_by_nation": _HHI_ORACLE,
     "abc_classification_parts": _ABC_ORACLE,
