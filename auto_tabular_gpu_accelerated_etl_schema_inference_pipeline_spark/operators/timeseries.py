@@ -1100,6 +1100,40 @@ PATH_SIG_LEN = 8
 PATH_MAX_LEV = 3
 
 
+def q_event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the table that TUNES watermarks
+    (withWatermark's delay should cover ~all real lateness; guessing it
+    drops data or bloats state): treating event_id as the ARRIVAL
+    order (the fixture's ingestion sequence), each event's lateness =
+    running max event time so far − its own event time. Lateness in ms
+    lands in power-of-two buckets (binary-length log2 — float-free,
+    bucket −1 = perfectly in order) per event type; per-type windows
+    keep the pass partitioned. Streaming pipelines run exactly this
+    profile over a day of history before setting the watermark delay."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        ((F.max(us).over(w) - us) / 1000).cast("bigint").alias("late_ms"),
+    )
+    bucket = F.when(F.col("late_ms") <= 0, F.lit(-1)).otherwise(
+        F.length(F.conv(F.col("late_ms"), 10, 2)) - 1
+    )
+    return late.select(
+        "event_type", bucket.cast("int").alias("lateness_bucket")
+    ).groupBy("event_type", "lateness_bucket").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def q_user_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-trajectory similarity (the REPOSE/trajectory-search
     shape at event granularity): each user's path signature = the
@@ -1314,6 +1348,7 @@ QUERIES = {
     "attribution_linear": q_attribution_linear,
     "conversion_latency_histogram": q_conversion_latency_histogram,
     "user_path_similarity": q_user_path_similarity,
+    "event_lateness_profile": q_event_lateness_profile,
     "tz_conversion_funcs": q_tz_conversion_funcs,
     "events_running_distinct_types": q_events_running_distinct_types,
     "events_rolling_median": q_events_rolling_median,
@@ -1390,6 +1425,20 @@ FROM s
     # n_touch = 0 only on the NULL left-join row (count(c_id) skips
     # nulls); cents and counts non-negative so div/% agree across
     # engines
+    "event_lateness_profile": """
+WITH late AS (
+  SELECT event_type,
+    (max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     - epoch_us(ts)) // 1000 AS late_ms
+  FROM events
+)
+SELECT event_type,
+  CAST(CASE WHEN late_ms <= 0 THEN -1
+       ELSE length(bin(late_ms)) - 1 END AS INTEGER) AS lateness_bucket,
+  count(*) AS n_events
+FROM late GROUP BY 1, 2
+""",
     "user_path_similarity": f"""
 WITH r AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
