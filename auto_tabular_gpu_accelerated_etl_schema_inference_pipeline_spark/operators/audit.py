@@ -22,7 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle, load_events, load_table
 
 
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +366,42 @@ FROM j GROUP BY 1
 """
 
 
+PSEUDO_SALT = "corpus-v1"  # rotation key: rotate salt => new id space
+
+
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization — the GDPR-grade replacement for raw user
+    ids in analytical exports (the privacy lane next to PII redaction,
+    k-anonymity, and row erasure): pid = first 16 hex of sha2-256(salt
+    || user_id). Salted hashing is reversible ONLY via the salt holder
+    (rotate the salt, the mapping dies — the 'forget everyone at once'
+    lever); same-user rows still join on the pseudonym, which is the
+    property exports need. Map-only; the rollup proves join-ability
+    survives (per-pseudonym event counts match per-user counts)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    pid = F.substring(
+        F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    return (
+        ev.select(pid.alias("pseudo_id"))
+        .groupBy("pseudo_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_PSEUDO_ORACLE = f"""
+SELECT substr(sha256('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)), 1, 16)
+  AS pseudo_id,
+  count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
+    "pseudonymize_users": q_pseudonymize_users,
     "order_reconciliation": q_order_reconciliation,
     "sequence_gap_audit": q_sequence_gap_audit,
     "benford_first_digit": q_benford_first_digit,
@@ -375,6 +410,7 @@ QUERIES = {
     "footer_stats_lineitem": q_footer_stats_lineitem,
 }
 ORACLES = {
+    "pseudonymize_users": _PSEUDO_ORACLE,
     "order_reconciliation": _RECON_ORACLE,
     "sequence_gap_audit": _SEQ_GAP_ORACLE,
     "benford_first_digit": _BENFORD_ORACLE,

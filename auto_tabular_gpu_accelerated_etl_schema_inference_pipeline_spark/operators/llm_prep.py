@@ -590,7 +590,62 @@ WHERE {TOP_P_DEN} * (cum_tokens - n_tokens) < {TOP_P_NUM} * total_tokens
 """
 
 
+N_SHARDS = 8
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: every doc deterministically assigned to
+    one of 8 shards by md5(doc_id) (partition-layout-invariant — the
+    same doc lands in the same shard on any cluster), with per-shard
+    row/token/char totals AND a content fingerprint = md5 of the
+    comma-joined SORTED doc-id list. The manifest is what makes a
+    training run reproducible and auditable: re-run the query, compare
+    fingerprints, know nothing moved. Shuffle keys are the shard id
+    (8 groups); the fingerprint sorts ids inside the aggregated array,
+    never globally."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        f" AS INT) % {N_SHARDS}"
+    )
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    per_doc = docs.select(
+        shard.alias("shard_id"),
+        "doc_id",
+        toks.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+        ).alias("content_fingerprint"),
+    )
+
+
+_SHARD_ORACLE = f"""
+WITH per_doc AS (
+  SELECT
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER)
+      % {N_SHARDS} AS shard_id,
+    doc_id,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  md5(array_to_string(list_sort(list(doc_id)), ',')) AS content_fingerprint
+FROM per_doc GROUP BY 1
+"""
+
+
 QUERIES = {
+    "shard_manifest": q_shard_manifest,
     "top_p_source_selection": q_top_p_source_selection,
     "html_strip_clean": q_html_strip_clean,
     "length_bucket_batches": q_length_bucket_batches,
@@ -604,6 +659,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shard_manifest": _SHARD_ORACLE,
     "top_p_source_selection": _TOP_P_ORACLE,
     "html_strip_clean": """
 WITH staged AS (
