@@ -644,7 +644,78 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier step that
+    collapses tracking-parameter variants of one page (utm_*, session
+    ids) into a canonical form BEFORE fetch/dedup budgets are spent.
+    The fixture has no URL column, so the staged URL is built
+    deterministically on BOTH engines (host from source, path from
+    doc_id, a utm_source and a ref fragment injected), making the
+    canonicalizer value-verified end-to-end: lowercase host, strip the
+    fragment, drop utm_* params, collapse duplicate slashes. Output:
+    per canonical URL, variant count and min doc_id (the keeper) —
+    variants > 1 proves the collapse did work. Map-only regexp chain +
+    one digest-keyed groupBy."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = F.concat(
+        F.lit("https://WWW.Example.com//doc/"),
+        # two doc ids map to one page: the dup the canonicalizer
+        # must surface (id div 2 = page id)
+        F.expr("CAST(doc_id div 2 AS STRING)"),
+        F.lit("?utm_source=feed&id="),
+        F.expr("CAST(doc_id div 2 AS STRING)"),
+        F.lit("&utm_campaign=x#ref"),
+    )
+    no_frag = F.regexp_replace(staged, r"#.*$", "")
+    no_utm = F.regexp_replace(no_frag, r"utm_[a-z]+=[^&]*&?", "")
+    tidy_q = F.regexp_replace(no_utm, r"[?&]$", "")
+    # lowercase scheme+host; collapse duplicate slashes in the PATH
+    # only (the scheme's // must survive, so host splits off first)
+    host = F.lower(F.regexp_extract(tidy_q, r"^https://([^/]*)", 0))
+    rest = F.regexp_replace(tidy_q, r"^https://[^/]*", "")
+    canon = F.concat(host, F.regexp_replace(rest, r"//", "/"))
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_URL_CANON_ORACLE = """
+WITH staged AS (
+  SELECT doc_id,
+    'https://WWW.Example.com//doc/' ||
+    CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed&id=' ||
+    CAST(doc_id // 2 AS VARCHAR) || '&utm_campaign=x#ref' AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(url, '#.*$', ''),
+        'utm_[a-z]+=[^&]*&?', '', 'g'),
+      '[?&]$', '') AS u1
+  FROM staged
+), canon AS (
+  SELECT doc_id,
+    lower(regexp_extract(u1, '^https://([^/]*)', 0)) ||
+    regexp_replace(
+      regexp_replace(u1, '^https://[^/]*', ''), '//', '/', 'g')
+      AS canonical_url
+  FROM c
+)
+SELECT canonical_url, count(*) AS n_variants,
+  min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1
+"""
+
+
 QUERIES = {
+    "url_canonicalize_dedup": q_url_canonicalize_dedup,
     "shard_manifest": q_shard_manifest,
     "top_p_source_selection": q_top_p_source_selection,
     "html_strip_clean": q_html_strip_clean,
@@ -659,6 +730,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_canonicalize_dedup": _URL_CANON_ORACLE,
     "shard_manifest": _SHARD_ORACLE,
     "top_p_source_selection": _TOP_P_ORACLE,
     "html_strip_clean": """
