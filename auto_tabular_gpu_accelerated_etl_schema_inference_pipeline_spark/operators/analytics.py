@@ -1376,14 +1376,15 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated statistic, identical on both engines, so the result is an
     exact integer).
 
-    The CDFs come from ONE pass: a RANGE-framed count over the merged
-    sample ordered by value (RANGE includes ties — exactly #≤v). The
-    window is partitionless BY NATURE of the statistic (a CDF is a
-    global order) but runs over the two SAMPLES being compared, not a
-    raw table — at 100 TB the samples are the bounded output of the
-    sampling operators (production.py), which is the statistically
-    correct input to a KS test anyway (its p-values are meaningless at
-    billion-n)."""
+    The CDFs come from ONE pass over the per-VALUE histogram: groupBy
+    distinct value first (the CDF is a step function — it only moves at
+    observed values, so evaluating at distinct values is exact), then a
+    ROWS-framed running sum. The remaining partitionless window is
+    bounded by |distinct values| (the value DOMAIN — doc lengths, a few
+    thousand levels), never by |rows|; same two-phase prefix-sum escape
+    hatch as quantile_bin.cumulative_value_counts applies if the domain
+    itself ever explodes. (VERDICT r3 nit 1: the previous shape windowed
+    the raw merged sample — same result, |rows|-sized window.)"""
     from pyspark.sql import Window
 
     configure_for_oracle(spark)
@@ -1391,21 +1392,23 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.filter(
         F.col("source").isin(KS_SOURCE_A, KS_SOURCE_B)
     ).select("source", F.col("n_chars").cast("bigint").alias("v"))
-    n = d.groupBy().pivot("source", [KS_SOURCE_A, KS_SOURCE_B]).count()
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    ca = F.sum(
-        F.when(F.col("source") == KS_SOURCE_A, F.lit(1)).otherwise(F.lit(0))
-    ).over(w)
-    cb = F.sum(
-        F.when(F.col("source") == KS_SOURCE_B, F.lit(1)).otherwise(F.lit(0))
-    ).over(w)
-    cdf = d.select("v", ca.alias("ca"), cb.alias("cb")).crossJoin(
-        F.broadcast(
-            n.select(
-                F.col(KS_SOURCE_A).alias("na"), F.col(KS_SOURCE_B).alias("nb")
-            )
-        )
+    gv = d.groupBy("v").agg(
+        F.sum(
+            F.when(F.col("source") == KS_SOURCE_A, F.lit(1)).otherwise(F.lit(0))
+        ).alias("a_cnt"),
+        F.sum(
+            F.when(F.col("source") == KS_SOURCE_B, F.lit(1)).otherwise(F.lit(0))
+        ).alias("b_cnt"),
     )
+    n = gv.agg(
+        F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = gv.select(
+        "v",
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+    ).crossJoin(F.broadcast(n))
     diff = F.abs(
         F.expr("ca * 1000000L div na") - F.expr("cb * 1000000L div nb")
     )

@@ -10,7 +10,6 @@ from .quantile_bin import (
     LINEITEM_KEYS,
     LINEITEM_MEASURES,
     exact_quantile_bin,
-    tokenize_table,
 )
 
 
@@ -47,27 +46,47 @@ def q_quantile_bin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_rounded_boundaries(df: DataFrame) -> dict[str, list[float]]:
+    """Deterministic, DuckDB-expressible boundary fit shared by the three
+    transform lanes below: the distributed exact percentile fit
+    (histogram + two-phase prefix sum — NOT the single-reducer SQL
+    ``percentile`` aggregate) with the 6dp ulp treatment of
+    q_quantile_bin_exact_boundaries. Production keeps the sketch fit
+    (relative_error>0); only boundary PLACEMENT differs between the two,
+    the transform semantics are identical."""
+    from .quantile_bin import fit_quantile_boundaries
+
+    bounds = fit_quantile_boundaries(
+        df, LINEITEM_MEASURES, bins=100, relative_error=0.0
+    )
+    return {c: [round(x, 6) for x in v] for c, v in bounds.items()}
+
+
 def q_quantile_bin_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-fit + Bucketizer transform — the 100 TB path (approx
-    boundary placement on tied data ⇒ rows-only check, SURVEY §7)."""
+    """Distributed-exact fit + JVM Bucketizer transform — the 100 TB path
+    (reference O5+O7), oracle-backed since the exact fit + 6dp rounding
+    makes every bin DuckDB-expressible (VERDICT r3 item 3). The sketch
+    fit stays the production default in tokenize_table; its placement-
+    only divergence is parity-tested in tests/test_quantile_bin.py."""
+    from .quantile_bin import bucketize
+
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
-    return tokenize_table(
-        df, cols=LINEITEM_MEASURES, keep_cols=LINEITEM_KEYS, relative_error=0.001
-    )
+    return bucketize(df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS)
 
 
 def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized searchsorted lane (the reference's GPU-kernel port;
-    parity with the Bucketizer lane is covered in tests)."""
+    """Arrow-vectorized searchsorted lane (the reference's GPU-kernel
+    port, etl_benchmark.py:53,79) over the same deterministic exact-fit
+    boundaries — value-verifies the Python kernel's searchsorted
+    semantics (incl. -0.0/NaN handling) against the SQL oracle, not just
+    against the Bucketizer twin."""
+    from .quantile_bin import bucketize_pandas_udf
+
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
-    return tokenize_table(
-        df,
-        cols=LINEITEM_MEASURES,
-        keep_cols=LINEITEM_KEYS,
-        relative_error=0.001,
-        backend="pandas_udf",
+    return bucketize_pandas_udf(
+        df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS
     )
 
 
@@ -93,14 +112,58 @@ def q_quantile_bin_exact_boundaries(spark: SparkSession, sf_dir: str) -> DataFra
     return bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
 
 
-def q_tokenize_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference workload end-to-end (O1->O9): generate the randn table
-    with spark.range+randn, fit, bucketize. Rows-only (synthetic input is
-    engine-side, not a driver view)."""
-    from ..sources.generator import generate_normal_table
+#: seed-pinned generated fixture (VERDICT r3 item 6): rows/cols/seed AND
+#: numPartitions are all fixed, so spark.range+randn content is
+#: byte-stable across runs and hosts — a stale parquet from an earlier
+#: run is bit-identical to a fresh one, making write-if-absent safe for
+#: the oracle, which reads the SAME files the Spark query reads back.
+GEN_ROWS, GEN_COLS, GEN_SEED, GEN_PARTS = 100_000, 8, 42, 8
+_GEN_COLNAMES = [f"col_{i}" for i in range(GEN_COLS)]
 
-    df = generate_normal_table(spark, rows=100_000, cols=8, seed=42)
-    return tokenize_table(df, relative_error=0.001)
+
+def _generated_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"tokgen_r{GEN_ROWS}_c{GEN_COLS}_s{GEN_SEED}_p{GEN_PARTS}",
+    )
+
+
+def q_tokenize_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference workload end-to-end (O1->O2->O3->O5->O7): generate the
+    randn table with spark.range+randn, sink to parquet (write-if-absent,
+    deterministic content — see GEN_* note), scan it back, exact-fit
+    boundaries, bucketize. Oracle-backed: DuckDB reads the SAME parquet
+    files, so O1's output is value-verified, not just row-counted. 6dp
+    boundary rounding applied identically on both sides collapses
+    cross-engine interpolation ulps (same treatment as the lineitem
+    lanes; adjacent 1%-quantile spacing on 100k randn is ~1e-3, three
+    orders above the rounding quantum, so no bin can flip)."""
+    import os
+
+    from ..sources.generator import generate_normal_table
+    from .quantile_bin import bucketize, fit_quantile_boundaries
+
+    configure_for_oracle(spark)
+    path = _generated_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = generate_normal_table(
+            spark,
+            rows=GEN_ROWS,
+            cols=GEN_COLS,
+            seed=GEN_SEED,
+            num_partitions=GEN_PARTS,
+            include_id=True,
+        )
+        df.write.mode("ignore").parquet(path)
+    back = spark.read.parquet(path)
+    bounds = fit_quantile_boundaries(
+        back, _GEN_COLNAMES, bins=100, relative_error=0.0
+    )
+    bounds = {c: [round(x, 6) for x in v] for c, v in bounds.items()}
+    return bucketize(back, bounds, keep_cols=["id"])
 
 
 _NTILE_COLS = ",\n  ".join(
@@ -122,16 +185,16 @@ _BIN_COLS = ",\n  ".join(
 
 def q_quantile_bin_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-Arrow kernel lane (mapInArrow — no pandas layer; see
-    bucketize_map_in_arrow). Rows-only like the other approx-fit lanes;
-    parity with the Bucketizer lane incl. NaN/null is test-pinned."""
-    from .quantile_bin import bucketize_map_in_arrow, fit_quantile_boundaries
+    bucketize_map_in_arrow) over the deterministic exact-fit boundaries —
+    oracle-backed like the other two transform lanes; NaN/null parity
+    with the Bucketizer lane additionally test-pinned."""
+    from .quantile_bin import bucketize_map_in_arrow
 
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
-    bounds = fit_quantile_boundaries(
-        df, LINEITEM_MEASURES, bins=100, relative_error=0.001
+    return bucketize_map_in_arrow(
+        df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS
     )
-    return bucketize_map_in_arrow(df, bounds, keep_cols=LINEITEM_KEYS)
 
 
 QUERIES = {
@@ -144,7 +207,48 @@ QUERIES = {
     "tokenize_generated": q_tokenize_generated,
 }
 
+# Shared oracle for the three transform lanes (Bucketizer / pandas_udf /
+# mapInArrow): all consume the same exact-fit 6dp-rounded boundaries, so
+# bin = #(interior boundaries <= v) is one SQL shape. Keeping three
+# entries (not one) keeps each lane independently sampled by the gate.
+_EXACT_BOUNDARY_ORACLE = f"""
+WITH b AS (
+  SELECT
+    {_BND_COLS}
+  FROM lineitem
+)
+SELECT t.l_orderkey, t.l_linenumber,
+  {_BIN_COLS}
+FROM lineitem t, b
+"""
+
+_GEN_PROBS = ",".join(str(i / 100) for i in range(101))
+_GEN_BND_COLS = ",\n    ".join(
+    f"list_sort(list_distinct(list_transform("
+    f"list_slice(quantile_cont({c}, [{_GEN_PROBS}]), 2, 100), x -> round(x, 6)))) AS b_{c}"
+    for c in _GEN_COLNAMES
+)
+_GEN_BIN_COLS = ",\n  ".join(
+    f"CAST(len(list_filter(b.b_{c}, x -> x <= t.{c})) AS INTEGER) AS {c}_bin"
+    for c in _GEN_COLNAMES
+)
+
 ORACLES = {
+    "quantile_bin_scalable": _EXACT_BOUNDARY_ORACLE,
+    "quantile_bin_pandas_udf": _EXACT_BOUNDARY_ORACLE,
+    "quantile_bin_map_in_arrow": _EXACT_BOUNDARY_ORACLE,
+    "tokenize_generated": f"""
+WITH t AS (
+  SELECT * FROM read_parquet('{_generated_path()}/*.parquet')
+), b AS (
+  SELECT
+    {_GEN_BND_COLS}
+  FROM t
+)
+SELECT t.id,
+  {_GEN_BIN_COLS}
+FROM t, b
+""",
     "quantile_bin_per_group": """
 SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
   CAST(ntile(10) OVER (PARTITION BY l_returnflag, l_linestatus

@@ -63,10 +63,32 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# + CORRECTNESS_r02). A prefix-sampling gate should spend its slots on
-# queries NOT in this set first; once a round verifies more, extend it.
+# + CORRECTNESS_r02 + CORRECTNESS_r03). A prefix-sampling gate should
+# spend its slots on queries NOT in this set first; once a round
+# verifies more, extend it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r3 greens (CORRECTNESS_r03.json, 50/50) ---
+        "asof_join_events_orders", "auto_tokenize_lineitem",
+        "categorical_encode", "cdc_latest_snapshot", "cdc_scd2_history",
+        "chunk_dedup", "decontaminate", "dedup_components", "dedup_exact",
+        "dedup_incremental_vs_history", "dedup_ngram_jaccard",
+        "doc_chunk_overlap", "doc_fingerprint", "embedding_centroids",
+        "embedding_stats", "events_funnel", "events_hypertable_rollup",
+        "events_rolling_1h", "events_sessionize", "fuzzy_join_parts",
+        "graph_pagerank", "graph_triangle_count", "multimodal_audio_energy",
+        "multimodal_featurize", "multimodal_frame_sample", "pii_redact",
+        "quality_gate_verdict", "recursive_cte_order_chain",
+        "sample_stratified", "schema_infer", "sequence_packing",
+        "similarity_cosine_dedup", "similarity_topk_cosine",
+        "streaming_click_purchase_join", "streaming_click_purchase_left_join",
+        "streaming_dedup_keys", "streaming_foreach_batch_upsert",
+        "streaming_session_window", "streaming_sliding_window",
+        "streaming_stateful_user_totals", "streaming_static_enrich",
+        "streaming_tokenize_lineitem", "text_lang_id", "text_quality_score",
+        "text_repetition", "text_token_count", "text_word_entropy",
+        "tfidf_top_terms", "unigram_lm_score", "zscore_normalize",
+        # --- r1 + r2 greens ---
         "agg_bitwise_bool", "agg_correlation", "agg_cube",
         "agg_grouped_quantiles", "agg_rollup", "agg_stats", "array_funcs",
         "collect_agg", "date_funcs", "events_gap_fill", "exists_subquery",
@@ -95,40 +117,52 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # dedup lane
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_components",
-    "fuzzy_join_parts",
-    # graph lane
-    "graph_pagerank", "graph_triangle_count", "recursive_cte_order_chain",
-    # similarity lane
-    "similarity_topk_cosine", "similarity_cosine_dedup", "embedding_stats",
-    "embedding_centroids",
-    # text lane
-    "text_token_count", "text_quality_score", "text_lang_id",
-    "text_word_entropy", "text_repetition", "doc_fingerprint",
-    "unigram_lm_score",
-    # llm_prep lanes
-    "pii_redact", "decontaminate", "sequence_packing", "tfidf_top_terms",
-    "doc_chunk_overlap", "zscore_normalize", "chunk_dedup",
-    "quality_gate_verdict", "dedup_incremental_vs_history",
-    # streaming lane (VERDICT item 8: all nine inside the window)
-    "streaming_dedup_keys", "streaming_session_window",
-    "streaming_sliding_window", "streaming_stateful_user_totals",
-    "streaming_foreach_batch_upsert", "streaming_click_purchase_join",
-    "streaming_click_purchase_left_join", "streaming_static_enrich",
-    "streaming_tokenize_lineitem",
-    # timeseries lane
-    "events_hypertable_rollup", "events_rolling_1h", "events_funnel",
-    "asof_join_events_orders", "events_sessionize",
-    # cdc lane
-    "cdc_scd2_history", "cdc_latest_snapshot",
-    # multimodal lane
-    "multimodal_featurize", "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    # schema-inference (title capability; auto_tokenize per VERDICT item 6)
-    "schema_infer", "categorical_encode", "auto_tokenize_lineitem",
-    # production sampling (r2 bench adjudication target)
-    "sample_stratified",
+    # TPC-H deep shapes not yet sampled
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    # retrieval lane
+    "inverted_index", "bm25_search", "hybrid_rrf_search",
+    "duplicate_ngram_spans",
+    # text_lm lane (tokenizer fit/encode + LM filters)
+    "bpe_merges", "bpe_encode_docs", "perplexity_band_filter",
+    "feature_hashing_bow",
+    # graph lane (remaining)
+    "graph_bfs_hops", "eigencentrality_parts", "entity_resolution_clusters",
+    # geo lane
+    "geo_cell_rollup", "geo_grid_distance_join", "geo_hilbert_layout",
+    "geo_zone_stats",
+    # audit lane
+    "benford_first_digit", "constraint_audit", "k_anonymity_audit",
+    "pseudonymize_users", "sequence_gap_audit",
+    # sketches
+    "count_min_sketch",
+    # r3 post-freeze adds
+    "url_canonicalize_dedup", "shard_manifest", "event_lateness_profile",
+    "decision_tree_calibration",
+    # variant / xml (variant also the r3 perf-adjudication target)
+    "variant_extract_events", "xml_roundtrip_events",
+    # skew-handling joins
+    "join_skew_salted", "join_null_skew_split",
+    # analytics (round-3 adds)
+    "ks_two_sample", "quantile_normalize_doclen", "psi_numeric_drift",
+    "customer_rfm_segments",
+    # streaming (remaining unsampled)
+    "streaming_tumbling_window", "streaming_dedup_within_watermark",
+    "streaming_cdc_latest", "streaming_topk_events",
+    # similarity (remaining)
+    "semdedup_embedding", "similarity_filtered_topk",
+    # dedup (remaining)
+    "dedup_exact_hash", "containment_pairs",
+    # reference flagship lanes promoted to oracle-backed this round
+    # (VERDICT r3 items 3 + 6) + the per-group exact lane
+    "quantile_bin_scalable", "quantile_bin_pandas_udf",
+    "quantile_bin_map_in_arrow", "tokenize_generated",
+    "quantile_bin_per_group",
+    # next tier (beyond the 50-slot prefix; covered if the gate widens)
+    "order_reconciliation", "footer_stats_lineitem",
+    "similarity_pq_adc_topk", "embedding_dim_profile",
+    "dedup_char_shingle_jaccard", "weekly_revenue_wow",
+    "histogram_equal_width", "profile_numeric", "weighted_median_by_flag",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]

@@ -19,12 +19,19 @@ def generate_normal_table(
     cols: int = 20,
     seed: int = 42,
     num_partitions: int | None = None,
+    include_id: bool = False,
 ) -> DataFrame:
     """ROWS×COLS i.i.d. standard-normal floats, columns col_0..col_{n-1}
-    (mirrors etl_benchmark.py:18's np.random.randn table)."""
+    (mirrors etl_benchmark.py:18's np.random.randn table).
+
+    randn(seed) derives each task's stream from (seed, partition index),
+    so content is deterministic iff num_partitions is pinned — pass it
+    explicitly (plus include_id for a join key) when the output must be
+    byte-stable across hosts (the seed-pinned oracle fixture)."""
     base = spark.range(0, rows, numPartitions=num_partitions)
+    id_cols = [F.col("id")] if include_id else []
     return base.select(
-        *[F.randn(seed + i).alias(f"col_{i}") for i in range(cols)]
+        *id_cols, *[F.randn(seed + i).alias(f"col_{i}") for i in range(cols)]
     )
 
 

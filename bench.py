@@ -379,6 +379,17 @@ def main() -> None:
         "sf": SF_DIR,
         "rows": n,
     }
+    # The driver captures only a 2000-char tail of stdout, which drops
+    # ref_total/flagship numbers off the round artifact (VERDICT r3
+    # item 5) — persist the full result in-repo so each round's headline
+    # numbers are self-contained.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 
