@@ -172,7 +172,8 @@ def fit_quantile_boundaries_exact_distributed(
          semantics), value canonicalized ``+ 0.0`` (-0.0 ties +0.0).
       2. value histogram: ``groupBy(col, value).count()`` — the shuffle
          key is the distinct value set, already compressed.
-      3. two-phase distributed prefix sum: a 1-row min/max aggregate
+      3. two-phase distributed prefix sum: a per-column min/max read
+         off the PERSISTED HISTOGRAM (not a second scan of the table)
          fits ``coarse_buckets`` equal-WIDTH range buckets per column
          (bucketing only balances the windows — any monotone split is
          correct; equal-width costs one codegen agg where a sketch pass
@@ -198,15 +199,26 @@ def fit_quantile_boundaries_exact_distributed(
     ).filter(F.col("value").isNotNull())
     long = long.withColumn("value", F.col("value") + F.lit(0.0))
 
+    # --- value histogram first: ONE full pass over the base data; the
+    # coarse-bucket min/max then reads the compact persisted histogram
+    # instead of re-scanning the table (at 100 TB that second scan was
+    # the single most expensive line in this function)
+    hist0 = (
+        long.groupBy("col", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    mm = {
+        r["col"]: (float(r["lo"]), float(r["hi"]))
+        for r in hist0.groupBy("col")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+
     # --- coarse range buckets (correctness-neutral load balancing) ---
-    mm_row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
     bucket_expr = None
     for c in cols:
-        lo = float(mm_row[f"lo_{c}"]) if mm_row[f"lo_{c}"] is not None else 0.0
-        hi = float(mm_row[f"hi_{c}"]) if mm_row[f"hi_{c}"] is not None else 0.0
+        lo, hi = mm.get(c, (0.0, 0.0))
         if hi > lo:
             b_c = F.least(
                 F.floor(
@@ -221,12 +233,7 @@ def fit_quantile_boundaries_exact_distributed(
         bucket_expr = cond if bucket_expr is None else bucket_expr.when(
             F.col("col") == c, b_c
         )
-    hist = (
-        long.groupBy("col", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("bucket", bucket_expr)
-        .persist()
-    )
+    hist = hist0.withColumn("bucket", bucket_expr)
 
     # --- two-phase prefix sum: within-bucket window + tiny bucket offsets
     btot = (
@@ -298,7 +305,7 @@ def fit_quantile_boundaries_exact_distributed(
         )
         .collect()
     )
-    hist.unpersist()
+    hist0.unpersist()
     at_rank: dict[str, dict[int, float]] = {c: {} for c in cols}
     for r in looked:
         at_rank[r["col"]][r["rank"]] = r["value"]
