@@ -158,6 +158,7 @@ def fit_quantile_boundaries_exact_distributed(
     cols: list[str],
     bins: int = DEFAULT_BINS,
     coarse_buckets: int = 256,
+    driver_histogram_max: int = 2_000_000,
 ) -> dict[str, list[float]]:
     """Exact interpolated percentiles with a distributed plan — same
     results as SQL ``percentile(c, array(...))`` (bit-for-bit: the lerp
@@ -187,6 +188,14 @@ def fit_quantile_boundaries_exact_distributed(
          (``filter`` over a <=2*(bins+1)-element rank array, codegen) —
          ~2*(bins+1) rows per column come back to the driver.
       5. driver interpolates bins+1 floats per column (KB of state).
+
+    Guarded fast path: when the MEASURED total distinct-value count is
+    <= driver_histogram_max (2M rows ≈ <100 MB), steps 3-4 collapse to
+    one Arrow toPandas of the histogram + numpy rank lookup — identical
+    results, three fewer distributed rounds. The guard (not a guess —
+    the count comes from the same stats aggregate that validates
+    non-null columns) keeps the fully distributed branch in charge when
+    the value domain is genuinely large.
     """
     import math
 
@@ -208,12 +217,56 @@ def fit_quantile_boundaries_exact_distributed(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    mm = {
-        r["col"]: (float(r["lo"]), float(r["hi"]))
-        for r in hist0.groupBy("col")
-        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-        .collect()
-    }
+    stats = hist0.groupBy("col").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+    ).collect()
+    mm = {r["col"]: (float(r["lo"]), float(r["hi"])) for r in stats}
+    n_by_col = {r["col"]: int(r["n"]) for r in stats}
+    for c in cols:
+        if n_by_col.get(c, 0) == 0:
+            raise ValueError(f"fit_quantile_boundaries: column {c} is all-null")
+
+    # --- integer ranks each percentile needs (1-based) ---
+    ranks: dict[str, list[int]] = {}
+    for c in cols:
+        n = n_by_col[c]
+        want: set[int] = set()
+        for p in probs:
+            pos = p * (n - 1)
+            want.add(math.floor(pos) + 1)
+            want.add(math.ceil(pos) + 1)
+        ranks[c] = sorted(want)
+
+    total_distinct = sum(int(r["nd"]) for r in stats)
+    if total_distinct <= driver_histogram_max:
+        # --- GUARDED driver fast path: the whole value histogram fits
+        # in driver memory (<= driver_histogram_max rows ≈ tens of MB —
+        # the same bounded-driver-state pattern as dedup_components'
+        # mask guard), so one Arrow toPandas replaces the coarse-bucket
+        # shuffle + window + broadcast-join round trip. Results are
+        # IDENTICAL: same canonicalized values, same rank lookup, same
+        # interpolation below. The measured guard keeps the distributed
+        # branch in charge whenever the value domain is actually large.
+        import numpy as np
+
+        pdf = hist0.toPandas()
+        hist0.unpersist()
+        at_rank: dict[str, dict[int, float]] = {}
+        for c in cols:
+            sub = pdf[pdf["col"] == c]
+            vals = sub["value"].to_numpy(dtype="float64")
+            cnts = sub["cnt"].to_numpy(dtype="int64")
+            order = np.argsort(vals)  # NaN sorts last == JVM Double order
+            cum = cnts[order].cumsum()
+            svals = vals[order]
+            idx = np.searchsorted(cum, np.asarray(ranks[c]), side="left")
+            at_rank[c] = {
+                k: float(svals[i]) for k, i in zip(ranks[c], idx)
+            }
+        return _interpolate_boundaries(cols, probs, n_by_col, at_rank)
 
     # --- coarse range buckets (correctness-neutral load balancing) ---
     bucket_expr = None
@@ -246,24 +299,12 @@ def fit_quantile_boundaries_exact_distributed(
     for r in sorted(btot, key=lambda r: (r["col"], r["bucket"])):
         offsets[r["col"]].append((r["bucket"], run[r["col"]], r["btot"]))
         run[r["col"]] += r["btot"]
-    n_by_col = dict(run)
 
-    # --- integer ranks each percentile needs (1-based), routed to the
-    # bucket whose global-rank span contains them DRIVER-side, so each
-    # histogram row only tests the handful of targets in its own bucket
-    # (a flat per-row filter over all ~2*(bins+1) targets measured 12 s
-    # at 583 k distinct values — 100x more lambda evals than needed).
-    ranks: dict[str, list[int]] = {}
-    for c in cols:
-        n = n_by_col.get(c, 0)
-        if n == 0:
-            raise ValueError(f"fit_quantile_boundaries: column {c} is all-null")
-        want: set[int] = set()
-        for p in probs:
-            pos = p * (n - 1)
-            want.add(math.floor(pos) + 1)
-            want.add(math.ceil(pos) + 1)
-        ranks[c] = sorted(want)
+    # --- target ranks routed to the bucket whose global-rank span
+    # contains them DRIVER-side, so each histogram row only tests the
+    # handful of targets in its own bucket (a flat per-row filter over
+    # all ~2*(bins+1) targets measured 12 s at 583 k distinct values —
+    # 100x more lambda evals than needed).
     per_bucket: dict[tuple[str, int], tuple[int, list[int]]] = {}
     for c in cols:
         spans = offsets[c]
@@ -309,6 +350,18 @@ def fit_quantile_boundaries_exact_distributed(
     at_rank: dict[str, dict[int, float]] = {c: {} for c in cols}
     for r in looked:
         at_rank[r["col"]][r["rank"]] = r["value"]
+    return _interpolate_boundaries(cols, probs, n_by_col, at_rank)
+
+
+def _interpolate_boundaries(
+    cols: list[str],
+    probs: list[float],
+    n_by_col: dict[str, int],
+    at_rank: dict[str, dict[int, float]],
+) -> dict[str, list[float]]:
+    """Driver-side lerp shared by both exact-fit branches — bit-identical
+    to Spark's Percentile.getPercentile."""
+    import math
 
     out: dict[str, list[float]] = {}
     for c in cols:

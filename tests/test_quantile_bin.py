@@ -275,6 +275,34 @@ def test_exact_distributed_fit_matches_builtin_percentile(spark, sf_dir):
     assert mine["v"] == [float(x) for x in ref["v"]]
 
 
+def test_exact_fit_driver_and_distributed_branches_agree(spark, sf_dir):
+    """driver_histogram_max gates a driver-side fast path; forcing the
+    guard to 0 exercises the fully distributed branch on the same input
+    — both must equal the builtin percentile bit-for-bit (ties, nulls,
+    and near-continuous columns)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin import (
+        fit_quantile_boundaries_exact_distributed,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    fast = fit_quantile_boundaries_exact_distributed(
+        df, LINEITEM_MEASURES, bins=31
+    )
+    dist = fit_quantile_boundaries_exact_distributed(
+        df, LINEITEM_MEASURES, bins=31, driver_histogram_max=0
+    )
+    assert fast == dist
+    probs = ",".join(str(i / 31) for i in range(32))
+    row = df.agg(
+        *[
+            F.expr(f"percentile({c}, array({probs}))").alias(c)
+            for c in LINEITEM_MEASURES
+        ]
+    ).collect()[0]
+    for c in LINEITEM_MEASURES:
+        assert fast[c] == [float(x) for x in row[c]], c
+
+
 def test_iterator_udf_matches_scalar_udf(spark, sf_dir):
     """Iterator-form pandas_udf (amortized per-task init) must bin
     identically to the scalar form, including NaN/null -> last bin."""
