@@ -1,0 +1,207 @@
+"""Training-data curation operators, round 4 (north-star lanes beyond
+the reference — SURVEY.md §2.2): deterministic corpus shuffling,
+duplicate survivorship, and temperature-based source mixing.
+
+All three follow the repo's exact-arithmetic oracle discipline: hash
+permutations are pure integer arithmetic (no engine hash functions),
+and the one float (pow in the temperature mix) is quantized to 6dp
+micro-units on BOTH engines before any downstream arithmetic, so every
+comparison/div is exact-integer (the unigram_lm_score / entropy
+pattern, text_lm.py:56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: shard count for the deterministic global shuffle — at 100 TB this is
+#: O(total_bytes / shard_target_bytes) (thousands); the VALUE doesn't
+#: change the plan shape, only per-task sort size
+SHUFFLE_SHARDS = 16
+
+#: Knuth multiplicative hash constant (2^32 / phi) — a fixed-point
+#: permutation both engines compute identically in BIGINT arithmetic
+KNUTH_C = 2654435761
+MOD32 = 4294967296
+
+#: mixing temperature as a plain double literal (0.7 — the
+#: pile/llama-style source-upweighting exponent)
+MIX_TEMPERATURE = 0.7
+
+
+def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random global reorder of the corpus — the
+    pre-training shuffle that breaks source/crawl-order locality before
+    sequence packing. Each doc gets a shard and a position:
+    h = (doc_id * KNUTH_C) mod 2^32 (a multiplicative-hash permutation,
+    exact BIGINT arithmetic — identical in any engine), shard = h mod
+    SHUFFLE_SHARDS, position = rank of h within the shard.
+
+    Scale shape: ONE shuffle on the shard key; the within-shard sort is
+    a per-shard local sort (window partitioned BY SHARD — never a
+    global single-partition window). At 100 TB you raise SHUFFLE_SHARDS
+    to O(data/shard_size) and every task sorts one shard; the global
+    order is (shard, pos) by construction, so no stage ever sees a
+    total order. Reading shards in index order replays one fixed
+    permutation — reproducible training order with zero stored state."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(f"pmod(doc_id * {KNUTH_C}L, {MOD32}L)")
+    d = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.expr(f"pmod(doc_id * {KNUTH_C}L, {MOD32}L) % {SHUFFLE_SHARDS}")
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+_SHUFFLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    (doc_id * {KNUTH_C}) % {MOD32} AS h,
+    CAST((doc_id * {KNUTH_C}) % {MOD32} % {SHUFFLE_SHARDS} AS INTEGER)
+      AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       AS BIGINT) AS pos
+FROM d
+"""
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship for exact-duplicate clusters: every md5(text)
+    cluster keeps ONE canonical document by a stated total order
+    (longest n_chars first, then smallest doc_id — 'keep the fullest,
+    earliest copy'), reporting the kept id and the cluster size. This
+    is the curation step AFTER dedup detection: which copy feeds the
+    training set.
+
+    Scale shape: text itself never shuffles — the 16-byte digest is
+    computed scan-side and is the only shuffle key; the per-cluster
+    window is bounded by cluster size. Same plan skeleton as
+    dedup.q_dedup_exact (dedup.py:56) with an argmax instead of a
+    count."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("text")).alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("digest")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "digest",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_dups",
+        )
+    )
+
+
+_SURVIVORSHIP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, md5(text) AS digest FROM documents
+), r AS (
+  SELECT digest, doc_id,
+    row_number() OVER (PARTITION BY digest
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY digest) AS n_dups
+  FROM d
+)
+SELECT digest, doc_id AS kept_doc_id, CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
+
+
+def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multi-corpus sampling-weight
+    table): weight_s ∝ n_s^T with T = 0.7 — upweights small/rare
+    sources relative to proportional sampling. The single float
+    (pow) is quantized to micro-units IMMEDIATELY — round(·,6)·1e6 as
+    BIGINT, identical on both engines — and every downstream share /
+    target count is truncated integer arithmetic over those quantized
+    weights, so the output is exact.
+
+    Scale shape: one map-side-combined aggregate to |sources| rows,
+    then a broadcast 1-row total — the per-source table is KBs at any
+    corpus size; the expensive part of applying the mix (the actual
+    per-doc sampler) is production.q_sample_weighted's shape."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wq = (
+        F.round(
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(MIX_TEMPERATURE)),
+                6,
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("weight_micro")
+    )
+    weighted = per_src.select("source", "n_docs", wq)
+    tot = weighted.agg(
+        F.sum("weight_micro").alias("w_tot"),
+        F.sum("n_docs").alias("n_tot"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            F.expr("weight_micro * 1000000L div w_tot").alias("share_ppm"),
+            F.expr("n_tot * weight_micro div w_tot").alias("target_docs"),
+        )
+    )
+
+
+_TEMPERATURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+    CAST(round(round(pow(CAST(n_docs AS DOUBLE), {MIX_TEMPERATURE}), 6)
+               * 1000000) AS BIGINT) AS weight_micro
+  FROM per_src
+), tot AS (
+  SELECT sum(weight_micro) AS w_tot, sum(n_docs) AS n_tot FROM weighted
+)
+SELECT source, n_docs, weight_micro,
+  CAST(weight_micro * 1000000 // w_tot AS BIGINT) AS share_ppm,
+  CAST(n_tot * weight_micro // w_tot AS BIGINT) AS target_docs
+FROM weighted, tot
+"""
+
+
+QUERIES = {
+    "corpus_global_shuffle": q_corpus_global_shuffle,
+    "dedup_survivorship": q_dedup_survivorship,
+    "sampling_temperature_mix": q_sampling_temperature_mix,
+}
+
+ORACLES = {
+    "corpus_global_shuffle": _SHUFFLE_ORACLE,
+    "dedup_survivorship": _SURVIVORSHIP_ORACLE,
+    "sampling_temperature_mix": _TEMPERATURE_ORACLE,
+}

@@ -374,8 +374,100 @@ FROM ranked
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-one-smoothed bigram negative log-likelihood in
+    micro-nats: nll(d) = Σ over consecutive pairs −ln((c(w1,w2)+1) /
+    (c(w1)+V)) — the order-2 companion to q_unigram_lm_score (the
+    fluency signal bigram LMs add: word-ORDER surprise, not just word
+    choice). Per-bigram surprisal is quantized to integer micro-nats
+    before the per-doc sum (exact cross-row aggregation), and the
+    smoothing ratio is a single IEEE double division of integers —
+    identical in any engine.
+
+    Scale shape: the model is the bigram-count table — one
+    lead()-window per doc (partitioned by doc_id, never global) + one
+    groupBy(w1,w2) shuffle; V and the unigram table come from the
+    unigram pass. Scoring is a hash join of bigram INSTANCES against
+    the bigram TYPE table (Zipf-bounded — types ≪ instances at corpus
+    scale) + per-doc partial aggregation."""
+    from pyspark.sql import Window
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w", "w2")
+    )
+    c12 = big.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.agg(F.countDistinct("w").alias("v"))
+    nll = (
+        c12.join(c1, "w")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "nll_micro",
+            F.round(
+                F.round(
+                    -F.log(
+                        (F.col("c12") + F.lit(1)).cast("double")
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    ),
+                    6,
+                )
+                * 1_000_000
+            ).cast("bigint"),
+        )
+        .select("w", "w2", "nll_micro")
+    )
+    return big.join(nll, ["w", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("nll_micro").alias("nll_micro_total"),
+    )
+
+
+_BIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split(lower(trim(text)), ' ')) AS w,
+    unnest(generate_series(1, len(string_split(lower(trim(text)), ' '))))
+      AS pos
+  FROM documents
+), big AS (
+  SELECT doc_id, w, w2 FROM (
+    SELECT doc_id, w,
+      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+), c12 AS (
+  SELECT w, w2, count(*) AS c12 FROM big GROUP BY w, w2
+), c1 AS (
+  SELECT w, count(*) AS c1 FROM tok GROUP BY w
+), v AS (SELECT count(DISTINCT w) AS v FROM tok),
+nll AS (
+  SELECT w, w2,
+    CAST(round(round(-ln(CAST(c12 + 1 AS DOUBLE)
+                         / CAST(c1 + v AS DOUBLE)), 6)
+               * 1000000) AS BIGINT) AS nll_micro
+  FROM c12 JOIN c1 USING (w), v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(nll_micro) AS BIGINT) AS nll_micro_total
+FROM big JOIN nll USING (w, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "perplexity_band_filter": q_perplexity_band_filter,
+    "bigram_lm_score": q_bigram_lm_score,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode_docs,
     "unigram_lm_score": q_unigram_lm_score,
@@ -384,6 +476,7 @@ QUERIES = {
 
 ORACLES = {
     "perplexity_band_filter": _PPL_BAND_ORACLE,
+    "bigram_lm_score": _BIGRAM_ORACLE,
     "bpe_merges": _bpe_oracle(BPE_ROUNDS),
     "bpe_encode_docs": _bpe_encode_oracle(BPE_ROUNDS),
     "unigram_lm_score": _UNIGRAM_ORACLE,

@@ -44,6 +44,7 @@ _MODULES = [
     "operators.cdc",
     "operators.llm_prep",
     "operators.llm_prep2",
+    "operators.llm_prep3",
     "operators.model",
     "operators.corpus_reports",
     "operators.sketches",
