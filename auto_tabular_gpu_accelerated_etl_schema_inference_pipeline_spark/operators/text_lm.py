@@ -427,7 +427,14 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w", "w2", "nll_micro")
     )
-    return big.join(nll, ["w", "w2"]).groupBy("doc_id").agg(
+    # SHUFFLE_HASH with the TYPE table as build side: without the hint
+    # the optimizer broadcast the INSTANCE relation (smaller at fixture
+    # scale, catastrophically wrong at corpus scale where instances ≫
+    # types); a shuffled hash join partitions both sides on (w, w2) and
+    # builds only the Zipf-bounded type partition.
+    return big.join(nll.hint("SHUFFLE_HASH"), ["w", "w2"]).groupBy(
+        "doc_id"
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.sum("nll_micro").alias("nll_micro_total"),
     )
