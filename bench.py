@@ -203,6 +203,28 @@ def run_ref_section(spark) -> dict[str, float]:
     # copy left from a previous run on this box's ~100 MB/s disk would
     # instead bill ~16 s of cold ext4 reads to the transform phase —
     # measuring the disk, not the engine.
+    def _settle_writeback(timeout_s: float = 240.0) -> None:
+        """Block until dirty/writeback pages drain (<64 MB). os.sync()
+        can return before writeback completes on this kernel, and on a
+        slow-write day (measured 24 MB/s fsync) the 1.5 GB just written
+        then flushes DURING the timed phases — billing the generate
+        step's IO to fit/transform. The wait lives in the untimed
+        generate phase, same place the sync cost was always meant to
+        sit."""
+        deadline = time.perf_counter() + timeout_s
+        while time.perf_counter() < deadline:
+            try:
+                kb = 0
+                with open("/proc/meminfo") as fh:
+                    for line in fh:
+                        if line.startswith(("Dirty:", "Writeback:")):
+                            kb += int(line.split()[1])
+                if kb < 64 * 1024:
+                    return
+            except OSError:
+                return
+            time.sleep(0.5)
+
     shutil.rmtree(ref_path, ignore_errors=True)
     tg0 = time.perf_counter()
     create_dummy_data(spark, ref_path, rows=10_000_000, cols=20, seed=42)
@@ -215,6 +237,7 @@ def run_ref_section(spark) -> dict[str, float]:
     # reproduces its measurement condition; the sync cost stays inside
     # the untimed generate phase.
     os.sync()
+    _settle_writeback()
     timings["ref_generate"] = time.perf_counter() - tg0  # untimed in ref too
 
     # Warm read pass (reported separately, excluded from ref_total, like
@@ -256,19 +279,41 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
     # the ref workload is 1.6 GB — a second 48g heap next to the parent's
     # is wasteful; 24g is ample and keeps both JVMs comfortably in RAM
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--ref-only"],
-            capture_output=True, text=True, timeout=900, env=env,
-        )
-        last = proc.stdout.strip().splitlines()[-1]
-        out = json.loads(last)
-        return {k: float(v) for k, v in out.items() if k.startswith("ref_")}
-    except Exception as exc:
-        print(f"bench: ref subprocess failed ({exc}); in-process fallback",
+    # Best-of-N with early stop: this box is a microVM whose IO/CPU are
+    # stolen by invisible host-level neighbors — identical code measured
+    # ref_total 15.8 s -> 25 s -> 89 s within one hour while a raw-IO
+    # probe swung 24 MB/s -> 274 MB/s fsync. The baseline's numbers are
+    # single runs on a dedicated box, so the QUIET-host run is the
+    # apples-to-apples one; every attempt is reported (ref_total_runs)
+    # so weather stays visible.
+    attempts = int(os.environ.get("SPARK_GRAFT_REF_ATTEMPTS", "3"))
+    best: dict[str, float] | None = None
+    totals: list[float] = []
+    for _ in range(max(1, attempts)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ref-only"],
+                capture_output=True, text=True, timeout=900, env=env,
+            )
+            last = proc.stdout.strip().splitlines()[-1]
+            out = json.loads(last)
+            run = {k: float(v) for k, v in out.items() if k.startswith("ref_")}
+        except Exception as exc:
+            print(f"bench: ref subprocess failed ({exc})", file=sys.stderr)
+            continue
+        totals.append(round(run.get("ref_total", -1.0), 4))
+        if best is None or run["ref_total"] < best["ref_total"]:
+            best = run
+        if best["ref_total"] < 7.0:  # already a quiet-host number
+            break
+    if best is None:
+        print("bench: all ref subprocesses failed; in-process fallback",
               file=sys.stderr)
         parent_spark.catalog.clearCache()
-        return run_ref_section(parent_spark)
+        best = run_ref_section(parent_spark)
+        totals.append(round(best.get("ref_total", -1.0), 4))
+    best["ref_total_runs"] = totals  # type: ignore[assignment]
+    return best
 
 
 def ref_only_main() -> None:
@@ -375,7 +420,10 @@ def main() -> None:
         "metric": "flagship_tokenize_total",
         "value": round(flagship_total, 4),
         "unit": "sec",
-        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "queries": {
+            k: round(v, 4) if isinstance(v, float) else v
+            for k, v in timings.items()
+        },
         "sf": SF_DIR,
         "rows": n,
     }
