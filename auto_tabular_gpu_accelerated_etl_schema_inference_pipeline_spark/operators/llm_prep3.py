@@ -194,14 +194,171 @@ FROM weighted, tot
 """
 
 
+#: winnowing parameters: k-gram size (words) and window length
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS near-dup primitive): hash every k-word shingle, then keep
+    a shingle iff its hash is the MINIMUM of the w-length window
+    STARTING at its position (stated deterministic selection rule; ties
+    keep every attaining position, deduped per (doc, hash)). Guarantees
+    at least one fingerprint per w consecutive shingles while keeping
+    ~1/w of them — the density/recall trade the paper proves. Hashes
+    are md5-derived BIGINTs (engine-portable, unlike xxhash).
+
+    Scale shape: map-only until the final per-doc distinct (explode →
+    hash → per-doc window min → filter); the per-doc window is
+    partitioned by doc_id and bounded by doc length. Output (doc_id,
+    fp) is the join key for cross-doc overlap detection at ~1/w the
+    shingle volume."""
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("w2", F.lead("w", 1).over(wd))
+        .withColumn("w3", F.lead("w", 2).over(wd))
+        .filter(F.col("w3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "cast(conv(substring(md5(concat_ws(' ', w, w2, w3)), 1, 15),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    wmin = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        sh.withColumn("win_min", F.min("h").over(wmin))
+        .filter(F.col("h") == F.col("win_min"))
+        .select("doc_id", F.col("h").alias("fp"))
+        .distinct()
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split(lower(trim(text)), ' ')) AS w,
+    unnest(generate_series(1, len(string_split(lower(trim(text)), ' '))))
+      AS pos
+  FROM documents
+), sh AS (
+  SELECT doc_id, pos,
+    CAST(('0x' || substr(md5(w || ' ' || w2 || ' ' || w3), 1, 15))::BIGINT
+         AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, pos, w,
+      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM tok
+  ) WHERE w3 IS NOT NULL
+), sel AS (
+  SELECT doc_id, h,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+      AS win_min
+  FROM sh
+)
+SELECT DISTINCT doc_id, h AS fp FROM sel WHERE h = win_min
+"""
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix at TWO granularities: for every
+    unordered source pair (a < b), how many distinct keys appear in
+    both, where the key is (kind='exact') the md5 of the full text and
+    (kind='block') the md5 of the first-5-token normalized prefix —
+    doc_fingerprint's near-dup blocking key. The corpus-level 'who
+    copies whom' report that decides which source to drop when
+    survivorship must pick a side; the block level catches templated /
+    lightly-edited overlap the exact level misses.
+
+    Scale shape: distinct (kind, key, source) first (collapses
+    per-source copies — the self-join input is bounded by #keys ×
+    #sources, not #docs), then a key-keyed self-join whose per-key
+    fanout is at most C(|sources|, 2) — never quadratic in documents."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, 5), " ")
+    ds = (
+        docs.select(
+            F.explode(
+                F.create_map(
+                    F.lit("exact"), F.md5(F.col("text")),
+                    F.lit("block"), F.md5(prefix),
+                )
+            ).alias("kind", "key"),
+            "source",
+        )
+        .distinct()
+    )
+    a = ds.alias("a")
+    b = ds.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.kind").alias("kind"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"))
+    )
+
+
+_CROSS_SOURCE_ORACLE = """
+WITH ks AS (
+  SELECT 'exact' AS kind, md5(text) AS key, source FROM documents
+  UNION ALL
+  SELECT 'block' AS kind,
+    md5(array_to_string(
+      list_slice(string_split(lower(trim(text)), ' '), 1, 5), ' ')) AS key,
+    source
+  FROM documents
+), ds AS (
+  SELECT DISTINCT kind, key, source FROM ks
+)
+SELECT a.kind AS kind, a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared_keys
+FROM ds a JOIN ds b
+  ON a.kind = b.kind AND a.key = b.key AND a.source < b.source
+GROUP BY a.kind, a.source, b.source
+"""
+
+
 QUERIES = {
     "corpus_global_shuffle": q_corpus_global_shuffle,
     "dedup_survivorship": q_dedup_survivorship,
     "sampling_temperature_mix": q_sampling_temperature_mix,
+    "winnowing_fingerprint": q_winnowing_fingerprint,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
 }
 
 ORACLES = {
     "corpus_global_shuffle": _SHUFFLE_ORACLE,
     "dedup_survivorship": _SURVIVORSHIP_ORACLE,
     "sampling_temperature_mix": _TEMPERATURE_ORACLE,
+    "winnowing_fingerprint": _WINNOW_ORACLE,
+    "cross_source_dup_matrix": _CROSS_SOURCE_ORACLE,
 }
