@@ -199,21 +199,33 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
-def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
-    the MOSS near-dup primitive): hash every k-word shingle, then keep
-    a shingle iff its hash is the MINIMUM of the w-length window
-    STARTING at its position (stated deterministic selection rule; ties
-    keep every attaining position, deduped per (doc, hash)). Guarantees
-    at least one fingerprint per w consecutive shingles while keeping
-    ~1/w of them — the density/recall trade the paper proves. Hashes
-    are md5-derived BIGINTs (engine-portable, unlike xxhash).
+#: position packing modulus for the winnowing argmin key (> any doc's
+#: shingle count; 32-bit hash * 2^20 stays under 2^52 — exact in BIGINT
+#: and even in IEEE double on any engine)
+_WINNOW_POSMOD = 1 << 20
 
-    Scale shape: map-only until the final per-doc distinct (explode →
-    hash → per-doc window min → filter); the per-doc window is
-    partitioned by doc_id and bounded by doc length. Output (doc_id,
-    fp) is the join key for cross-doc overlap detection at ~1/w the
-    shingle volume."""
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS near-dup primitive): hash every k-word shingle,
+    slide a w-hash window, and select each window's minimum hash with
+    the paper's RIGHTMOST tie-break; the fingerprint set is the
+    distinct selected (position, hash) pairs. This keeps the coverage
+    guarantee the paper proves — every w consecutive shingles contain
+    at least one selected fingerprint — at ~2/(w+1) density (a
+    'min-of-window-starting-here' shortcut does NOT: a decreasing hash
+    run would select almost nothing).
+
+    Engine-portable argmin: minimize ONE integer key
+    h*2^20 + (2^20-1-pos) — minimal h first, maximal pos (rightmost)
+    on ties — with h a 32-bit md5 prefix, so the key stays < 2^52
+    (exact everywhere). Docs with fewer than w shingles contribute
+    their single global-window minimum.
+
+    Scale shape: explode → hash → per-doc windows (partitioned by
+    doc_id, bounded by doc length) → distinct on the selected ~2/(w+1)
+    fraction. Output (doc_id, fp_pos, fp) is the join key for
+    cross-doc overlap detection at a fraction of the shingle volume."""
     from pyspark.sql import Window as W
 
     configure_for_oracle(spark)
@@ -233,21 +245,36 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "pos",
             F.expr(
-                "cast(conv(substring(md5(concat_ws(' ', w, w2, w3)), 1, 15),"
+                "cast(conv(substring(md5(concat_ws(' ', w, w2, w3)), 1, 8),"
                 " 16, 10) as bigint)"
             ).alias("h"),
         )
     )
-    wmin = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+    key = (
+        F.col("h") * F.lit(_WINNOW_POSMOD)
+        + (F.lit(_WINNOW_POSMOD - 1) - F.col("pos"))
     )
-    return (
-        sh.withColumn("win_min", F.min("h").over(wmin))
-        .filter(F.col("h") == F.col("win_min"))
-        .select("doc_id", F.col("h").alias("fp"))
+    wwin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wcnt = W.partitionBy("doc_id")
+    sel = (
+        sh.withColumn("key", key)
+        .withColumn("win_key", F.min("key").over(wwin))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wcnt))
+        # valid window starts: pos <= n_sh - w (full windows), or the
+        # single truncated start 0 when the doc has fewer than w shingles
+        .filter(
+            (F.col("pos") <= F.col("n_sh") - F.lit(WINNOW_W))
+            | ((F.col("n_sh") < F.lit(WINNOW_W)) & (F.col("pos") == 0))
+        )
+        .select("doc_id", "win_key")
         .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WINNOW_POSMOD - 1) - F.col("win_key") % F.lit(_WINNOW_POSMOD))
+        .cast("bigint")
+        .alias("fp_pos"),
+        F.expr(f"win_key div {_WINNOW_POSMOD}").alias("fp"),
     )
 
 
@@ -256,26 +283,37 @@ WITH tok AS (
   SELECT doc_id,
     unnest(string_split(lower(trim(text)), ' ')) AS w,
     unnest(generate_series(1, len(string_split(lower(trim(text)), ' '))))
-      AS pos
+      AS posn
   FROM documents
 ), sh AS (
-  SELECT doc_id, pos,
-    CAST(('0x' || substr(md5(w || ' ' || w2 || ' ' || w3), 1, 15))::BIGINT
+  SELECT doc_id, posn - 1 AS pos,
+    CAST(('0x' || substr(md5(w || ' ' || w2 || ' ' || w3), 1, 8))::BIGINT
          AS BIGINT) AS h
   FROM (
-    SELECT doc_id, pos, w,
-      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    SELECT doc_id, posn, w,
+      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY posn) AS w2,
+      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY posn) AS w3
     FROM tok
   ) WHERE w3 IS NOT NULL
-), sel AS (
-  SELECT doc_id, h,
-    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
-      AS win_min
+), keyed AS (
+  SELECT doc_id, pos,
+    h * {_WINNOW_POSMOD} + ({_WINNOW_POSMOD - 1} - pos) AS key,
+    count(*) OVER (PARTITION BY doc_id) AS n_sh
   FROM sh
+), sel AS (
+  SELECT DISTINCT doc_id,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+      AS win_key
+  FROM keyed
+  QUALIFY pos <= n_sh - {WINNOW_W}
+       OR (n_sh < {WINNOW_W} AND pos = 0)
 )
-SELECT DISTINCT doc_id, h AS fp FROM sel WHERE h = win_min
+SELECT doc_id,
+  CAST({_WINNOW_POSMOD - 1} - win_key % {_WINNOW_POSMOD} AS BIGINT)
+    AS fp_pos,
+  CAST(win_key // {_WINNOW_POSMOD} AS BIGINT) AS fp
+FROM sel
 """
 
 

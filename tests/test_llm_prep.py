@@ -128,3 +128,46 @@ def test_mix_rebalance_hash_threshold_proportions(spark, sf_dir):
     again = mix_rebalance_hash_threshold(docs)
     assert out.exceptAll(again).count() == 0
     assert again.exceptAll(out).count() == 0
+
+
+def test_winnowing_coverage_guarantee(spark, sf_dir):
+    """The SIGMOD-2003 coverage property: every window of WINNOW_W
+    consecutive shingles contains at least one selected fingerprint —
+    equivalently, gaps between consecutive selected positions within a
+    doc never exceed WINNOW_W, the first selection lands inside the
+    first window, and the last inside the last. (The naive
+    'min-of-window-starting-here' rule fails this on decreasing hash
+    runs — this test is what caught it.)"""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep3 import (
+        WINNOW_W,
+        q_winnowing_fingerprint,
+    )
+
+    fps = q_winnowing_fingerprint(spark, sf_dir)
+    per_doc = (
+        fps.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("fp_pos")).alias("ps"),
+            F.count("*").alias("n_sel"),
+        )
+        .collect()
+    )
+    assert per_doc, "no fingerprints produced"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) - 2).alias(
+                "n_sh"
+            ),
+        )
+        .collect()
+    )
+    n_sh = {r["doc_id"]: r["n_sh"] for r in docs}
+    for r in per_doc:
+        ps, n = r["ps"], n_sh[r["doc_id"]]
+        assert ps[0] <= WINNOW_W - 1, (r["doc_id"], ps[0])
+        for a, b in zip(ps, ps[1:]):
+            assert b - a <= WINNOW_W, (r["doc_id"], a, b)
+        if n >= WINNOW_W:
+            assert ps[-1] >= n - WINNOW_W, (r["doc_id"], ps[-1], n)
