@@ -68,6 +68,11 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 additions
+    "winnowing_fingerprint",
+    "corpus_global_shuffle",
+    "bigram_lm_score",
+    "dedup_survivorship",
     "dedup_incremental_vs_history",
     "zorder_layout",
     "events_rolling_1h",
@@ -381,6 +386,19 @@ def main() -> None:
         "max(xxhash64(id))"
     ).collect()
     timings["calib_cpu_parallel"] = time.perf_counter() - tc
+    # Second gauge: memory-bandwidth/cache-bound — an in-partition sort
+    # of 200M hashed longs (range is pre-partitioned, so NO exchange, NO
+    # shuffle files: disk stays out of the measurement). Round-4 probes
+    # showed ALU throughput intact while bandwidth-heavy work (sorts,
+    # parquet decode) ran 3-5x slow, so the two gauges separate which
+    # resource the host is stealing.
+    tc = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "xxhash64(id) AS k"
+    ).sortWithinPartitions("k").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["calib_mem_bandwidth"] = time.perf_counter() - tc
 
     # --- reference-scale workload FIRST (fresh subprocess JVM) ---
     # Run before the 50 headline queries: each reference benchmark run is
