@@ -726,3 +726,26 @@ def test_ignore_corrupt_files(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+
+def test_generator_determinism_with_pinned_partitions(spark):
+    """The seed-pinned oracle fixture (tokenize_generated) depends on
+    spark.range+randn being byte-stable: with rows/cols/seed AND
+    numPartitions all fixed, two independent generations must be
+    identical, and the id column must ride along when requested."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.generator import (
+        generate_normal_table,
+    )
+
+    a = generate_normal_table(
+        spark, rows=5_000, cols=3, seed=11, num_partitions=4, include_id=True
+    )
+    b = generate_normal_table(
+        spark, rows=5_000, cols=3, seed=11, num_partitions=4, include_id=True
+    )
+    assert a.columns == ["id", "col_0", "col_1", "col_2"]
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # a DIFFERENT partitioning must be allowed to differ (documented
+    # contract: determinism requires the pinned partition count)
+    assert a.count() == 5_000
