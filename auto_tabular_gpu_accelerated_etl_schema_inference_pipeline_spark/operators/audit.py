@@ -400,8 +400,50 @@ FROM events GROUP BY 1
 """
 
 
+L_DIVERSITY = 4
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007 — the attack
+    k-anonymity misses): an equivalence class can be large (k-anonymous)
+    yet still leak if everyone in it shares the SAME sensitive value.
+    Over the (nation, market-segment) quasi-identifier with the
+    account-balance 2000-band as the sensitive attribute, report
+    every class with fewer than l=4 distinct sensitive values. Companion
+    to q_k_anonymity_audit — a release must pass BOTH.
+
+    Scale shape: one groupBy shuffle on the quasi-identifier with an
+    exact count-distinct (bounded by the band domain, ~dozens); the
+    violating-class output is small by construction."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < L_DIVERSITY)
+    )
+
+
+_L_DIV_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+  CAST(count(*) AS BIGINT) AS class_size,
+  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT)
+    AS l_distinct
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+       < {L_DIVERSITY}
+"""
+
+
 QUERIES = {
     "pseudonymize_users": q_pseudonymize_users,
+    "l_diversity_audit": q_l_diversity_audit,
     "order_reconciliation": q_order_reconciliation,
     "sequence_gap_audit": q_sequence_gap_audit,
     "benford_first_digit": q_benford_first_digit,
@@ -411,6 +453,7 @@ QUERIES = {
 }
 ORACLES = {
     "pseudonymize_users": _PSEUDO_ORACLE,
+    "l_diversity_audit": _L_DIV_ORACLE,
     "order_reconciliation": _RECON_ORACLE,
     "sequence_gap_audit": _SEQ_GAP_ORACLE,
     "benford_first_digit": _BENFORD_ORACLE,

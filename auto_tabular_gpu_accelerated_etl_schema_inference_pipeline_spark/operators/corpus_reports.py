@@ -152,14 +152,140 @@ SELECT cluster_size, count(*) AS n_clusters FROM (
 """
 
 
+def q_source_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the corpus-
+    balance audit: G near 0 means uniform doc sizes, G near 1 means a
+    few giant docs carry the source's token mass (a skew/packing hazard
+    AND a dedup-survivorship red flag). Exact integer form of the
+    sorted-rank identity G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x),
+    reported in ppm via one integer division at the very end — no float
+    ever enters, so the result is bit-exact.
+
+    Scale shape: the rank window is partitioned BY SOURCE and bounded by
+    per-source doc count; the weighted sums collapse map-side to one row
+    per source. n_chars (an int) is the only shuffled payload."""
+    configure_for_oracle(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("bigint").alias("sum_chars"),
+            F.sum(F.col("i") * F.col("x")).cast("bigint").alias("sum_ix"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            F.expr(
+                "(2 * sum_ix - (n_docs + 1) * sum_chars) * 1000000L"
+                " div (n_docs * sum_chars)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         AS BIGINT) AS i
+  FROM documents
+), agg AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(x) AS BIGINT) AS sum_chars,
+    CAST(sum(i * x) AS BIGINT) AS sum_ix
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, sum_chars,
+  CAST((2 * sum_ix - (n_docs + 1) * sum_chars) * 1000000
+       // (n_docs * sum_chars) AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+def q_lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: token count, vocabulary
+    size (types), hapax legomena (types occurring once — the Heaps'-law
+    frontier), type-token ratio and hapax share in exact ppm. A
+    collapsing TTR across a crawl is the classic signal of template /
+    boilerplate flooding; hapax share calibrates how fast the
+    vocabulary is still growing.
+
+    Scale shape: one shuffle on (source, token) with map-side partial
+    counts; the per-source rollup is |sources| rows. Token strings
+    shuffle once — at 100 TB key on xxhash64(token) instead (the
+    inverted-index note, retrieval.py:14)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    per_type = occ.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000L div n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000L div n_types").alias("hapax_ppm"),
+        )
+    )
+
+
+_LEXDIV_ORACLE = """
+WITH occ AS (
+  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), per_type AS (
+  SELECT source, w, count(*) AS c FROM occ GROUP BY source, w
+), agg AS (
+  SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM per_type GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "contamination_report": q_contamination_report,
+    "source_gini_report": q_source_gini_report,
+    "lexical_diversity_report": q_lexical_diversity_report,
     "vocab_oov_rate": q_vocab_oov_rate,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 ORACLES = {
     "contamination_report": _CONTAMINATION_ORACLE,
+    "source_gini_report": _GINI_ORACLE,
+    "lexical_diversity_report": _LEXDIV_ORACLE,
     "vocab_oov_rate": _OOV_ORACLE,
     "dedup_cluster_sizes": _cluster_oracle(),
 }

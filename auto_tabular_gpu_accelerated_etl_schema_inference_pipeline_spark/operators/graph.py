@@ -20,7 +20,7 @@ set — min reachable id == the fixpoint label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import FUZZY_MAX_DIST, JACCARD_THRESHOLD, q_dedup_ngram_jaccard
@@ -622,8 +622,110 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synchronous label-propagation rounds — fixed (not run-to-convergence)
+#: so the result is deterministic and the oracle can unroll it
+LPA_ITERS = 3
+
+
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the part co-purchase graph (same edge set as
+    triangle count / BFS): every node starts labeled with its own id;
+    each round it adopts the MOST FREQUENT label among its neighbors,
+    ties broken by minimum label. Exactly LPA_ITERS rounds — the fixed
+    round count plus the deterministic tie-break removes the classic
+    LPA nondeterminism (async order / random ties), so the oracle can
+    replay it as an unrolled SQL pipeline.
+
+    vs connected components (dedup_components): CC merges everything
+    reachable; LPA keeps DENSE regions together while letting thin
+    bridges separate — the community granularity curation wants when a
+    single shared boilerplate shingle would otherwise glue two corpora
+    into one component.
+
+    Scale shape per round: one join of edges to the (node, label)
+    table on the neighbor key, one (node, label) count aggregate, one
+    per-node argmax window (bounded by the node's distinct neighbor
+    labels ≤ degree). Lineage is pinned per round (localCheckpoint, the
+    pagerank discipline) so round k+1 doesn't replay round k."""
+    from ..session import configure_for_oracle
+    from .analytics import q_orders_market_basket
+
+    configure_for_oracle(spark)
+    e = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    edges = (
+        e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2")))
+        .toDF("node", "nbr")
+        .localCheckpoint()
+    )
+    # labels carries (lid, lab) — a column name disjoint from edges so
+    # the per-round self-referential join is never ambiguous
+    labels = edges.select("node").distinct().select(
+        F.col("node").alias("lid"), F.col("node").alias("lab")
+    )
+    for _ in range(LPA_ITERS):
+        nl = edges.join(
+            labels, edges["nbr"] == labels["lid"]
+        ).select(edges["node"].alias("n"), "lab")
+        cnt = nl.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("n").orderBy(
+            F.col("c").desc(), F.col("lab").asc()
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("lid"), "lab")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("lid").cast("bigint").alias("part_node"),
+        F.col("lab").cast("bigint").alias("community"),
+    )
+
+
+_LPA_ITER_TEMPLATE = """
+c{k} AS (
+  SELECT ed.node AS n, l.lab, count(*) AS c
+  FROM ed JOIN l{j} l ON l.node = ed.nbr
+  GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT n AS node, lab FROM (
+    SELECT n, lab,
+      row_number() OVER (PARTITION BY n ORDER BY c DESC, lab ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+
+_LPA_ORACLE = (
+    """
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+ed AS (
+  SELECT p1 AS node, p2 AS nbr FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+l0 AS (SELECT DISTINCT node, node AS lab FROM ed),"""
+    + ",".join(
+        _LPA_ITER_TEMPLATE.format(k=k, j=k - 1) for k in range(1, LPA_ITERS + 1)
+    )
+    + f"""
+SELECT CAST(node AS BIGINT) AS part_node, CAST(lab AS BIGINT) AS community
+FROM l{LPA_ITERS}
+"""
+)
+
+
 QUERIES = {
     "graph_bfs_hops": q_graph_bfs_hops,
+    "label_propagation_communities": q_label_propagation_communities,
     "entity_resolution_clusters": q_entity_resolution_clusters,
     "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,
@@ -633,6 +735,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "label_propagation_communities": _LPA_ORACLE,
     # depth-capped recursive closure: UNION-dedup on (id, hops) bounds
     # the state, min(hops) per id == level-synchronous BFS distance
     "graph_bfs_hops": f"""

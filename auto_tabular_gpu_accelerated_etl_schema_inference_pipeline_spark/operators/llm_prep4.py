@@ -1,0 +1,322 @@
+"""Training-data curation operators, round 4 batch 2 (north-star lanes
+beyond the reference — SURVEY.md §2.2): DSIR importance weighting,
+content-defined chunking, and truncation-loss accounting.
+
+Same exact-arithmetic oracle discipline as llm_prep3.py: hashes are
+md5-prefix integers (portable across engines), the single float per
+operator (one ``ln`` in DSIR) is quantized to micro-nats BEFORE any
+downstream arithmetic, and every sum/div after that is exact BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: DSIR hashed-feature dimensionality. 64 here so the sf0.01 fixture
+#: populates every bucket; production uses 10k-100k buckets (Xie et al.
+#: NeurIPS 2023 use 10k hashed uni+bigrams) — the VALUE only changes the
+#: broadcast table size (KBs either way), never the plan shape.
+DSIR_BUCKETS = 64
+
+#: the target domain: docs whose lang is this value define the
+#: importance-sampling target distribution (the "high-quality corpus"
+#: in DSIR terms); the raw distribution is the whole corpus
+DSIR_TARGET_LANG = "en"
+
+#: content-defined chunking: a word whose 32-bit hash ≡ 0 (mod 8) ends a
+#: chunk — expected chunk length 8 words. Production uses a byte-level
+#: Rabin/Gear rolling hash with min/max clamps (FastCDC); word
+#: granularity keeps the oracle exact while preserving the defining
+#: property (boundaries move with CONTENT, not offsets, so an insertion
+#: only redraws its own chunk).
+CDC_MOD = 8
+
+#: truncation accounting: max sequence length in whitespace tokens
+TRUNC_MAX_TOKENS = 128
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR document scores (Data Selection via Importance Resampling,
+    Xie et al. NeurIPS 2023): log importance weight of each document
+    under hashed-bigram bag-of-ngrams models of the TARGET domain
+    (lang = 'en' docs) vs the RAW corpus —
+    w(doc) = Σ_over_bigram_instances ln(p_target[b] / p_raw[b]),
+    add-one smoothing over the bucket spine. High weight ⇒ the doc
+    "looks like" the target domain; downstream selection keeps the
+    top-k or Gumbel-resamples with these weights.
+
+    Exactness: the per-BUCKET log-ratio is quantized to micro-nats
+    (round(ln·,6)·1e6 as BIGINT — one ln on a ratio of exact integer
+    counts, identical input on both engines); a doc's weight is then an
+    exact integer SUM of bucket constants, so ties and order are
+    engine-stable.
+
+    Scale shape: bigram→bucket is a pure map over the split array (no
+    per-token window — ``transform`` over adjacent pairs); the bucket
+    histograms collapse to DSIR_BUCKETS rows map-side; the per-doc score
+    re-joins tokens to a BROADCAST 64-row weight table and partial-aggs
+    to one row per doc. Nothing wider than (doc_id, bucket) ever
+    shuffles; text never leaves the scan."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), " ")
+    buckets = F.expr(
+        "transform(sequence(1, size(arr) - 1), i -> "
+        "cast(conv(substring(md5(concat(arr[i-1], ' ', arr[i])), 1, 8),"
+        f" 16, 10) as bigint) % {DSIR_BUCKETS})"
+    )
+    big = (
+        docs.select("doc_id", "lang", arr.alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select("doc_id", "lang", F.explode(buckets).alias("b"))
+    )
+    tgt = (
+        big.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    raw = big.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tot = big.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("double")
+        .alias("t_tot"),
+        F.count(F.lit(1)).cast("double").alias("r_tot"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    weights = (
+        spine.join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            # double-round: the outer round snaps the *1e6 fp error so
+            # Spark's truncating bigint cast and DuckDB's rounding cast
+            # agree (the text_lm.py micro-nat discipline)
+            F.round(
+                F.round(
+                    F.log(
+                        ((F.coalesce(F.col("t"), F.lit(0)) + 1.0)
+                         * (F.col("r_tot") + DSIR_BUCKETS))
+                        / ((F.coalesce(F.col("r"), F.lit(0)) + 1.0)
+                           * (F.col("t_tot") + DSIR_BUCKETS))
+                    ),
+                    6,
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        big.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_weight_micro"),
+        )
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS arr
+  FROM documents
+), big AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(generate_series(1, len(arr) - 1), i ->
+      CAST(('0x' || substr(md5(arr[i] || ' ' || arr[i+1]), 1, 8))::BIGINT
+           % {DSIR_BUCKETS} AS BIGINT))) AS b
+  FROM tok WHERE len(arr) >= 2
+), tgt AS (
+  SELECT b, count(*) AS t FROM big
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), raw AS (
+  SELECT b, count(*) AS r FROM big GROUP BY b
+), tot AS (
+  SELECT CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS t_tot,
+         CAST(count(*) AS DOUBLE) AS r_tot
+  FROM big
+), weights AS (
+  SELECT s.b,
+    CAST(round(round(ln(
+      ((coalesce(tgt.t, 0) + 1.0) * (tot.r_tot + {DSIR_BUCKETS}))
+      / ((coalesce(raw.r, 0) + 1.0) * (tot.t_tot + {DSIR_BUCKETS}))
+    ), 6) * 1000000) AS BIGINT) AS lr_micro
+  FROM range({DSIR_BUCKETS}) s(b)
+  LEFT JOIN tgt ON tgt.b = s.b
+  LEFT JOIN raw ON raw.b = s.b
+  CROSS JOIN tot
+)
+SELECT big.doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(weights.lr_micro) AS BIGINT) AS dsir_weight_micro
+FROM big JOIN weights ON weights.b = big.b
+GROUP BY big.doc_id
+"""
+
+
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC storage-dedup
+    primitive, word-granular): a chunk boundary falls AFTER any word
+    whose hash ≡ 0 (mod CDC_MOD), so boundaries are anchored to content
+    — inserting one word into a 100 TB corpus re-chunks only the edited
+    chunk, while fixed-size chunking would shift every boundary after
+    the edit. Output is the per-doc chunk table (ordinal, word count,
+    content hash); joining chunk_hash across snapshots yields the
+    incremental-corpus-diff / storage-dedup ratio.
+
+    Scale shape: boundary flags are a pure map over the exploded words;
+    chunk ids are a per-DOC running sum (window bounded by doc length,
+    never global); the chunk reassembly groups by (doc, chunk) and
+    re-sorts only within a chunk (sort_array over ≤ chunk-length
+    structs). One shuffle on doc_id end to end."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    bf = (
+        F.expr(
+            "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+            f" % {CDC_MOD}"
+        )
+        == 0
+    ).cast("int")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = toks.withColumn("bf", bf).withColumn(
+        "chunk_id", F.coalesce(F.sum("bf").over(wprev), F.lit(0))
+    )
+    return (
+        ch.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(pos, w))),"
+                        " s -> s.w)"
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "n_words",
+            "chunk_hash",
+        )
+    )
+
+
+_CDC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split(lower(trim(text)), ' ')) AS w,
+    unnest(generate_series(1, len(string_split(lower(trim(text)), ' '))))
+      AS posn
+  FROM documents
+), fl AS (
+  SELECT doc_id, posn, w,
+    CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT % {CDC_MOD} = 0
+         THEN 1 ELSE 0 END AS bf
+  FROM tok
+), ch AS (
+  SELECT doc_id, posn, w,
+    coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY posn
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS chunk_id
+  FROM fl
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  md5(string_agg(w, ' ' ORDER BY posn)) AS chunk_hash
+FROM ch GROUP BY doc_id, chunk_id
+"""
+
+
+def q_truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of what a max-sequence-length truncation
+    at TRUNC_MAX_TOKENS whitespace tokens would discard — the report
+    that decides between truncating, chunking (doc_chunk_overlap), or
+    packing (sequence_packing) for each source. lost_ppm is exact
+    integer parts-per-million.
+
+    Scale shape: token counts are ``size(split(·))`` — a pure map, no
+    explode, text never shuffles; the aggregate collapses map-side to
+    |sources| rows."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    return (
+        docs.select("source", n.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.lit(TRUNC_MAX_TOKENS)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(
+                (F.col("n_tok") > TRUNC_MAX_TOKENS).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_truncated_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "n_truncated_docs",
+            F.expr(
+                "(total_tokens - kept_tokens) * 1000000L div total_tokens"
+            ).alias("lost_ppm"),
+        )
+    )
+
+
+_TRUNC_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+    len(string_split(lower(trim(text)), ' ')) AS n_tok
+  FROM documents
+), agg AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+    CAST(sum(least(n_tok, {TRUNC_MAX_TOKENS})) AS BIGINT) AS kept_tokens,
+    CAST(sum(CASE WHEN n_tok > {TRUNC_MAX_TOKENS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_truncated_docs
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, total_tokens, kept_tokens, n_truncated_docs,
+  CAST((total_tokens - kept_tokens) * 1000000 // total_tokens AS BIGINT)
+    AS lost_ppm
+FROM agg
+"""
+
+
+QUERIES = {
+    "dsir_importance_weights": q_dsir_importance_weights,
+    "content_defined_chunks": q_content_defined_chunks,
+    "truncation_loss_report": q_truncation_loss_report,
+}
+
+ORACLES = {
+    "dsir_importance_weights": _DSIR_ORACLE,
+    "content_defined_chunks": _CDC_ORACLE,
+    "truncation_loss_report": _TRUNC_ORACLE,
+}

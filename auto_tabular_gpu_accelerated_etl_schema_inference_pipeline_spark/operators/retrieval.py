@@ -379,11 +379,119 @@ FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT {RRF_OUT_K}
 """
 
 
+#: NDCG cut-off
+NDCG_K = 10
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking — the retrieval lane's EVAL story:
+    graded relevance rel(d) = total occurrences of query terms in d (a
+    deterministic pseudo-qrel that DISAGREES with BM25's length-
+    normalized, tf-saturated order, so the metric discriminates: ~0.91
+    on the fixture, not a vacuous 1.0), DCG@k = Σ rel_i/log2(i+1)
+    over the BM25 top-k (ties broken by doc_id — BM25 scores are
+    already exact µ-unit integers, so the ranking is engine-stable),
+    IDCG over the relevance-ideal ordering of the same candidate set.
+    Each positional term is quantized to micro-units (double-round
+    discipline) before summing; ndcg_ppm is exact-integer.
+
+    Scale shape: the top-k is sort-limit (TakeOrderedAndProject — no
+    global sort materializes); the only windows run over the k selected
+    rows. Relevance grading is a pure map over the split array. The
+    1-row DCG/IDCG aggregates broadcast-join at the end."""
+    configure_for_oracle(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = docs.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(lower(trim(text)), ' '),"
+            f" w -> w IN ({_BM25_TERMS_SQL})))"
+        ).alias("rel"),
+    )
+
+    def dcg_micro(df: DataFrame, order_cols, out: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        return (
+            df.withColumn("i", F.row_number().over(w))
+            .select(
+                F.round(
+                    F.round(
+                        F.col("rel") / F.log2(F.col("i") + F.lit(1.0)), 6
+                    )
+                    * 1_000_000
+                )
+                .cast("bigint")
+                .alias("g")
+            )
+            .agg(F.coalesce(F.sum("g"), F.lit(0)).cast("bigint").alias(out))
+        )
+
+    ranked = (
+        q_bm25_search(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .join(rel, "doc_id")
+    )
+    dcg = dcg_micro(
+        ranked, [F.col("score_micro").desc(), F.col("doc_id").asc()], "dcg_micro"
+    )
+    ideal = (
+        rel.filter(F.col("rel") > 0)
+        .orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+    )
+    idcg = dcg_micro(
+        ideal, [F.col("rel").desc(), F.col("doc_id").asc()], "idcg_micro"
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(NDCG_K).cast("int").alias("k"),
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("dcg_micro * 1000000L div idcg_micro").alias("ndcg_ppm"),
+    )
+
+
+_NDCG_ORACLE = f"""
+WITH bm25 AS ({_BM25_ORACLE}),
+rel AS (
+  SELECT doc_id,
+    len(list_filter(string_split(lower(trim(text)), ' '),
+                    w -> w IN ({_BM25_TERMS_SQL}))) AS rel
+  FROM documents
+), ranked AS (
+  SELECT b.doc_id, r.rel,
+    row_number() OVER (ORDER BY b.score_micro DESC, b.doc_id ASC) AS i
+  FROM bm25 b JOIN rel r ON r.doc_id = b.doc_id
+  ORDER BY b.score_micro DESC, b.doc_id ASC LIMIT {NDCG_K}
+), dcg AS (
+  SELECT coalesce(sum(CAST(round(round(rel / log2(i + 1.0), 6) * 1000000)
+                           AS BIGINT)), 0) AS dcg_micro
+  FROM ranked
+), ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS i
+  FROM rel WHERE rel > 0
+  ORDER BY rel DESC, doc_id ASC LIMIT {NDCG_K}
+), idcg AS (
+  SELECT coalesce(sum(CAST(round(round(rel / log2(i + 1.0), 6) * 1000000)
+                           AS BIGINT)), 0) AS idcg_micro
+  FROM ideal
+)
+SELECT CAST({NDCG_K} AS INTEGER) AS k,
+  CAST(dcg_micro AS BIGINT) AS dcg_micro,
+  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+  CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM dcg, idcg
+"""
+
+
 QUERIES = {
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "ndcg_eval": q_ndcg_eval,
 }
 
 ORACLES = {
@@ -391,4 +499,5 @@ ORACLES = {
     "inverted_index": _INVERTED_INDEX_ORACLE,
     "bm25_search": _BM25_ORACLE,
     "duplicate_ngram_spans": _SPANS_ORACLE,
+    "ndcg_eval": _NDCG_ORACLE,
 }

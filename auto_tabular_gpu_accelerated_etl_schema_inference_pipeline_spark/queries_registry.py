@@ -45,6 +45,7 @@ _MODULES = [
     "operators.llm_prep",
     "operators.llm_prep2",
     "operators.llm_prep3",
+    "operators.llm_prep4",
     "operators.model",
     "operators.corpus_reports",
     "operators.sketches",
