@@ -68,6 +68,12 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-2 additions
+    "dsir_importance_weights",
+    "content_defined_chunks",
+    "label_propagation_communities",
+    "ndcg_eval",
+    "lexical_diversity_report",
     # round-4 additions
     "winnowing_fingerprint",
     "corpus_global_shuffle",
