@@ -73,43 +73,49 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("arr") >= 2)
         .select("doc_id", "lang", F.explode(buckets).alias("b"))
     )
-    tgt = (
-        big.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    raw = big.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tot = big.agg(
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
-        .cast("double")
-        .alias("t_tot"),
-        F.count(F.lit(1)).cast("double").alias("r_tot"),
+    # ONE corpus pass fits both models: the (bucket -> raw count, target
+    # count) histogram, with the totals then derived from the 64-row
+    # histogram itself instead of re-scanning. Plan-audited: the whole
+    # query is exactly TWO corpus scans (fit pass + score pass), the
+    # canonical DSIR shape — a naive tgt/raw/totals formulation scanned
+    # the corpus four times.
+    hist = big.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t"),
     )
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
-    weights = (
-        spine.join(tgt, "b", "left")
-        .join(raw, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            # double-round: the outer round snaps the *1e6 fp error so
-            # Spark's truncating bigint cast and DuckDB's rounding cast
-            # agree (the text_lm.py micro-nat discipline)
+    filled = spine.join(hist, "b", "left").select(
+        "b",
+        F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+    )
+    # totals via a global window over the 64-row filled histogram — NOT
+    # a separate aggregate of `big`, which Catalyst would satisfy by
+    # re-scanning the corpus a third time (no cross-branch CSE). The
+    # partitionless window is over DSIR_BUCKETS rows, a constant.
+    wall = Window.partitionBy()
+    weights = filled.select(
+        "b",
+        # double-round: the outer round snaps the *1e6 fp error so
+        # Spark's truncating bigint cast and DuckDB's rounding cast
+        # agree (the text_lm.py micro-nat discipline)
+        F.round(
             F.round(
-                F.round(
-                    F.log(
-                        ((F.coalesce(F.col("t"), F.lit(0)) + 1.0)
-                         * (F.col("r_tot") + DSIR_BUCKETS))
-                        / ((F.coalesce(F.col("r"), F.lit(0)) + 1.0)
-                           * (F.col("t_tot") + DSIR_BUCKETS))
-                    ),
-                    6,
-                )
-                * 1_000_000
+                F.log(
+                    ((F.col("t") + 1.0)
+                     * (F.sum("r").over(wall).cast("double") + DSIR_BUCKETS))
+                    / ((F.col("r") + 1.0)
+                       * (F.sum("t").over(wall).cast("double")
+                          + DSIR_BUCKETS))
+                ),
+                6,
             )
-            .cast("bigint")
-            .alias("lr_micro"),
+            * 1_000_000
         )
+        .cast("bigint")
+        .alias("lr_micro"),
     )
     return (
         big.join(F.broadcast(weights), "b")
