@@ -68,6 +68,15 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-3 additions
+    "kaplan_meier_retention",
+    "cohens_kappa_raters",
+    "t_closeness_audit",
+    "vocab_growth_heaps",
+    "zipf_slope_fit",
+    "chi2_term_source",
+    "curriculum_stages",
+    "matryoshka_dim_quality",
     # round-4 batch-2 additions
     "dsir_importance_weights",
     "content_defined_chunks",
@@ -287,9 +296,12 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
     import subprocess
 
     env = dict(os.environ)
-    # the ref workload is 1.6 GB — a second 48g heap next to the parent's
-    # is wasteful; 24g is ample and keeps both JVMs comfortably in RAM
-    env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # the ref workload is 1.6 GB; the subprocess inherits session.py's
+    # small pre-touched heap (see get_spark) — a big lazy heap next to
+    # the parent's measured 13-18 s per bucketize pass on this
+    # hypervisor (fresh-page faults at ~0.15 GB/s) vs 2-3.5 s with the
+    # 6g Xms==Xmx + AlwaysPreTouch default.
+    env.setdefault("SPARK_DRIVER_MEMORY", "6g")
     # Best-of-N with early stop: this box is a microVM whose IO/CPU are
     # stolen by invisible host-level neighbors — identical code measured
     # ref_total 15.8 s -> 25 s -> 89 s within one hour while a raw-IO
