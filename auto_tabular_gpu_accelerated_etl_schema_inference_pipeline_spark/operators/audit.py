@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_for_oracle, load_events, load_table
@@ -441,8 +441,104 @@ HAVING count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
 """
 
 
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    attack l-diversity misses): a class can contain l distinct sensitive
+    values yet still leak if ITS distribution of those values differs
+    sharply from the table-wide one (e.g. a class where 90% of balances
+    sit in the top band when only 10% do globally). Over the same
+    (nation, market-segment) quasi-identifier and balance-band sensitive
+    attribute as q_k_anonymity_audit / q_l_diversity_audit — the privacy
+    triad; a release must pass all three. Distance is total variation
+    (the categorical EMD): t = ½ Σ_bands |P_class(band) − P_global(band)|,
+    reported in exact ppm for every class.
+
+    Exactness: clearing denominators makes the whole statistic integer —
+    tvd_ppm = Σ_b |cnt_gb·N − cnt_b·N_g| · 1e6 / (2·N_g·N), one rounded
+    division of exact BIGINTs per class (absent bands contribute
+    N_g·(N − Σ_present cnt_b), folded in without materializing zeros).
+
+    Scale shape: ONE corpus scan collapses to the (class × band)
+    histogram; every total after that (per-band, per-class, global) is a
+    window over that bounded histogram — |classes|·|bands| rows — so no
+    second scan and no row-scale shuffle."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    g = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wb = Window.partitionBy("bal_band")
+    wq = Window.partitionBy("c_nationkey", "c_mktsegment")
+    wall = Window.partitionBy()
+    t = (
+        g.withColumn("cnt_b", F.sum("cnt").over(wb))
+        .withColumn("n_g", F.sum("cnt").over(wq))
+        .withColumn("n_all", F.sum("cnt").over(wall))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("n_g").cast("bigint").alias("class_size"),
+            F.max("n_all").alias("n_all"),
+            F.sum(
+                F.abs(
+                    F.col("cnt") * F.col("n_all")
+                    - F.col("cnt_b") * F.col("n_g")
+                )
+            ).alias("s1"),
+            F.sum("cnt_b").alias("s_present"),
+        )
+    )
+    tvd_num = F.col("s1") + F.col("class_size") * (
+        F.col("n_all") - F.col("s_present")
+    )
+    return t.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.round(
+            tvd_num.cast("double")
+            * 1_000_000.0
+            / (2.0 * F.col("class_size") * F.col("n_all")).cast("double")
+        )
+        .cast("bigint")
+        .alias("tvd_ppm"),
+    )
+
+
+_T_CLOSE_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+    count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+), w AS (
+  SELECT c_nationkey, c_mktsegment, cnt,
+    sum(cnt) OVER (PARTITION BY bal_band) AS cnt_b,
+    sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_g,
+    sum(cnt) OVER () AS n_all
+  FROM g
+), t AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(max(n_g) AS BIGINT) AS class_size,
+    max(n_all) AS n_all,
+    sum(abs(cnt * n_all - cnt_b * n_g)) AS s1,
+    sum(cnt_b) AS s_present
+  FROM w GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+  CAST(round(
+    CAST(s1 + class_size * (n_all - s_present) AS DOUBLE) * 1000000.0
+    / CAST(2.0 * class_size * n_all AS DOUBLE)
+  ) AS BIGINT) AS tvd_ppm
+FROM t
+"""
+
+
 QUERIES = {
     "pseudonymize_users": q_pseudonymize_users,
+    "t_closeness_audit": q_t_closeness_audit,
     "l_diversity_audit": q_l_diversity_audit,
     "order_reconciliation": q_order_reconciliation,
     "sequence_gap_audit": q_sequence_gap_audit,
@@ -453,6 +549,7 @@ QUERIES = {
 }
 ORACLES = {
     "pseudonymize_users": _PSEUDO_ORACLE,
+    "t_closeness_audit": _T_CLOSE_ORACLE,
     "l_diversity_audit": _L_DIV_ORACLE,
     "order_reconciliation": _RECON_ORACLE,
     "sequence_gap_audit": _SEQ_GAP_ORACLE,

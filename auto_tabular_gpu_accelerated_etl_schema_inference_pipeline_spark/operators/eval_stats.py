@@ -1,0 +1,262 @@
+"""Statistical evaluation operators, round 4 batch 3: Kaplan–Meier
+retention (survival analysis over the events stream) and Cohen's kappa
+inter-rater agreement (label-quality audit for LLM annotation pipelines).
+
+Exactness discipline (the llm_prep3/llm_prep4 pattern): every count is
+exact BIGINT; the single transcendental per operator (one ``ln`` per
+life-table row in KM) is quantized to micro-nats BEFORE any cross-row
+arithmetic, so prefix sums and the final ``exp`` see identical inputs on
+both engines. Kappa needs no floats at all until the last division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: a user whose LAST event is more than this many hours before the end
+#: of the observation window is treated as churned (event observed);
+#: later activity would have shown up inside the window otherwise. Hours
+#: (not days) because the fixture's event stream is dense: the median
+#: user's last-event gap is ~7 h, p90 ~24 h — a day-granular cut would
+#: declare zero churn and the KM curve would be a vacuous flat line.
+KM_CHURN_GAP_HOURS = 12
+
+#: Cohen's-kappa raters: two deterministic document-quality screens that
+#: correlate but disagree on boundary docs — rater A passes docs with at
+#: least this many characters, rater B docs with at least KAPPA_MIN_TOKENS
+#: whitespace tokens. (In production these are two model annotators or a
+#: model vs. human pass; the agreement math is identical.)
+KAPPA_MIN_CHARS = 200
+KAPPA_MIN_TOKENS = 40
+
+
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (whole hours from
+    first to last activity), with right-censoring: users still active
+    near the end of the observation window (last event within
+    KM_CHURN_GAP_HOURS of the global max timestamp) are censored — their
+    true lifetime exceeds what we observed, and dropping them (the naive
+    average) biases retention DOWN. Output is the classic life table:
+    one row per distinct observed lifetime t with the at-risk count,
+    churn events, censorings, and the KM survival estimate
+    S(t) = Π_{u ≤ t} (1 − d_u / n_u) in ppm.
+
+    Exactness: hour diffs are floor divisions of truncated epoch
+    SECONDS (Spark unix_timestamp and DuckDB epoch_us//1e6 truncate
+    identically — the datediff/date_diff builtins were rejected because
+    the engines disagree on boundary-crossing vs elapsed semantics);
+    per-row ln(1 − d/n) is quantized to micro-nats (round·6 → BIGINT),
+    the running product becomes an exact integer prefix sum, and
+    S(t) = exp(sum/1e6) — one exp over an identical double on both
+    engines, rounded to ppm.
+
+    Scale shape: ONE corpus scan collapses events to |users| rows
+    (min/max epoch-seconds per user — map-side partial agg); the
+    observation-window max comes off that bounded per-user table via a
+    partitionless window (|users| rows, not |events|); the life table is
+    |distinct lifetimes| rows (bounded by the window length in hours),
+    so its ordered windows are trivially small. Nothing row-scale ever
+    sorts globally."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_s"),
+        F.max(F.unix_timestamp("ts")).alias("last_s"),
+    )
+    wall = Window.partitionBy()
+    gap_s = KM_CHURN_GAP_HOURS * 3600
+    pu = per_user.withColumn("wmax", F.max("last_s").over(wall)).select(
+        F.when(
+            F.col("wmax") - F.col("last_s") > gap_s, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+        F.when(
+            F.col("wmax") - F.col("last_s") > gap_s,
+            F.expr("(last_s - first_s) div 3600"),
+        )
+        .otherwise(F.expr("(wmax - first_s) div 3600"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    life = pu.groupBy("t").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+    )
+    # at-risk = everyone with lifetime >= t: reverse cumulative sum over
+    # the |distinct lifetimes|-row life table
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    lt = life.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc)
+    )
+    # ln(1 - d/n) quantized to micro-nats; exact prefix sum; one exp.
+    # If every at-risk user churns at some t (n_risk == d), survival is
+    # exactly 0 from there on: a -1e15 micro-nat sentinel (exp of which
+    # underflows to 0.0 identically on both engines) replaces ln(0),
+    # which the engines render differently (-inf vs error).
+    ln_term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                6,
+            )
+            * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(-1_000_000_000_000_000))
+    return (
+        lt.withColumn(
+            "ln_mu", F.when(F.col("d") > 0, ln_term).otherwise(F.lit(0))
+        )
+        .withColumn("ln_cum", F.sum("ln_mu").over(w_asc))
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            "c",
+            F.round(
+                F.exp(F.col("ln_cum").cast("double") / 1_000_000.0)
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("survival_ppm"),
+        )
+    )
+
+
+_KM_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    min(epoch_us(ts) // 1000000) AS first_s,
+    max(epoch_us(ts) // 1000000) AS last_s
+  FROM events GROUP BY user_id
+), flag AS (
+  SELECT
+    CASE WHEN (SELECT max(last_s) FROM pu) - last_s
+              > {KM_CHURN_GAP_HOURS} * 3600 THEN 1 ELSE 0 END AS churned,
+    CASE WHEN (SELECT max(last_s) FROM pu) - last_s
+              > {KM_CHURN_GAP_HOURS} * 3600
+         THEN (last_s - first_s) // 3600
+         ELSE ((SELECT max(last_s) FROM pu) - first_s) // 3600
+    END AS t
+  FROM pu
+), life AS (
+  SELECT CAST(t AS BIGINT) AS t,
+    CAST(sum(churned) AS BIGINT) AS d,
+    CAST(sum(1 - churned) AS BIGINT) AS c
+  FROM flag GROUP BY t
+), lt AS (
+  SELECT t, d, c,
+    sum(d + c) OVER (ORDER BY t DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS n_risk
+  FROM life
+), ln_t AS (
+  SELECT t, n_risk, d, c,
+    CASE WHEN d > 0 AND n_risk > d THEN CAST(round(round(
+      ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+      * 1000000) AS BIGINT)
+    WHEN d > 0 THEN CAST(-1000000000000000 AS BIGINT)
+    ELSE 0 END AS ln_mu
+  FROM lt
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+  CAST(round(exp(CAST(sum(ln_mu) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 1000000.0) * 1000000) AS BIGINT) AS survival_ppm
+FROM ln_t
+"""
+
+
+def q_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document-quality raters —
+    the agreement statistic every annotation pipeline reports before
+    trusting labels (kappa corrects raw agreement for the agreement two
+    raters would reach by chance given their marginal rates; 0 = chance,
+    1 = perfect). Raters: A = len(text) ≥ KAPPA_MIN_CHARS, B = token
+    count ≥ KAPPA_MIN_TOKENS.
+
+    Exactness: kappa = (p_o − p_e) / (1 − p_e) clears denominators to
+    pure integers — kappa_ppm = (N·agree − S) · 1e6 / (N² − S) with
+    S = Σ_k rowmarg_k · colmarg_k; computed as one double division of
+    exact BIGINTs, rounded (kappa can be negative, so round — not
+    truncating div — keeps both engines identical).
+
+    Scale shape: map-only flags, one map-side-combinable aggregate to a
+    single row. Text never shuffles."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.length("text") >= KAPPA_MIN_CHARS).cast("bigint")
+    b = (
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        >= KAPPA_MIN_TOKENS
+    ).cast("bigint")
+    agg = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("pos_a"),
+        F.sum("b").cast("bigint").alias("pos_b"),
+        F.sum((F.col("a") == F.col("b")).cast("bigint"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    s = F.col("pos_a") * F.col("pos_b") + (F.col("n") - F.col("pos_a")) * (
+        F.col("n") - F.col("pos_b")
+    )
+    return agg.select(
+        "n",
+        "pos_a",
+        "pos_b",
+        "agree",
+        F.round(
+            (F.col("n") * F.col("agree") - s).cast("double")
+            * 1_000_000.0
+            / (F.col("n") * F.col("n") - s).cast("double")
+        )
+        .cast("bigint")
+        .alias("kappa_ppm"),
+    )
+
+
+_KAPPA_ORACLE = f"""
+WITH flags AS (
+  SELECT
+    CASE WHEN length(text) >= {KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS a,
+    CASE WHEN len(string_split(lower(trim(text)), ' '))
+              >= {KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END AS b
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(a) AS BIGINT) AS pos_a,
+    CAST(sum(b) AS BIGINT) AS pos_b,
+    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM flags
+)
+SELECT n, pos_a, pos_b, agree,
+  CAST(round(
+    CAST(n * agree - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
+         AS DOUBLE) * 1000000.0
+    / CAST(n * n - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
+           AS DOUBLE)
+  ) AS BIGINT) AS kappa_ppm
+FROM agg
+"""
+
+
+QUERIES = {
+    "kaplan_meier_retention": q_kaplan_meier_retention,
+    "cohens_kappa_raters": q_cohens_kappa_raters,
+}
+
+ORACLES = {
+    "kaplan_meier_retention": _KM_ORACLE,
+    "cohens_kappa_raters": _KAPPA_ORACLE,
+}

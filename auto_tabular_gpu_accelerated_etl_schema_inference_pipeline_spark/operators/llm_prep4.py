@@ -315,14 +315,71 @@ FROM agg
 """
 
 
+#: curriculum staging: per-source difficulty rank buckets of this many
+#: docs — stage s of training consumes bucket s of EVERY source, so the
+#: mix stays constant while difficulty ramps
+CURRICULUM_STAGE_DOCS = 500
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: within each source, docs are
+    ranked easy→hard (difficulty proxy: doc length — short docs first,
+    the canonical text-curriculum heuristic) and cut into
+    CURRICULUM_STAGE_DOCS-sized stages; stage s of training reads bucket
+    s of every source, so the source MIX is constant per stage while
+    difficulty ramps. Output: per-doc (source, source_rank, stage) — the
+    shuffle-ready sort key for the training shard writer (feeds
+    shard_manifest / corpus_global_shuffle).
+
+    Determinism: rank ties break on doc_id; all outputs exact integers.
+
+    Scale shape: one row_number window PARTITIONED BY SOURCE (a
+    per-partition sort, the shape Spark's window exec is built for —
+    never a global ordering; the global interleave is the downstream
+    writer's (stage, source, source_rank) sort, which range-partitions
+    cleanly). Text never shuffles — only (doc_id, source, n_chars)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.row_number().over(w).cast("bigint").alias("source_rank"),
+    ).withColumn(
+        "stage",
+        F.expr(f"(source_rank - 1) div {CURRICULUM_STAGE_DOCS}").cast(
+            "bigint"
+        ),
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+      AS source_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, source_rank,
+  CAST((source_rank - 1) // {CURRICULUM_STAGE_DOCS} AS BIGINT) AS stage
+FROM r
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
+    "curriculum_stages": q_curriculum_stages,
     "content_defined_chunks": q_content_defined_chunks,
     "truncation_loss_report": q_truncation_loss_report,
 }
 
 ORACLES = {
     "dsir_importance_weights": _DSIR_ORACLE,
+    "curriculum_stages": _CURRICULUM_ORACLE,
     "content_defined_chunks": _CDC_ORACLE,
     "truncation_loss_report": _TRUNC_ORACLE,
 }

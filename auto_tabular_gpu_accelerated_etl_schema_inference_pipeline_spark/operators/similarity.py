@@ -868,7 +868,113 @@ FROM ranked WHERE rnk <= {FILT_TOPK}
 """
 
 
+#: Matryoshka evaluation: truncation prefixes to score against the full
+#: 64-dim cosine, and the consecutive-id pair sample size
+MRL_DIMS = (8, 16, 32)
+MRL_PAIR_IDS = 200
+
+
+def q_matryoshka_dim_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation audit (Kusupati et al.
+    NeurIPS 2022): how much cosine similarity drifts when vectors are
+    truncated to their first 8/16/32 dims vs the full 64 — the report
+    that picks the cheapest ANN index dimension (a prefix whose mean
+    drift is a few thousand ppm retrieves almost identically at a
+    fraction of the memory/bandwidth; embeddings NOT trained
+    matryoshka-style show large drift and must stay full-width). Scored
+    over the deterministic consecutive-id pair sample (vec_id, vec_id+1),
+    vec_id < MRL_PAIR_IDS.
+
+    Exactness: each pair's |cos_full − cos_prefix| is one double
+    expression over the identical left-fold dot products both engines
+    compute, quantized to micro per PAIR; per-dim sums are then exact
+    integers (no cross-row float accumulation).
+
+    Scale shape: the pair join is a self-join on vec_id+1 over a
+    bounded id range (broadcast); prefixes come from ``slice`` on the
+    already-loaded vector — 3 dims explode each pair to 3 rows, then one
+    3-row aggregate. At corpus scale the same shape runs over any
+    bounded pair sample (the estimator needs pairs, not all-pairs)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") < MRL_PAIR_IDS).select(
+        F.col("vec_id").alias("a_id"),
+        _dbl_vec(F.col("embedding")).alias("a_vec"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("a_id"),
+        _dbl_vec(F.col("embedding")).alias("b_vec"),
+    )
+    pairs = a.join(b, "a_id")
+    per_dim = pairs.select(
+        "a_id",
+        "a_vec",
+        "b_vec",
+        _cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_full"),
+        F.explode(
+            F.array(*[F.lit(d) for d in MRL_DIMS])
+        ).alias("dim"),
+    ).select(
+        "dim",
+        F.round(
+            F.abs(
+                F.col("cos_full")
+                - _cosine(
+                    F.expr("slice(a_vec, 1, dim)"),
+                    F.expr("slice(b_vec, 1, dim)"),
+                )
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("err_mu"),
+    )
+    return (
+        per_dim.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("err_mu").cast("bigint").alias("sum_abs_err_mu"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_pairs",
+            "sum_abs_err_mu",
+            F.round(
+                F.col("sum_abs_err_mu").cast("double")
+                / F.col("n_pairs").cast("double")
+            )
+            .cast("bigint")
+            .alias("mean_abs_err_mu"),
+        )
+    )
+
+
+_MRL_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, a.embedding AS a_vec, b.embedding AS b_vec
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < {MRL_PAIR_IDS}
+), per_dim AS (
+  SELECT d.dim,
+    CAST(round(abs(
+      {_cos_sql('a_vec', 'b_vec')}
+      - {_cos_sql('list_slice(a_vec, 1, d.dim)',
+                  'list_slice(b_vec, 1, d.dim)')}
+    ) * 1000000.0) AS BIGINT) AS err_mu
+  FROM pairs CROSS JOIN (
+    SELECT unnest([{', '.join(str(d) for d in MRL_DIMS)}]) AS dim
+  ) d
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(err_mu) AS BIGINT) AS sum_abs_err_mu,
+  CAST(round(CAST(sum(err_mu) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       AS BIGINT) AS mean_abs_err_mu
+FROM per_dim GROUP BY dim
+"""
+
+
 QUERIES = {
+    "matryoshka_dim_quality": q_matryoshka_dim_quality,
     "similarity_filtered_topk": q_similarity_filtered_topk,
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
@@ -884,6 +990,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "matryoshka_dim_quality": _MRL_ORACLE,
     "similarity_filtered_topk": _FILTERED_TOPK_ORACLE,
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,

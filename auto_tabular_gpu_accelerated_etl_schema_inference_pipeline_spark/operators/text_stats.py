@@ -1,0 +1,381 @@
+"""Corpus-statistics operators, round 4 batch 3: Heaps'-law vocabulary
+growth, Zipf rank-frequency slope, and chi-squared term–source
+association (feature selection). All three are the "read the corpus
+before you train on it" reports next to text.py's per-doc quality
+metrics — they describe the CORPUS (vocabulary saturation, frequency
+shape, vocabulary-vs-source dependence) rather than any one document.
+
+Exactness: counts are exact BIGINT; each ln is quantized to micro-nats
+per ROW before any cross-row sum (the text_lm.py discipline); the Zipf
+least-squares slope is then a single rounded division of exact integer
+sums; each chi-squared CELL is quantized to micro before the exact
+integer sum over cells (float-sum association order never crosses rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+#: vocabulary-growth checkpoints: corpus prefixes at i/HEAPS_STEPS of the
+#: doc_id range, i = 1..HEAPS_STEPS (doc_id order is the fixture's stable
+#: ingest order — any stable order works; the curve shape is the point)
+HEAPS_STEPS = 10
+
+#: Zipf fit: regress ln(freq) on ln(rank) over the top-N terms. 100 terms
+#: covers the straight-line head where the law holds; the long tail bends
+#: and would need the Zipf–Mandelbrot shift.
+ZIPF_TOP_TERMS = 100
+
+#: chi-squared screen: the top-N corpus terms ranked by document
+#: frequency (ties broken lexicographically for determinism)
+CHI2_TOP_TERMS = 50
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+
+
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct vocabulary size and
+    total token count at HEAPS_STEPS cumulative corpus prefixes (by
+    doc_id). The curve answers the tokenizer-budget question — is the
+    vocabulary saturating (safe to freeze a vocab / dedup more
+    aggressively) or still growing near-linearly (corpus is topically
+    open-ended)? V(n) ≈ K·n^β with β < 1 for natural text.
+
+    Scale shape: the corpus collapses in ONE pass to two bounded tables —
+    per-TERM first-occurrence doc (|vocab| rows: min(doc_id) per term)
+    and per-DOC token counts (|docs| rows) — and the checkpoint join runs
+    against a broadcast 10-row spine. The ≤-joins are broadcast
+    nested-loop joins against 10 rows, i.e. a map-side filter per
+    checkpoint, never a row-scale shuffle."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    wall = Window.partitionBy()
+    # 10-row checkpoint spine: thresholds at i/HEAPS_STEPS of max doc_id
+    # (max read off the bounded per-doc table, not a second corpus scan)
+    spine = (
+        doc_counts.select(F.max("doc_id").alias("max_id"))
+        .crossJoin(
+            spark.range(1, HEAPS_STEPS + 1).select(
+                F.col("id").alias("checkpoint")
+            )
+        )
+        .select(
+            "checkpoint",
+            F.expr(f"checkpoint * max_id div {HEAPS_STEPS}").alias("thr"),
+        )
+    )
+    vocab = (
+        firsts.join(
+            F.broadcast(spine),
+            F.col("first_doc") <= F.col("thr"),
+        )
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    toks = (
+        doc_counts.join(
+            F.broadcast(spine), F.col("doc_id") <= F.col("thr")
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        vocab.join(toks, "checkpoint")
+        .select(
+            F.col("checkpoint").cast("bigint").alias("checkpoint"),
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+        )
+    )
+
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), firsts AS (
+  SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+), doc_counts AS (
+  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+), spine AS (
+  SELECT i AS checkpoint,
+    i * (SELECT max(doc_id) FROM doc_counts) // {HEAPS_STEPS} AS thr
+  FROM range(1, {HEAPS_STEPS} + 1) r(i)
+), vocab AS (
+  SELECT s.checkpoint, CAST(count(*) AS BIGINT) AS vocab_size
+  FROM firsts f JOIN spine s ON f.first_doc <= s.thr
+  GROUP BY s.checkpoint
+), toks AS (
+  SELECT s.checkpoint,
+    CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM doc_counts d JOIN spine s ON d.doc_id <= s.thr
+  GROUP BY s.checkpoint
+)
+SELECT CAST(v.checkpoint AS BIGINT) AS checkpoint, t.n_docs,
+  t.total_tokens, v.vocab_size
+FROM vocab v JOIN toks t ON t.checkpoint = v.checkpoint
+"""
+
+
+def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope of ln(freq) against
+    ln(rank) over the ZIPF_TOP_TERMS most frequent terms. Natural text
+    sits near slope −1; a corpus drifting toward −0.5 (flat head) smells
+    of boilerplate/duplication, one below −1.5 of a tiny closed
+    vocabulary (logs, generated text) — a one-number corpus fingerprint
+    next to lexical_diversity_report.
+
+    Exactness: x = ln(rank), y = ln(freq) are quantized per TERM to
+    micro-nats (identical single-value ln on both engines); Σx, Σy, Σxy,
+    Σx² are then exact integer sums, and slope_micro =
+    round(1e6·(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)) is one double division of
+    exact integers.
+
+    Scale shape: term histogram in one pass, then TakeOrderedAndProject
+    for the top 100 (no global sort materializes), then a 100-row
+    aggregate. The rank window orders 100 rows."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        _tokens(docs)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(ZIPF_TOP_TERMS)
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        ),
+    )
+    mu = lambda c: F.round(  # noqa: E731
+        F.round(F.log(c.cast("double")), 6) * 1_000_000
+    ).cast("bigint")
+    pts = ranked.select(
+        mu(F.col("rank")).alias("x"), mu(F.col("cnt")).alias("y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return agg.select(
+        "n_terms",
+        "sx",
+        "sy",
+        F.round(
+            (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            * 1_000_000.0
+            / (
+                F.col("n_terms") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+        )
+        .cast("bigint")
+        .alias("zipf_slope_micro"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+  ORDER BY cnt DESC, w ASC LIMIT {ZIPF_TOP_TERMS}
+), ranked AS (
+  SELECT cnt,
+    row_number() OVER (ORDER BY cnt DESC, w ASC) AS rnk
+  FROM freq
+), pts AS (
+  SELECT
+    CAST(round(round(ln(CAST(rnk AS DOUBLE)), 6) * 1000000) AS BIGINT)
+      AS x,
+    CAST(round(round(ln(CAST(cnt AS DOUBLE)), 6) * 1000000) AS BIGINT)
+      AS y
+  FROM ranked
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n_terms, sx, sy,
+  CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 1000000.0
+             / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+    AS zipf_slope_micro
+FROM agg
+"""
+
+
+def q_chi2_term_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association between term presence and source over the
+    CHI2_TOP_TERMS most document-frequent terms — the classic
+    feature-selection screen (terms with high chi² are source markers;
+    near-zero chi² terms are source-neutral stopwords). For each term the
+    contingency table is (present/absent) × source over DOCUMENT
+    presence, chi² = Σ_cells (O − E)² / E with E from the margins.
+
+    Exactness: every O and margin is an exact BIGINT; each CELL's
+    (O−E)²/E is one double expression over those integers quantized to
+    micro, and the per-term chi² is the exact integer sum of its
+    2·|sources| cell values — no cross-row float accumulation.
+
+    Scale shape: presence pairs are distinct (doc, term) — one shuffle
+    bounded by presence cardinality; the top-term list (50 rows) and the
+    per-source doc counts (|sources| rows) broadcast; the absent-cell
+    spine is a 50 × |sources| cross join of two broadcast relations."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        _tokens(docs).select("doc_id", "source", "w").distinct()
+    )
+    term_df = pres.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    top = (
+        term_df.orderBy(F.col("n_t").desc(), F.col("w").asc())
+        .limit(CHI2_TOP_TERMS)
+    )
+    src_tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    cells = (
+        pres.join(F.broadcast(top.select("w", "n_t")), "w")
+        .groupBy("w", "n_t", "source")
+        .agg(F.count(F.lit(1)).alias("o_ps"))
+    )
+    spine = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(n_total))
+    )
+    full = spine.join(
+        cells.select("w", "source", "o_ps"), ["w", "source"], "left"
+    ).select(
+        "w",
+        "n_t",
+        "source",
+        "n_s",
+        "n_all",
+        F.coalesce(F.col("o_ps"), F.lit(0)).alias("o_ps"),
+    )
+    cell_mu = lambda o, e: F.round(  # noqa: E731
+        (o.cast("double") - e) * (o.cast("double") - e) / e * 1_000_000.0
+    ).cast("bigint")
+    e_pres = (
+        F.col("n_s").cast("double")
+        * F.col("n_t").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    e_abs = (
+        F.col("n_s").cast("double")
+        * (F.col("n_all") - F.col("n_t")).cast("double")
+        / F.col("n_all").cast("double")
+    )
+    return (
+        full.select(
+            "w",
+            "n_t",
+            (
+                cell_mu(F.col("o_ps"), e_pres)
+                + cell_mu(F.col("n_s") - F.col("o_ps"), e_abs)
+            ).alias("cell_mu"),
+        )
+        .groupBy("w")
+        .agg(
+            F.max("n_t").cast("bigint").alias("n_docs_with_term"),
+            F.sum("cell_mu").cast("bigint").alias("chi2_micro"),
+        )
+    )
+
+
+_CHI2_ORACLE = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, source,
+    unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), term_df AS (
+  SELECT w, count(*) AS n_t FROM pres GROUP BY w
+), top AS (
+  SELECT w, n_t FROM term_df ORDER BY n_t DESC, w ASC
+  LIMIT {CHI2_TOP_TERMS}
+), src_tot AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), n_total AS (
+  SELECT count(*) AS n_all FROM documents
+), cells AS (
+  SELECT p.w, p.source, count(*) AS o_ps
+  FROM pres p JOIN top ON top.w = p.w
+  GROUP BY p.w, p.source
+), full_sp AS (
+  SELECT top.w, top.n_t, s.source, s.n_s, n.n_all,
+    coalesce(c.o_ps, 0) AS o_ps
+  FROM top CROSS JOIN src_tot s CROSS JOIN n_total n
+  LEFT JOIN cells c ON c.w = top.w AND c.source = s.source
+), per_cell AS (
+  SELECT w, n_t,
+    CAST(round(
+      (CAST(o_ps AS DOUBLE)
+        - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+          / CAST(n_all AS DOUBLE))
+      * (CAST(o_ps AS DOUBLE)
+        - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+          / CAST(n_all AS DOUBLE))
+      / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+         / CAST(n_all AS DOUBLE)) * 1000000.0) AS BIGINT)
+    + CAST(round(
+      (CAST(n_s - o_ps AS DOUBLE)
+        - CAST(n_s AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)
+          / CAST(n_all AS DOUBLE))
+      * (CAST(n_s - o_ps AS DOUBLE)
+        - CAST(n_s AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)
+          / CAST(n_all AS DOUBLE))
+      / (CAST(n_s AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)
+         / CAST(n_all AS DOUBLE)) * 1000000.0) AS BIGINT)
+    AS cell_mu
+  FROM full_sp
+)
+SELECT w, CAST(max(n_t) AS BIGINT) AS n_docs_with_term,
+  CAST(sum(cell_mu) AS BIGINT) AS chi2_micro
+FROM per_cell GROUP BY w
+"""
+
+
+QUERIES = {
+    "vocab_growth_heaps": q_vocab_growth_heaps,
+    "zipf_slope_fit": q_zipf_slope_fit,
+    "chi2_term_source": q_chi2_term_source,
+}
+
+ORACLES = {
+    "vocab_growth_heaps": _HEAPS_ORACLE,
+    "zipf_slope_fit": _ZIPF_ORACLE,
+    "chi2_term_source": _CHI2_ORACLE,
+}

@@ -46,6 +46,8 @@ _MODULES = [
     "operators.llm_prep2",
     "operators.llm_prep3",
     "operators.llm_prep4",
+    "operators.eval_stats",
+    "operators.text_stats",
     "operators.model",
     "operators.corpus_reports",
     "operators.sketches",
