@@ -973,8 +973,115 @@ FROM per_dim GROUP BY dim
 """
 
 
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the
+    cluster-quality verdict on the label partition that SemDeDup / IVF
+    lean on: s_i = (b_i − a_i) / max(a_i, b_i) with a_i = distance to
+    the OWN-label centroid and b_i = distance to the NEAREST other
+    centroid (Rousseeuw 1987's full silhouette replaces centroids with
+    mean pairwise distances — O(n²); the centroid form is the standard
+    at-scale estimator, e.g. Spark MLlib's ClusteringEvaluator). Mean
+    s near 0 ⇒ labels are not geometric clusters (embeddings ignore the
+    label); near 1 ⇒ tight separable clusters.
+
+    Exactness: squared distances are exact integer sums of squared
+    micro deviations (the embedding_centroids machinery — offset, µ-
+    quantize, integer centroid `div`); per-VECTOR s is one sqrt/division
+    expression over those exact integers, quantized to ppm; the
+    per-label mean is then an exact integer sum ÷ count.
+
+    Scale shape: the centroid table (|labels|·64 rows) broadcasts; the
+    per-vector × per-candidate-label expansion is map-only; two bounded
+    shuffles ((vec, cand) reduce, label reduce). The all-pairs matrix
+    never materializes."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).withColumn(
+        "vm",
+        F.round(
+            (F.col("val").cast("double") + F.lit(_CENT_OFFSET)) * 1_000_000
+        ).cast("bigint"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.expr("sum(vm) div count(vm)").alias("c_micro")
+    )
+    ssd = (
+        ex.join(F.broadcast(cent), "dim")
+        .withColumn("dev", F.col("vm") - F.col("c_micro"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("dev") * F.col("dev")).alias("ssd"))
+    )
+    per_vec = ssd.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("label"), F.col("ssd"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("c_label") != F.col("label"), F.col("ssd"))
+        ).alias("b2"),
+    )
+    s_ppm = F.round(
+        (F.sqrt(F.col("b2").cast("double")) - F.sqrt(F.col("a2").cast("double")))
+        / F.greatest(
+            F.sqrt(F.col("a2").cast("double")),
+            F.sqrt(F.col("b2").cast("double")),
+        )
+        * 1_000_000.0
+    ).cast("bigint")
+    return (
+        per_vec.select("label", s_ppm.alias("s_ppm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("s_ppm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast("bigint")
+            .alias("mean_silhouette_ppm"),
+        )
+    )
+
+
+_SILHOUETTE_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+    CAST(round((CAST(unnest(embedding) AS DOUBLE) + {_CENT_OFFSET})
+               * 1000000) AS BIGINT) AS vm
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label, dim, sum(vm) // count(vm) AS c_micro
+  FROM ex GROUP BY label, dim
+), ssd AS (
+  SELECT ex.vec_id, ex.label, cent.c_label,
+    sum((ex.vm - cent.c_micro) * (ex.vm - cent.c_micro)) AS ssd
+  FROM ex JOIN cent ON cent.dim = ex.dim
+  GROUP BY 1, 2, 3
+), per_vec AS (
+  SELECT vec_id, label,
+    max(CASE WHEN c_label = label THEN ssd END) AS a2,
+    min(CASE WHEN c_label != label THEN ssd END) AS b2
+  FROM ssd GROUP BY 1, 2
+), s AS (
+  SELECT label,
+    CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+      / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS s_ppm
+  FROM per_vec
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(round(CAST(sum(s_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       AS BIGINT) AS mean_silhouette_ppm
+FROM s GROUP BY label
+"""
+
+
 QUERIES = {
     "matryoshka_dim_quality": q_matryoshka_dim_quality,
+    "silhouette_by_label": q_silhouette_by_label,
     "similarity_filtered_topk": q_similarity_filtered_topk,
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
@@ -991,6 +1098,7 @@ QUERIES = {
 
 ORACLES = {
     "matryoshka_dim_quality": _MRL_ORACLE,
+    "silhouette_by_label": _SILHOUETTE_ORACLE,
     "similarity_filtered_topk": _FILTERED_TOPK_ORACLE,
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,

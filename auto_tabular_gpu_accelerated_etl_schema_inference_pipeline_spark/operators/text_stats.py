@@ -368,14 +368,200 @@ FROM per_cell GROUP BY w
 """
 
 
+#: burstiness screen: the top-N corpus terms by document frequency
+BURSTY_TOP_TERMS = 50
+
+#: PMI co-occurrence: pairs among the top-N document-frequency terms
+PMI_TOP_TERMS = 20
+
+
+def q_burstiness_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor = variance/mean of the per-document
+    count, over ALL docs including zeros) for the BURSTY_TOP_TERMS most
+    document-frequent terms. Function words arrive ~Poisson (Fano ≈ 1);
+    content/topical words are bursty (Fano ≫ 1 — absent from most docs,
+    repeated when present); Fano near 1 for EVERY high-df term is the
+    signature of templated/boilerplate text. Complements zipf_slope_fit
+    (frequency shape) with a dispersion shape.
+
+    Exactness: zero-count docs contribute nothing to Σx and Σx², so both
+    sums come exactly from the docs CONTAINING the term, and
+    fano_ppm = round(1e6 · (N·Σx² − (Σx)²) / (N·Σx)) is one rounded
+    division of exact BIGINTs (N = total docs rides in as a 1-row
+    broadcast).
+
+    Scale shape: one (doc, term) count aggregate, broadcast top-term
+    filter, per-term collapse — text never shuffles, the output is 50
+    rows."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    per_doc = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    top = (
+        per_doc.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(BURSTY_TOP_TERMS)
+        .select("w", "df")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    stats = (
+        per_doc.join(F.broadcast(top), "w")
+        .groupBy("w")
+        .agg(
+            F.max("df").alias("df"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    return stats.select(
+        "w",
+        F.col("df").cast("bigint").alias("n_docs_with_term"),
+        F.col("sx").cast("bigint").alias("total_count"),
+        F.round(
+            (
+                F.col("n_all") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+            * 1_000_000.0
+            / (F.col("n_all") * F.col("sx")).cast("double")
+        )
+        .cast("bigint")
+        .alias("fano_ppm"),
+    )
+
+
+_BURSTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, w, count(*) AS x FROM tok GROUP BY 1, 2
+), top AS (
+  SELECT w, count(*) AS df FROM per_doc GROUP BY w
+  ORDER BY df DESC, w ASC LIMIT {BURSTY_TOP_TERMS}
+), n_total AS (SELECT count(*) AS n_all FROM documents)
+SELECT p.w,
+  CAST(max(top.df) AS BIGINT) AS n_docs_with_term,
+  CAST(sum(p.x) AS BIGINT) AS total_count,
+  CAST(round(
+    CAST(max(n.n_all) * sum(p.x * p.x) - sum(p.x) * sum(p.x) AS DOUBLE)
+    * 1000000.0
+    / CAST(max(n.n_all) * sum(p.x) AS DOUBLE)) AS BIGINT) AS fano_ppm
+FROM per_doc p
+JOIN top ON top.w = p.w
+CROSS JOIN n_total n
+GROUP BY p.w
+"""
+
+
+def q_pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term CO-OCCURRENCE (document
+    presence) for all pairs among the PMI_TOP_TERMS most
+    document-frequent terms — pmi = ln(P(a,b) / (P(a)·P(b))), the
+    word-association statistic behind collocation mining and the
+    classic embedding objective (SGNS factorizes the shifted PMI
+    matrix). Positive PMI pairs travel together (collocations, topical
+    pairs); strongly negative pairs are near-complementary (register or
+    language markers).
+
+    Exactness: counts are exact; pmi_mu = round(round(ln((c_ab·N) /
+    (c_a·c_b)), 6)·1e6) is one single-value ln per PAIR over a ratio of
+    exact integers — nothing float crosses rows.
+
+    Scale shape: presence pairs collapse to (doc, term) distinct; the
+    top-term filter broadcasts, so the within-doc self-join is over ≤
+    PMI_TOP_TERMS rows per doc (≤190 pairs) and aggregates to ≤190 rows
+    total. Marginals come off the broadcast top list itself."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pres = _tokens(docs).select("doc_id", "w").distinct()
+    top = (
+        pres.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(PMI_TOP_TERMS)
+    )
+    pt = pres.join(F.broadcast(top), "w").select("doc_id", "w", "df")
+    pairs = (
+        pt.alias("a")
+        .join(
+            pt.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.w").alias("term_a"),
+            F.col("b.w").alias("term_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.max("a.df").alias("c_a"),
+            F.max("b.df").alias("c_b"),
+        )
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        pairs.crossJoin(F.broadcast(n_total))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("c_ab").cast("bigint").alias("n_co_docs"),
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("c_ab") * F.col("n_all")).cast("double")
+                        / (F.col("c_a") * F.col("c_b")).cast("double")
+                    ),
+                    6,
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_mu"),
+        )
+    )
+
+
+_PMI_ORACLE = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id,
+    unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), top AS (
+  SELECT w, count(*) AS df FROM pres GROUP BY w
+  ORDER BY df DESC, w ASC LIMIT {PMI_TOP_TERMS}
+), pt AS (
+  SELECT p.doc_id, p.w, top.df
+  FROM pres p JOIN top ON top.w = p.w
+), pairs AS (
+  SELECT a.w AS term_a, b.w AS term_b, count(*) AS c_ab,
+    max(a.df) AS c_a, max(b.df) AS c_b
+  FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS n_co_docs,
+  CAST(round(round(ln(
+    CAST(c_ab * (SELECT count(*) FROM documents) AS DOUBLE)
+    / CAST(c_a * c_b AS DOUBLE)), 6) * 1000000) AS BIGINT) AS pmi_mu
+FROM pairs
+"""
+
+
 QUERIES = {
     "vocab_growth_heaps": q_vocab_growth_heaps,
+    "burstiness_top_terms": q_burstiness_top_terms,
+    "pmi_cooccurrence_pairs": q_pmi_cooccurrence_pairs,
     "zipf_slope_fit": q_zipf_slope_fit,
     "chi2_term_source": q_chi2_term_source,
 }
 
 ORACLES = {
     "vocab_growth_heaps": _HEAPS_ORACLE,
+    "burstiness_top_terms": _BURSTY_ORACLE,
+    "pmi_cooccurrence_pairs": _PMI_ORACLE,
     "zipf_slope_fit": _ZIPF_ORACLE,
     "chi2_term_source": _CHI2_ORACLE,
 }

@@ -68,6 +68,12 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-4 additions
+    "auc_quality_screen",
+    "naive_bayes_source_confusion",
+    "burstiness_top_terms",
+    "pmi_cooccurrence_pairs",
+    "silhouette_by_label",
     # round-4 batch-3 additions
     "kaplan_meier_retention",
     "cohens_kappa_raters",
