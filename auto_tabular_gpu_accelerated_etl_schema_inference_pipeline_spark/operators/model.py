@@ -339,11 +339,25 @@ def q_naive_bayes_source_confusion(spark, sf_dir: str):
         .limit(NB_VOCAB)
         .select("w")
     )
-    # per-source term counts over the closed vocabulary + source totals
-    ts = (
+    # Corpus-pass economy (plan-audited): the naive formulation explodes
+    # the corpus SIX times (vocab df, per-source counts ×2 branches,
+    # per-doc hits, per-doc totals) because Catalyst shares no subtrees
+    # across DAG branches. Fix: localCheckpoint the two BOUNDED
+    # intermediates that fan out — the 200-term vocabulary and the
+    # (doc, term) hit table — the same lineage-pinning the iterative
+    # graph operators use. Result: exploded pass 1 fits the vocabulary,
+    # exploded pass 2 builds doc_hits; model / floor / scoring all read
+    # the pinned tables; per-doc token totals are a map-only
+    # size(split(·)) scan. Two exploded passes is the fit/score floor.
+    top = top.localCheckpoint()
+    doc_hits = (
         tok.join(F.broadcast(top), "w")
-        .groupBy(F.col("source").alias("m_source"), "w")
-        .agg(F.count(F.lit(1)).alias("c_ts"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint()
+    )
+    ts = doc_hits.groupBy(F.col("source").alias("m_source"), "w").agg(
+        F.sum("n_w").alias("c_ts")
     )
     w_src = Window.partitionBy("m_source")
     mu = lambda c: F.round(F.round(F.log(c), 6) * 1_000_000).cast(  # noqa: E731
@@ -372,24 +386,24 @@ def q_naive_bayes_source_confusion(spark, sf_dir: str):
             F.col("n_docs").cast("double")
             / F.sum("n_docs").over(Window.partitionBy()).cast("double")
         ).alias("prior_mu"),
-    )
+    ).localCheckpoint()  # |sources| rows, consumed by two branches
     # score: per doc, per candidate source — vocabulary hits via
     # broadcast join; misses covered by n_oov * floor. The candidate
     # spine is (doc × source) so a doc with ZERO vocabulary hits is
     # still classified (score = prior + n_tok·floor) instead of being
     # silently dropped by the inner hit join.
-    hits = tok.join(F.broadcast(top), "w")
-    doc_hits = hits.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("n_w")
-    )
     cand = doc_hits.join(F.broadcast(model), "w").groupBy(
         "doc_id", "m_source"
     ).agg(
         F.sum(F.col("n_w") * F.col("ll_mu")).alias("hit_mu"),
         F.sum("n_w").alias("n_hit"),
     )
-    tot = tok.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_tok")
+    tot = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "n_tok"
+        ),
     )
     spine = tot.crossJoin(F.broadcast(prior.select("m_source")))
     scored = (

@@ -50,24 +50,28 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggressively) or still growing near-linearly (corpus is topically
     open-ended)? V(n) ≈ K·n^β with β < 1 for natural text.
 
-    Scale shape: the corpus collapses in ONE pass to two bounded tables —
-    per-TERM first-occurrence doc (|vocab| rows: min(doc_id) per term)
-    and per-DOC token counts (|docs| rows) — and the checkpoint join runs
-    against a broadcast 10-row spine. The ≤-joins are broadcast
-    nested-loop joins against 10 rows, i.e. a map-side filter per
-    checkpoint, never a row-scale shuffle."""
+    Scale shape (plan-audited): exactly TWO exploded corpus passes — the
+    two bounded collapses (per-TERM first-occurrence doc, |vocab| rows;
+    per-DOC token counts via map-only size(split(·)) — no explode) —
+    plus one column-pruned plain scan for max(doc_id) (deriving the max
+    from either collapsed table would re-run its whole exploded subtree:
+    Catalyst shares no subtrees across DAG branches). The ≤-joins are
+    broadcast nested-loop joins against the 10-row spine, i.e. a
+    map-side filter per checkpoint, never a row-scale shuffle."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
-    doc_counts = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok")
+    doc_counts = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "n_tok"
+        ),
     )
-    wall = Window.partitionBy()
     # 10-row checkpoint spine: thresholds at i/HEAPS_STEPS of max doc_id
-    # (max read off the bounded per-doc table, not a second corpus scan)
+    # (one column-pruned scan of the id column only)
     spine = (
-        doc_counts.select(F.max("doc_id").alias("max_id"))
+        docs.agg(F.max("doc_id").alias("max_id"))
         .crossJoin(
             spark.range(1, HEAPS_STEPS + 1).select(
                 F.col("id").alias("checkpoint")
@@ -77,6 +81,7 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checkpoint",
             F.expr(f"checkpoint * max_id div {HEAPS_STEPS}").alias("thr"),
         )
+        .localCheckpoint()  # 10 rows, consumed by two ≤-joins
     )
     vocab = (
         firsts.join(
@@ -261,21 +266,23 @@ def q_chi2_term_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         term_df.orderBy(F.col("n_t").desc(), F.col("w").asc())
         .limit(CHI2_TOP_TERMS)
+        .localCheckpoint()  # 50 rows, consumed by the cell join AND the
+        # contingency spine — unpinned, each consumer re-ran the whole
+        # exploded presence aggregate (Catalyst shares no subtrees)
     )
-    src_tot = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_s")
+    # per-source totals; the global N derives from them via a window
+    # over |sources| rows instead of a second scan of documents
+    src_tot = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("n_all", F.sum("n_s").over(Window.partitionBy()))
     )
-    n_total = docs.agg(F.count(F.lit(1)).alias("n_all"))
     cells = (
         pres.join(F.broadcast(top.select("w", "n_t")), "w")
         .groupBy("w", "n_t", "source")
         .agg(F.count(F.lit(1)).alias("o_ps"))
     )
-    spine = (
-        F.broadcast(top)
-        .crossJoin(F.broadcast(src_tot))
-        .crossJoin(F.broadcast(n_total))
-    )
+    spine = F.broadcast(top).crossJoin(F.broadcast(src_tot))
     full = spine.join(
         cells.select("w", "source", "o_ps"), ["w", "source"], "left"
     ).select(
@@ -471,10 +478,14 @@ def q_pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_a·c_b)), 6)·1e6) is one single-value ln per PAIR over a ratio of
     exact integers — nothing float crosses rows.
 
-    Scale shape: presence pairs collapse to (doc, term) distinct; the
-    top-term filter broadcasts, so the within-doc self-join is over ≤
-    PMI_TOP_TERMS rows per doc (≤190 pairs) and aggregates to ≤190 rows
-    total. Marginals come off the broadcast top list itself."""
+    Scale shape (plan-audited): exactly TWO exploded corpus passes (the
+    fit/score floor — vocabulary cut, then presence) plus one plain
+    count scan. Within-doc pairing happens on the per-doc ARRAY of
+    surviving top terms (≤ PMI_TOP_TERMS elements → ≤190 pairs emitted
+    by a higher-order transform), not a row self-join — the naive
+    pt⋈pt formulation re-ran the whole presence subtree for each side
+    because Catalyst shares no subtrees. Marginals ride in on the
+    broadcast top list."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     pres = _tokens(docs).select("doc_id", "w").distinct()
@@ -484,22 +495,27 @@ def q_pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("w").asc())
         .limit(PMI_TOP_TERMS)
     )
-    pt = pres.join(F.broadcast(top), "w").select("doc_id", "w", "df")
+    per_doc = (
+        pres.join(F.broadcast(top), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sort_array(collect_list(struct(w, df)))").alias("arr")
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), y -> "
+        "struct(x.w AS term_a, y.w AS term_b, "
+        "x.df AS c_a, y.df AS c_b))))"
+    )
     pairs = (
-        pt.alias("a")
-        .join(
-            pt.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") < F.col("b.w")),
-        )
-        .groupBy(
-            F.col("a.w").alias("term_a"),
-            F.col("b.w").alias("term_b"),
-        )
+        per_doc.select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
+        .groupBy("term_a", "term_b")
         .agg(
             F.count(F.lit(1)).alias("c_ab"),
-            F.max("a.df").alias("c_a"),
-            F.max("b.df").alias("c_b"),
+            F.max("c_a").alias("c_a"),
+            F.max("c_b").alias("c_b"),
         )
     )
     n_total = docs.agg(F.count(F.lit(1)).alias("n_all"))
