@@ -1,0 +1,230 @@
+"""Property tests for the round-4 batch-3/4 statistics operators —
+semantic invariants the oracle parity check can't see (parity proves
+both engines agree, not that the agreed-on answer has the claimed
+structure). Synthetic-fixture tests write tiny parquet tables with the
+standard schemas so the closed-form answer is known exactly."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.eval_stats import (  # noqa: E402
+    q_cohens_kappa_raters,
+    q_kaplan_meier_retention,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.model import (  # noqa: E402
+    AUC_POS_LANG,
+    q_auc_quality_screen,
+    q_naive_bayes_source_confusion,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text_stats import (  # noqa: E402
+    q_burstiness_top_terms,
+    q_vocab_growth_heaps,
+    q_zipf_slope_fit,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (  # noqa: E402
+    q_matryoshka_dim_quality,
+    q_silhouette_by_label,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.audit import (  # noqa: E402
+    q_t_closeness_audit,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep4 import (  # noqa: E402
+    CURRICULUM_STAGE_DOCS,
+    q_curriculum_stages,
+)
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (  # noqa: E402
+    load_table,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_km_life_table_invariants(spark, sf_dir):
+    """Survival is non-increasing in t, n_risk is non-increasing, the
+    life table accounts for every user exactly once, and S(t) stays in
+    [0, 1e6]."""
+    rows = sorted(
+        q_kaplan_meier_retention(spark, sf_dir).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows, "life table is empty"
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["d"] + r["c"] for r in rows) == users
+    prev_s, prev_n = 1_000_000, None
+    for r in rows:
+        assert 0 <= r["survival_ppm"] <= 1_000_000
+        assert r["survival_ppm"] <= prev_s + 1  # rounding slack of 1 ppm
+        prev_s = r["survival_ppm"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_n = r["n_risk"]
+    # non-vacuous on the shipped fixtures: some churn must be observed
+    assert sum(r["d"] for r in rows) > 0
+
+
+def test_kappa_perfect_agreement_is_one(spark, tmp_path):
+    """Two raters that agree on every doc (and the table is not
+    single-class) must score kappa_ppm == 1e6."""
+    long = "w " * 60  # >=200 chars and >=40 tokens -> both raters pass
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, long * 4, "en", "s"), (2, "short", "en", "s"),
+         (3, long * 4, "en", "s"), (4, "tiny", "en", "s")],
+    )
+    row = q_cohens_kappa_raters(spark, sf).collect()[0]
+    assert row["agree"] == row["n"] == 4
+    assert row["kappa_ppm"] == 1_000_000
+
+
+def test_auc_perfect_separation_is_one(spark, tmp_path):
+    """If every positive-class doc has strictly more tokens than every
+    negative doc, AUC must be exactly 1e6 (and 0 for the inverted
+    labeling)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b c d e f", AUC_POS_LANG, "s"),
+         (2, "a b c d e", AUC_POS_LANG, "s"),
+         (3, "a b", "xx", "s"),
+         (4, "a", "xx", "s")],
+    )
+    row = q_auc_quality_screen(spark, sf).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_ppm"]) == (2, 2, 1_000_000)
+    sf2 = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a", AUC_POS_LANG, "s"), (2, "a b c", "xx", "s"),
+         (3, "a b c d", "xx", "s")],
+    )
+    row2 = q_auc_quality_screen(spark, sf2).collect()[0]
+    assert row2["auc_ppm"] == 0
+
+
+def test_naive_bayes_confusion_accounts_for_every_doc(spark, sf_dir):
+    cm = q_naive_bayes_source_confusion(spark, sf_dir)
+    total = cm.agg(F.sum("n")).collect()[0][0]
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert total == docs  # zero-hit docs must not drop (doc x src spine)
+
+
+def test_naive_bayes_separable_fixture_is_diagonal(spark, tmp_path):
+    """Disjoint vocabularies per source -> the classifier must recover
+    the source exactly (confusion matrix is diagonal)."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma " * 3, "en", "sa"))
+        rows.append((100 + i, "delta epsilon zeta " * 3, "en", "sb"))
+    sf = _write_docs(spark, tmp_path, rows)
+    cm = {(r["source"], r["predicted"]): r["n"]
+          for r in q_naive_bayes_source_confusion(spark, sf).collect()}
+    assert cm == {("sa", "sa"): 10, ("sb", "sb"): 10}
+
+
+def test_t_closeness_bounds_and_coverage(spark, sf_dir):
+    rows = q_t_closeness_audit(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.select("c_nationkey", "c_mktsegment").distinct().count()
+    assert len(rows) == classes  # every class audited
+    for r in rows:
+        assert 0 <= r["tvd_ppm"] <= 1_000_000
+
+
+def test_heaps_curve_monotone_and_saturates(spark, sf_dir):
+    rows = sorted(
+        q_vocab_growth_heaps(spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] >= a["vocab_size"]
+        assert b["total_tokens"] >= a["total_tokens"]
+        assert b["n_docs"] >= a["n_docs"]
+    # final checkpoint covers the whole corpus
+    docs = load_table(spark, sf_dir, "documents")
+    assert rows[-1]["n_docs"] == docs.count()
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            ).alias("w")
+        )
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["vocab_size"] == vocab
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    row = q_zipf_slope_fit(spark, sf_dir).collect()[0]
+    assert row["zipf_slope_micro"] < 0  # frequency falls with rank
+
+
+def test_burstiness_nonnegative_and_mean_bounds(spark, sf_dir):
+    for r in q_burstiness_top_terms(spark, sf_dir).collect():
+        assert r["fano_ppm"] >= 0  # variance is non-negative
+        assert r["total_count"] >= r["n_docs_with_term"]
+
+
+def test_silhouette_bounds(spark, sf_dir):
+    rows = q_silhouette_by_label(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r["mean_silhouette_ppm"] <= 1_000_000
+
+
+def test_matryoshka_errors_nonnegative_and_full_dim_consistent(
+    spark, sf_dir
+):
+    rows = q_matryoshka_dim_quality(spark, sf_dir).collect()
+    dims = {r["dim"] for r in rows}
+    assert dims == {8, 16, 32}
+    n = {r["n_pairs"] for r in rows}
+    assert len(n) == 1  # every dim scores the same pair sample
+    for r in rows:
+        assert r["sum_abs_err_mu"] >= 0
+
+
+def test_curriculum_stage_sizes_and_rank_contiguity(spark, sf_dir):
+    df = q_curriculum_stages(spark, sf_dir)
+    sizes = df.groupBy("source", "stage").count().collect()
+    for r in sizes:
+        assert r["count"] <= CURRICULUM_STAGE_DOCS
+    ranks = df.groupBy("source").agg(
+        F.min("source_rank").alias("lo"),
+        F.max("source_rank").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source_rank").alias("nd"),
+    )
+    for r in ranks.collect():
+        assert r["lo"] == 1 and r["hi"] == r["n"] == r["nd"]
+
+
+@pytest.mark.parametrize("flip", [False])
+def test_km_censoring_biases_naive_mean_down(spark, sf_dir, flip):
+    """The motivation for KM: the naive mean lifetime over CHURNED users
+    only must not exceed the KM-weighted view — censored users carry the
+    longest observed lifetimes by construction (they were still active
+    at window end). Weak-form check: max censored lifetime >= max
+    churned lifetime on the shipped fixture."""
+    rows = q_kaplan_meier_retention(spark, sf_dir).collect()
+    max_churn = max((r["t"] for r in rows if r["d"] > 0), default=None)
+    max_cens = max((r["t"] for r in rows if r["c"] > 0), default=None)
+    assert max_churn is not None and max_cens is not None
+    assert max_cens >= max_churn
