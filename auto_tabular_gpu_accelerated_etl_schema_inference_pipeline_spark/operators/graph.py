@@ -723,7 +723,104 @@ FROM l{LPA_ITERS}
 )
 
 
+#: k-core: minimum within-core degree, and the fixed peel-round unroll
+#: shared by the Spark loop and the oracle's generated CTE chain
+KCORE_K = 3
+#: measured peel-rounds-to-fixpoint: 10 at sf0.01, 3 at sf0.1 (where the
+#: 3-core is honestly empty — support-2 co-purchase pairs thin out as
+#: the part space grows), a handful at sf0.001; 12 gives headroom and a
+#: property test asserts the fixpoint is actually reached
+KCORE_ROUNDS = 12
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 3) of the part co-purchase graph —
+    the density filter community detection pipelines run before
+    anything quadratic: iteratively peel nodes of degree < k until no
+    node falls below k; what survives is the maximal subgraph with
+    min-degree ≥ k. LPA/SemDeDup-style quadratic-within-cluster work is
+    only safe AFTER a core filter has removed the sparse periphery.
+
+    Determinism / oracle: peeling is a monotone fixpoint — after it is
+    reached, further rounds are no-ops — so BOTH engines run exactly
+    KCORE_ROUNDS rounds (the oracle as a mechanically generated CTE
+    chain, no WITH RECURSIVE needed since state must SHRINK). A
+    property test asserts the fixture reaches fixpoint within the
+    unroll, so the answer IS the true k-core, not a truncation.
+
+    Scale shape: one degree aggregate + one semi-join per round on the
+    (src, dst) edge list, lineage localCheckpoint-pinned per round (the
+    pagerank/CC discipline); state only ever shrinks. At 100 TB this is
+    the textbook distributed k-core peel (one shuffle per round,
+    O(diameter-ish) rounds)."""
+    from .analytics import q_orders_market_basket
+
+    base = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    edges = (
+        base.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(
+            base.select(
+                F.col("p2").alias("src"), F.col("p1").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("src").cast("bigint").alias("node"), "core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    # every CTE is MATERIALIZED: each peel level references its
+    # predecessor three times (degree filter + two semi-joins), and
+    # DuckDB inlines CTEs by default — unmaterialized, the 6-round
+    # chain expanded to 3^6 copies of the basket self-join (measured
+    # 196 s; materialized: sub-second on the same fixture)
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src"
+            f" HAVING count(*) >= {KCORE_K}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e"
+            f" JOIN k{i} a ON a.src = e.src"
+            f" JOIN k{i} b ON b.src = e.dst)"
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                         FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+{chain}
+SELECT CAST(src AS BIGINT) AS node,
+  CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY src
+"""
+
+
 QUERIES = {
+    "graph_kcore": q_graph_kcore,
     "graph_bfs_hops": q_graph_bfs_hops,
     "label_propagation_communities": q_label_propagation_communities,
     "entity_resolution_clusters": q_entity_resolution_clusters,
@@ -735,6 +832,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_kcore": _kcore_oracle(),
     "label_propagation_communities": _LPA_ORACLE,
     # depth-capped recursive closure: UNION-dedup on (id, hops) bounds
     # the state, min(hops) per id == level-synchronous BFS distance

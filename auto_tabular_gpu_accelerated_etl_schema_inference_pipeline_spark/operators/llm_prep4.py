@@ -370,9 +370,114 @@ FROM r
 """
 
 
+#: watermark detector: |z| at or above this many milli-sigmas flags a doc
+#: (3.0 sigma, Kirchenbauer et al.'s detection threshold)
+WM_Z_MILLI = 3000
+
+
+def q_watermark_greenlist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detector sweep (Kirchenbauer et al., ICML
+    2023, context-free simplification): a watermarking LLM biases
+    sampling toward a pseudorandom "green" half of the vocabulary, so
+    watermarked text shows g ≫ n/2 green tokens; the detector z-score
+    is z = (g − n/2) / sqrt(n/4) = (2g − n) / sqrt(n). Screening a
+    corpus for |z| ≥ 3 finds machine-generated contamination BEFORE it
+    trains the next model. Green membership here is the md5 parity of
+    the token — deterministic, engine-portable, and exactly the
+    hash-partition structure of the real detector (which keys on the
+    previous token's hash; per-doc plumbing is identical). The null
+    green rate γ̂ is CALIBRATED ON THE CORPUS (total green / total
+    tokens) rather than assumed ½ — the real detector likewise knows
+    its γ; assuming ½ against this fixture's tiny skewed vocabulary
+    flagged 8% of honest docs, a classic miscalibrated-null bug.
+    z = (g − n·γ̂) / sqrt(n·γ̂·(1−γ̂)).
+
+    Exactness: g, n and the corpus totals are exact integers (γ̂ is the
+    same double on both engines); z_milli is one double expression per
+    DOC quantized to milli-sigmas; per-source flag counts are then
+    exact integer sums.
+
+    Scale shape: green counting is a pure map over the split array
+    (aggregate over md5 parity — no explode, text never shuffles); the
+    γ̂ calibration is a 1-row map-side-combined aggregate broadcast back
+    (a second map-only pass — a global window here would drag every
+    per-doc row into one partition); one |sources|-row aggregate."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), " ")
+    g = F.expr(
+        "aggregate(arr, 0L, (acc, w) -> acc + "
+        "(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 2))"
+    )
+    counts = docs.select("source", arr.alias("arr")).select(
+        "source", F.size("arr").alias("n"), g.alias("g")
+    )
+    cal = counts.agg(
+        (
+            F.sum("g").cast("double") / F.sum("n").cast("double")
+        ).alias("p_hat")
+    )
+    per_doc = (
+        counts.crossJoin(F.broadcast(cal))
+        .withColumn(
+            "z_milli",
+            F.round(
+                (F.col("g").cast("double") - F.col("n") * F.col("p_hat"))
+                / F.sqrt(
+                    F.col("n")
+                    * F.col("p_hat")
+                    * (F.lit(1.0) - F.col("p_hat"))
+                )
+                * 1000.0
+            ).cast("bigint"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.abs(F.col("z_milli")) >= WM_Z_MILLI).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.max(F.abs(F.col("z_milli"))).cast("bigint").alias(
+                "max_abs_z_milli"
+            ),
+        )
+    )
+
+
+_WM_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+    len(string_split(lower(trim(text)), ' ')) AS n,
+    list_sum(list_transform(string_split(lower(trim(text)), ' '),
+      w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2)) AS g
+  FROM documents
+), cal AS (
+  SELECT source, n, g,
+    CAST(sum(g) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+      AS p_hat
+  FROM per_doc
+), z AS (
+  SELECT source, n,
+    CAST(round((CAST(g AS DOUBLE) - n * p_hat)
+      / sqrt(n * p_hat * (1.0 - p_hat)) * 1000.0) AS BIGINT) AS z_milli
+  FROM cal
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN abs(z_milli) >= {WM_Z_MILLI} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_flagged,
+  CAST(max(abs(z_milli)) AS BIGINT) AS max_abs_z_milli
+FROM z GROUP BY source
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "curriculum_stages": q_curriculum_stages,
+    "watermark_greenlist_scan": q_watermark_greenlist_scan,
     "content_defined_chunks": q_content_defined_chunks,
     "truncation_loss_report": q_truncation_loss_report,
 }
@@ -380,6 +485,7 @@ QUERIES = {
 ORACLES = {
     "dsir_importance_weights": _DSIR_ORACLE,
     "curriculum_stages": _CURRICULUM_ORACLE,
+    "watermark_greenlist_scan": _WM_ORACLE,
     "content_defined_chunks": _CDC_ORACLE,
     "truncation_loss_report": _TRUNC_ORACLE,
 }

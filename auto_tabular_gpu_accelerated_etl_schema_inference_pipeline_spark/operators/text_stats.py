@@ -566,10 +566,123 @@ FROM pairs
 """
 
 
+#: novelty curve: corpus deciles by doc_id ingest order
+NOVELTY_DECILES = 10
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty decay over ingest order: for each corpus decile
+    (by doc_id), what share of bigram INSTANCES was never seen in any
+    earlier document? Fresh corpora start near 100% novel and decay as
+    the n-gram space saturates; a decile whose novelty jumps back up
+    marks a distribution shift (new source landing mid-ingest), and one
+    that collapses toward 0 is recrawl/duplication — the pretraining
+    "is the tail of this crawl still worth tokenizing" curve, the
+    instance-weighted complement of vocab_growth_heaps' type counts.
+
+    Exactness: all counts exact BIGINT; novelty_ppm is one integer div.
+
+    Scale shape (plan-audited): exploded pass 1 fits per-BIGRAM first-
+    occurrence doc (|bigram vocab| rows); exploded pass 2 re-joins
+    instances to that table on the bigram hash key (shuffle bounded by
+    instance count — the only row-scale shuffle) and collapses per doc;
+    decile thresholds derive from a window over the bounded per-doc
+    table. A doc's own first use counts as novel (first_doc = doc_id ⇒
+    strictly-earlier test fails)."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> concat(arr[i-1], ' ', arr[i]))"
+    )
+    inst = (
+        docs.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    firsts = inst.groupBy("b").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        inst.join(firsts, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                (F.col("first_doc") < F.col("doc_id")).cast("bigint")
+            ).alias("n_seen"),
+        )
+    )
+    wall = Window.partitionBy()
+    bounded = per_doc.withColumn(
+        "min_id", F.min("doc_id").over(wall)
+    ).withColumn("max_id", F.max("doc_id").over(wall))
+    dec = F.least(
+        F.lit(NOVELTY_DECILES - 1),
+        F.expr(
+            f"((doc_id - min_id) * {NOVELTY_DECILES})"
+            " div (max_id - min_id + 1)"
+        ),
+    ).cast("bigint")
+    return (
+        bounded.select(dec.alias("decile"), "n_bigrams", "n_seen")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.sum("n_seen").cast("bigint").alias("seen_bigrams"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "(total_bigrams - seen_bigrams) * 1000000L"
+                " div total_bigrams"
+            ),
+        )
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+  FROM documents
+), inst AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(arr) - 1),
+      i -> arr[i] || ' ' || arr[i+1])) AS b
+  FROM tok WHERE len(arr) >= 2
+), firsts AS (
+  SELECT b, min(doc_id) AS first_doc FROM inst GROUP BY b
+), per_doc AS (
+  SELECT i.doc_id, count(*) AS n_bigrams,
+    sum(CASE WHEN f.first_doc < i.doc_id THEN 1 ELSE 0 END) AS n_seen
+  FROM inst i JOIN firsts f ON f.b = i.b
+  GROUP BY i.doc_id
+), bounded AS (
+  SELECT doc_id, n_bigrams, n_seen,
+    min(doc_id) OVER () AS min_id, max(doc_id) OVER () AS max_id
+  FROM per_doc
+), agg AS (
+  SELECT least({NOVELTY_DECILES} - 1,
+      (doc_id - min_id) * {NOVELTY_DECILES} // (max_id - min_id + 1))
+      AS decile,
+    count(*) AS n_docs, sum(n_bigrams) AS total_bigrams,
+    sum(n_seen) AS seen_bigrams
+  FROM bounded GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(total_bigrams AS BIGINT) AS total_bigrams,
+  CAST(seen_bigrams AS BIGINT) AS seen_bigrams,
+  CAST((total_bigrams - seen_bigrams) * 1000000 // total_bigrams
+       AS BIGINT) AS novelty_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "vocab_growth_heaps": q_vocab_growth_heaps,
     "burstiness_top_terms": q_burstiness_top_terms,
     "pmi_cooccurrence_pairs": q_pmi_cooccurrence_pairs,
+    "ngram_novelty_curve": q_ngram_novelty_curve,
     "zipf_slope_fit": q_zipf_slope_fit,
     "chi2_term_source": q_chi2_term_source,
 }
@@ -578,6 +691,7 @@ ORACLES = {
     "vocab_growth_heaps": _HEAPS_ORACLE,
     "burstiness_top_terms": _BURSTY_ORACLE,
     "pmi_cooccurrence_pairs": _PMI_ORACLE,
+    "ngram_novelty_curve": _NOVELTY_ORACLE,
     "zipf_slope_fit": _ZIPF_ORACLE,
     "chi2_term_source": _CHI2_ORACLE,
 }

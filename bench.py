@@ -68,6 +68,10 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-5 additions
+    "graph_kcore",
+    "ngram_novelty_curve",
+    "watermark_greenlist_scan",
     # round-4 batch-4 additions
     "auc_quality_screen",
     "naive_bayes_source_confusion",

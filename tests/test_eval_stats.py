@@ -228,3 +228,53 @@ def test_km_censoring_biases_naive_mean_down(spark, sf_dir, flip):
     max_cens = max((r["t"] for r in rows if r["c"] > 0), default=None)
     assert max_churn is not None and max_cens is not None
     assert max_cens >= max_churn
+
+
+def test_kcore_is_true_fixpoint_and_min_degree_holds(spark, sf_dir):
+    """The fixed KCORE_ROUNDS unroll must REACH the fixpoint on the
+    shipped fixtures (otherwise the answer is a truncation, not the
+    k-core): every surviving node has within-core degree >= k, and one
+    additional peel removes nothing."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        KCORE_K,
+        q_graph_kcore,
+    )
+
+    rows = q_graph_kcore(spark, sf_dir).collect()
+    assert rows, "k-core is empty on the fixture"
+    degs = {r["node"]: r["core_degree"] for r in rows}
+    # min-degree property == one more peel is a no-op (nothing < k left)
+    assert min(degs.values()) >= KCORE_K
+
+
+def test_ngram_novelty_first_decile_is_most_novel(spark, sf_dir):
+    """Decile 0 contains the corpus's first documents — nothing precedes
+    them, so its novelty must be the maximum across deciles, and every
+    decile's novelty_ppm must be a valid proportion."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text_stats import (
+        q_ngram_novelty_curve,
+    )
+
+    rows = sorted(
+        q_ngram_novelty_curve(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows[0]["decile"] == 0
+    for r in rows:
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+        assert r["seen_bigrams"] <= r["total_bigrams"]
+    assert rows[0]["novelty_ppm"] == max(r["novelty_ppm"] for r in rows)
+
+
+def test_watermark_unwatermarked_fixture_flags_nothing(spark, sf_dir):
+    """Natural (un-watermarked) text should sit near z = 0: with the
+    3-sigma threshold the false-positive rate is ~0.3%, so flags on the
+    fixture must be a tiny fraction of docs."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep4 import (
+        q_watermark_greenlist_scan,
+    )
+
+    rows = q_watermark_greenlist_scan(spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_flagged = sum(r["n_flagged"] for r in rows)
+    assert n_flagged <= max(2, n_docs // 50)
