@@ -251,12 +251,132 @@ FROM agg
 """
 
 
+#: SPRT hypotheses on the purchase-conversion rate, and the Wald
+#: boundary ln((1−β)/α) at α = β = 0.05, in micro-nats
+SPRT_P0 = 0.15
+SPRT_P1 = 0.20
+SPRT_BOUND_MICRO = 2_944_439  # round(ln(19) · 1e6)
+
+
+def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the purchase
+    conversion rate — the always-valid alternative to fixed-horizon A/B
+    readouts: accumulate the log-likelihood ratio event by event and
+    STOP the moment it exits (ln β/(1−α), ln (1−β)/α); expected sample
+    size is far below the fixed-n test at the same error rates. H0:
+    p = SPRT_P0 vs H1: p = SPRT_P1; output is the decision, when it
+    fired, and the terminal LLR.
+
+    Exactness: the two per-observation LLR increments are CONSTANTS —
+    ln(p1/p0) and ln((1−p1)/(1−p0)) quantized once to micro-nats — so
+    the cumulative LLR is an exact integer sum and the boundary
+    crossing is an exact integer comparison on both engines.
+
+    Scale shape: events collapse to HOURLY (x, n) increments in one
+    map-side-combined pass (decision granularity is hourly — the
+    sequential scan then runs over |hours| rows, never |events|); the
+    ordered cumsum window is over that bounded hour spine; the final
+    report is one row."""
+    import math
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    c1 = round(math.log(SPRT_P1 / SPRT_P0), 6)
+    c0 = round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)), 6)
+    c1_mu, c0_mu = int(round(c1 * 1e6)), int(round(c0 * 1e6))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("bigint")
+        ).alias("x"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hourly.withColumn(
+        "llr",
+        F.sum(
+            F.col("x") * F.lit(c1_mu)
+            + (F.col("n") - F.col("x")) * F.lit(c0_mu)
+        ).over(w),
+    )
+    agg = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.min(
+            F.when(F.col("llr") >= SPRT_BOUND_MICRO, F.col("h"))
+        ).alias("first_up"),
+        F.min(
+            F.when(F.col("llr") <= -SPRT_BOUND_MICRO, F.col("h"))
+        ).alias("first_dn"),
+        F.max_by("llr", "h").cast("bigint").alias("llr_final_micro"),
+    )
+    decision = (
+        F.when(
+            F.col("first_up").isNotNull()
+            & (
+                F.col("first_dn").isNull()
+                | (F.col("first_up") <= F.col("first_dn"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("first_dn").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.select(
+        "n_hours",
+        decision.alias("decision"),
+        F.coalesce(F.col("first_up"), F.col("first_dn")).alias(
+            "decision_hour"
+        ),
+        "llr_final_micro",
+    )
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    c1_mu = int(round(round(math.log(SPRT_P1 / SPRT_P0), 6) * 1e6))
+    c0_mu = int(
+        round(round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)), 6) * 1e6)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT h,
+    sum(x * {c1_mu} + (n - x) * {c0_mu})
+      OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS llr
+  FROM hourly
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+    min(CASE WHEN llr >= {SPRT_BOUND_MICRO} THEN h END) AS first_up,
+    min(CASE WHEN llr <= -{SPRT_BOUND_MICRO} THEN h END) AS first_dn,
+    CAST(arg_max(llr, h) AS BIGINT) AS llr_final_micro
+  FROM cum
+)
+SELECT n_hours,
+  CASE WHEN first_up IS NOT NULL
+            AND (first_dn IS NULL OR first_up <= first_dn)
+       THEN 'accept_h1'
+       WHEN first_dn IS NOT NULL THEN 'accept_h0'
+       ELSE 'continue' END AS decision,
+  coalesce(first_up, first_dn) AS decision_hour,
+  llr_final_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "kaplan_meier_retention": q_kaplan_meier_retention,
     "cohens_kappa_raters": q_cohens_kappa_raters,
+    "sprt_sequential_test": q_sprt_sequential_test,
 }
 
 ORACLES = {
     "kaplan_meier_retention": _KM_ORACLE,
     "cohens_kappa_raters": _KAPPA_ORACLE,
+    "sprt_sequential_test": _sprt_oracle(),
 }

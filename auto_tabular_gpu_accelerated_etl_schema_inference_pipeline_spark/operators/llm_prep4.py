@@ -474,10 +474,115 @@ FROM z GROUP BY source
 """
 
 
+#: greedy max-coverage selection: number of documents to pick
+MAXCOVER_K = 5
+
+
+def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection (the submodular
+    facility-location selection used for demo/eval-set curation and
+    coreset picking): pick MAXCOVER_K documents that together cover the
+    most distinct BIGRAMS, one greedy argmax at a time (greedy is
+    (1−1/e)-optimal — the classic Nemhauser bound — and the only shape
+    that distributes). Bigrams, not unigrams: the fixture's unigram
+    vocabulary is so small one document covers it entirely and the
+    greedy loop degenerates to a single round. Output: one row per
+    round with the picked doc, its marginal gain, and cumulative
+    coverage.
+
+    Determinism: argmax ties break on doc_id ASC; all counts exact.
+
+    Scale shape: the (doc, term) presence relation materializes ONCE
+    (localCheckpoint — it is the inverted-index build every selection
+    pass shares); each round is one anti-join against the covered-term
+    set + one per-doc count + a TakeOrdered(1) argmax (1-row driver
+    collect — bounded state, the quantile-fit pattern); the covered set
+    grows by the pick's terms only. K rounds ⇒ K bounded shuffles."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> concat(arr[i-1], ' ', arr[i]))"
+    )
+    pres = (
+        docs.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = pres
+    out, cum = [], 0
+    for rnd in range(1, MAXCOVER_K + 1):
+        pick = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        doc, gain = pick[0]["doc_id"], pick[0]["gain"]
+        cum += gain
+        out.append((rnd, doc, gain, cum))
+        picked_terms = remaining.filter(
+            F.col("doc_id") == doc
+        ).select("w")
+        remaining = remaining.join(
+            picked_terms, "w", "left_anti"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round bigint, doc_id bigint, gain bigint, covered_terms bigint"
+    )
+
+
+def _maxcover_oracle() -> str:
+    parts = []
+    prev_rem = "pres"
+    selects = []
+    for i in range(1, MAXCOVER_K + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT {i} AS round, doc_id,"
+            f" count(*) AS gain FROM {prev_rem} GROUP BY doc_id"
+            f" ORDER BY gain DESC, doc_id ASC LIMIT 1),\n"
+            f"c{i} AS MATERIALIZED (SELECT DISTINCT r.w FROM {prev_rem} r"
+            f" JOIN p{i} USING (doc_id)),\n"
+            f"r{i} AS MATERIALIZED (SELECT a.doc_id, a.w FROM {prev_rem} a"
+            f" ANTI JOIN c{i} b USING (w))"
+        )
+        selects.append(f"SELECT round, doc_id, gain FROM p{i}")
+        prev_rem = f"r{i}"
+    chain = ",\n".join(parts)
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+  FROM documents
+),
+pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(arr) - 1),
+      i -> arr[i] || ' ' || arr[i+1])) AS w
+  FROM tok WHERE len(arr) >= 2
+),
+{chain},
+picks AS ({union})
+SELECT CAST(round AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(gain AS BIGINT) AS gain,
+  CAST(sum(gain) OVER (ORDER BY round
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS covered_terms
+FROM picks
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "curriculum_stages": q_curriculum_stages,
     "watermark_greenlist_scan": q_watermark_greenlist_scan,
+    "max_cover_selection": q_max_cover_selection,
     "content_defined_chunks": q_content_defined_chunks,
     "truncation_loss_report": q_truncation_loss_report,
 }
@@ -486,6 +591,7 @@ ORACLES = {
     "dsir_importance_weights": _DSIR_ORACLE,
     "curriculum_stages": _CURRICULUM_ORACLE,
     "watermark_greenlist_scan": _WM_ORACLE,
+    "max_cover_selection": _maxcover_oracle(),
     "content_defined_chunks": _CDC_ORACLE,
     "truncation_loss_report": _TRUNC_ORACLE,
 }

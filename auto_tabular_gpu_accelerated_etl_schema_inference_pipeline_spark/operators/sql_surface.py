@@ -1,0 +1,192 @@
+"""Spark 4 SQL-surface operators: declarative SQL UDFs (CREATE
+FUNCTION ... RETURN), collation-aware semantics (COLLATE UTF8_LCASE),
+and DataFrame.transpose — the API additions a user migrating a
+SQL-heavy warehouse onto this engine reaches for first. Each is
+exercised through a real query with a DuckDB oracle, not a bare API
+call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle, load_table
+
+
+def q_sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN):
+    business logic (`net_price` = price × (1 − discount)) defined ONCE
+    as a catalog function and reused across queries — unlike Python
+    UDFs, SQL UDFs are inlined by Catalyst into the plan (full codegen,
+    pushdown through them, zero serialization), so they are the
+    100 TB-safe way to centralize semantics. The query: net revenue per
+    return flag / line status over the standard shipdate cut.
+
+    Exactness: decimal arithmetic end to end (the tpch_q1 discipline) —
+    (12,2)×(12,2) products at scale 4, lossless, summed as decimals.
+
+    Scale shape: identical to tpch_q1 — pushed filter, pruned scan,
+    partial agg, one small shuffle. The UDF leaves no trace in the
+    physical plan (that is the point)."""
+    configure_for_oracle(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price("
+        "p DECIMAL(12,2), d DECIMAL(12,2)) RETURNS DECIMAL(18,4) "
+        "RETURN p * (CAST(1 AS DECIMAL(1,0)) - d)"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(net_price(CAST(l_extendedprice AS DECIMAL(12,2)),
+                             CAST(l_discount AS DECIMAL(12,2))))
+               AS DECIMAL(38,4)) AS net_revenue,
+          count(*) AS n_items
+        FROM li_sqludf
+        WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2))))
+       AS DECIMAL(38,4)) AS net_revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_collation_lcase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware semantics (Spark 4 COLLATE UTF8_LCASE): distinct
+    and grouping that treat 'Purchase', 'PURCHASE' and 'purchase' as one
+    value WITHOUT rewriting every predicate through lower() — collations
+    push into comparators, joins, and aggregates at the type level, the
+    engine-native fix for case-divergent enum columns in federated
+    ingests. The fixture's event types are single-case, so the query
+    constructs the case-divergent ingest explicitly (raw ∪ UPPER ∪
+    INITCAP — three binary-distinct spellings per type) and shows the
+    collated distinct collapsing 3k spellings back to k types.
+
+    Scale shape: map-only case construction, one grouping shuffle whose
+    key is the collated type (hash of the collation key, same
+    cardinality as the true type domain)."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    variants = (
+        ev.select(F.col("event_type").alias("t"))
+        .union(ev.select(F.upper("event_type").alias("t")))
+        .union(ev.select(F.initcap("event_type").alias("t")))
+    )
+    variants.createOrReplaceTempView("ev_case_variants")
+    return spark.sql(
+        """
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS distinct_binary,
+          CAST(count(DISTINCT t COLLATE UTF8_LCASE) AS BIGINT)
+            AS distinct_lcase
+        FROM ev_case_variants
+        """
+    )
+
+
+_COLLATION_ORACLE = """
+WITH v AS (
+  SELECT event_type AS t FROM events
+  UNION ALL SELECT upper(event_type) FROM events
+  UNION ALL SELECT
+    upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+  FROM events
+)
+SELECT CAST(count(DISTINCT t) AS BIGINT) AS distinct_binary,
+  CAST(count(DISTINCT lower(t)) AS BIGINT) AS distinct_lcase
+FROM v
+"""
+
+
+def q_transpose_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a per-returnflag metrics
+    table so each flag becomes a COLUMN and each metric a row — the
+    report-layout step that previously forced a driver-side pandas
+    round-trip. Input is the bounded (3-row) flag profile; transpose of
+    a bounded relation is the supported shape (column count = former
+    row count, so transposing row-scale data is a non-goal by
+    construction).
+
+    Exactness: metrics are exact integer counts cast to one common
+    BIGINT type (transpose requires a uniform value type)."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        )
+    )
+    long = prof.unpivot(
+        ["l_returnflag"],
+        ["n_items", "n_orders", "n_parts"],
+        "metric",
+        "value",
+    )
+    wide = long.groupBy("metric").pivot("l_returnflag").sum("value")
+    # DataFrame.transpose is the one-call equivalent of the
+    # unpivot+pivot above; run it and verify the engine agrees with the
+    # compositional plan, then return the compositional result (its
+    # column order is deterministic).
+    t = prof.transpose("l_returnflag")
+    flags = sorted(c for c in t.columns if c != "key")
+    tt = t.select(
+        F.col("key").alias("metric"),
+        *[F.col(c).cast("bigint").alias(c) for c in flags],
+    )
+    ordered = wide.select(
+        "metric", *[F.col(c).cast("bigint").alias(c) for c in flags]
+    )
+    assert sorted(map(tuple, tt.collect())) == sorted(
+        map(tuple, ordered.collect())
+    ), "DataFrame.transpose disagrees with unpivot+pivot"
+    return ordered
+
+
+def _transpose_oracle() -> str:
+    return """
+WITH prof AS (
+  SELECT l_returnflag,
+    count(*) AS n_items,
+    count(DISTINCT l_orderkey) AS n_orders,
+    count(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY l_returnflag
+), long AS (
+  SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM prof
+  UNION ALL
+  SELECT l_returnflag, 'n_orders', n_orders FROM prof
+  UNION ALL
+  SELECT l_returnflag, 'n_parts', n_parts FROM prof
+)
+SELECT metric,
+  CAST(sum(CASE WHEN l_returnflag = 'A' THEN value END) AS BIGINT) AS "A",
+  CAST(sum(CASE WHEN l_returnflag = 'N' THEN value END) AS BIGINT) AS "N",
+  CAST(sum(CASE WHEN l_returnflag = 'R' THEN value END) AS BIGINT) AS "R"
+FROM long GROUP BY metric
+"""
+
+
+QUERIES = {
+    "sql_udf_discounted_revenue": q_sql_udf_discounted_revenue,
+    "collation_lcase_distinct": q_collation_lcase_distinct,
+    "transpose_flag_profile": q_transpose_flag_profile,
+}
+
+ORACLES = {
+    "sql_udf_discounted_revenue": _SQL_UDF_ORACLE,
+    "collation_lcase_distinct": _COLLATION_ORACLE,
+    "transpose_flag_profile": _transpose_oracle(),
+}

@@ -48,6 +48,7 @@ _MODULES = [
     "operators.llm_prep4",
     "operators.eval_stats",
     "operators.text_stats",
+    "operators.sql_surface",
     "operators.model",
     "operators.corpus_reports",
     "operators.sketches",

@@ -68,6 +68,12 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-6 additions
+    "max_cover_selection",
+    "sprt_sequential_test",
+    "sql_udf_discounted_revenue",
+    "collation_lcase_distinct",
+    "transpose_flag_profile",
     # round-4 batch-5 additions
     "graph_kcore",
     "ngram_novelty_curve",
