@@ -27,6 +27,14 @@ def test_entry_smoke(spark):
 def test_query_runs(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+    # Sweeping physical-plan audit, free because the plan is already
+    # built: NO query in the registry may plan a CartesianProduct — a
+    # cartesian at 100 TB is a scale-killer regardless of fixture size.
+    # (Bounded 1-row / tiny-relation cross joins plan as
+    # BroadcastNestedLoopJoin, which is allowed; only the real
+    # cartesian operator is banned.)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
