@@ -1333,7 +1333,201 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (the time-series-DB `interpolate`
+    next to gap_fill's forward-fill): per-user hourly grid where every
+    MISSING hour gets the straight line between the surrounding observed
+    hours — v = v_prev + (v_next − v_prev)·(h − h_prev)/(h_next − h_prev)
+    — and boundary hours outside the observed hull stay NULL (honest:
+    extrapolation is a modeling choice, not a resample). Values are
+    micro-quantized means per observed hour.
+
+    Exactness: observed hourly means are micro-quantized BIGINTs (one
+    rounded division of exact sums per observed hour); the interpolation
+    is a single double expression over exact integers, rounded — an
+    integer `div` here was rejected because Spark truncates toward zero
+    while DuckDB floors, and negative deltas would diverge.
+
+    Scale shape: identical to events_gap_fill — dense grid via
+    sequence+explode (map-side, span-bounded), four ignorenulls windows
+    partitioned per user. Nothing global."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = (
+        ev.select("user_id", hour.alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("double"))
+                / F.count(F.lit(1)).cast("double")
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("v_mu")
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    filled = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "h_obs", F.when(F.col("v_mu").isNotNull(), F.col("h"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v_mu", ignorenulls=True).over(wb)
+    prev_h = F.last("h_obs", ignorenulls=True).over(wb)
+    next_v = F.first("v_mu", ignorenulls=True).over(wf)
+    next_h = F.first("h_obs", ignorenulls=True).over(wf)
+    interp = F.round(
+        prev_v.cast("double")
+        + (next_v - prev_v).cast("double")
+        * (F.col("h") - prev_h).cast("double")
+        / (next_h - prev_h).cast("double")
+    ).cast("bigint")
+    return filled.select(
+        "user_id",
+        "h",
+        F.col("v_mu").isNotNull().alias("observed"),
+        F.when(F.col("v_mu").isNotNull(), F.col("v_mu"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .alias("value_interp_mu"),
+    )
+
+
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+    CAST(floor(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) AS h,
+    CAST(round(sum(CAST(value AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+               * 1000000) AS BIGINT) AS v_mu
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, CAST(floor(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT)
+), span AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span
+), filled AS (
+  SELECT g.user_id, g.h, hy.v_mu,
+    CASE WHEN hy.v_mu IS NOT NULL THEN g.h END AS h_obs
+  FROM grid g LEFT JOIN hourly hy
+    ON hy.user_id = g.user_id AND hy.h = g.h
+), w AS (
+  SELECT user_id, h, v_mu,
+    last_value(v_mu IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(h_obs IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(v_mu IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(h_obs IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM filled
+)
+SELECT user_id, h, v_mu IS NOT NULL AS observed,
+  CASE WHEN v_mu IS NOT NULL THEN v_mu
+       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+         CAST(round(CAST(prev_v AS DOUBLE)
+           + CAST(next_v - prev_v AS DOUBLE)
+             * CAST(h - prev_h AS DOUBLE)
+             / CAST(next_h - prev_h AS DOUBLE)) AS BIGINT)
+  END AS value_interp_mu
+FROM w
+"""
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of hourly event volume: the MEDIAN of all
+    pairwise slopes (c_j − c_i)/(h_j − h_i) — up to 29% contamination
+    (outage hours, bot bursts) cannot move it, unlike the OLS slope the
+    grouped_linear_regression operator fits. Output: lower-median slope
+    in micro-events/hour with the pair census.
+
+    Exactness: each pairwise slope is one double division of exact
+    integer counts quantized to micro; the median is selected BY
+    POSITION (row_number over a deterministic total order — slope, i,
+    j), not by any engine's interpolating median.
+
+    Scale shape: events collapse map-side to |hours| rows; the pairwise
+    join is quadratic in the TIME DOMAIN (|hours|² — bounded by the
+    observation window, never by |events|; ~260k pairs per month-year),
+    and the selection window orders that bounded pair set."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = (
+        ev.select(hour.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # two join sides — pin or the corpus scans twice
+    )
+    a = hourly.select(F.col("h").alias("hi"), F.col("c").alias("ci"))
+    b = hourly.select(F.col("h").alias("hj"), F.col("c").alias("cj"))
+    slopes = a.join(b, F.col("hi") < F.col("hj")).select(
+        "hi",
+        "hj",
+        F.round(
+            (F.col("cj") - F.col("ci")).cast("double")
+            * 1_000_000.0
+            / (F.col("hj") - F.col("hi")).cast("double")
+        )
+        .cast("bigint")
+        .alias("s_mu"),
+    )
+    w = Window.orderBy("s_mu", "hi", "hj")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    n = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("s_mu").alias("theil_sen_slope_mu_per_hour"),
+        )
+    )
+
+
+_THEIL_SEN_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) AS h,
+    count(*) AS c
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT a.h AS hi, b.h AS hj,
+    CAST(round(CAST(b.c - a.c AS DOUBLE) * 1000000.0
+               / CAST(b.h - a.h AS DOUBLE)) AS BIGINT) AS s_mu
+  FROM hourly a JOIN hourly b ON a.h < b.h
+), ranked AS (
+  SELECT s_mu, row_number() OVER (ORDER BY s_mu, hi, hj) AS rn,
+    count(*) OVER () AS n_pairs
+  FROM slopes
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  s_mu AS theil_sen_slope_mu_per_hour
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
 QUERIES = {
+    "events_linear_interpolate": q_events_linear_interpolate,
+    "theil_sen_trend": q_theil_sen_trend,
     "attribution_last_touch": q_attribution_last_touch,
     "events_error_bursts": q_events_error_bursts,
     "events_seasonality_profile": q_events_seasonality_profile,
@@ -1369,6 +1563,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_linear_interpolate": _INTERP_ORACLE,
+    "theil_sen_trend": _THEIL_SEN_ORACLE,
     # list_reduce seeds from the first element, matching the Spark
     # fold's element_at(series, 1) init; // 2 == shiftright 1 for the
     # non-negative cents

@@ -68,6 +68,9 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-7 additions
+    "events_linear_interpolate",
+    "theil_sen_trend",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
