@@ -536,9 +536,140 @@ FROM t
 """
 
 
+#: DP release: epsilon = 1.0 for a sensitivity-1 count; the Laplace
+#: draw is SEEDED (md5 of source + salt) so the release is replayable —
+#: the engine artifact under test is the mechanism plumbing, not the
+#: entropy source (swap the seeded uniform for a CSPRNG in production)
+DP_EPSILON = 1.0
+DP_SALT = "dp-release-v1"
+
+
+def q_dp_noisy_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts via the
+    Laplace mechanism (sensitivity-1 count, ε = DP_EPSILON, b = 1/ε):
+    noisy = n + Lap(b), with the draw derived by inverse CDF
+    x = −b · sgn(u−½) · ln(1 − 2|u−½|) from a SEEDED md5 uniform so the
+    release is deterministic and testable (production swaps the seeded
+    uniform for a CSPRNG; every other line is the real mechanism). The
+    true count never leaves the query — only the noisy value and the ε
+    accounting do.
+
+    Exactness: u = (md5_32(source‖salt) + 0.5) / 2³² is the same double
+    on both engines; one ln per SOURCE; the released value is quantized
+    to milli-counts.
+
+    Scale shape: one map-side-combined count per source; noise is a
+    per-row expression over the |sources|-row aggregate."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(source, "
+            f"'{DP_SALT}')), 1, 8), 16, 10) as bigint)"
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return per_src.select(
+        "source",
+        F.round((F.col("n") + noise) * 1000.0)
+        .cast("bigint")
+        .alias("noisy_count_milli"),
+        F.lit(int(DP_EPSILON * 1_000_000)).cast("bigint").alias(
+            "epsilon_micro"
+        ),
+    )
+
+
+_DP_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), draw AS (
+  SELECT source, n,
+    (CAST(('0x' || substr(md5(source || '{DP_SALT}'), 1, 8))::BIGINT
+          AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM per_src
+)
+SELECT source,
+  CAST(round((n + (-{1.0 / DP_EPSILON}) * sign(u - 0.5)
+              * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000.0) AS BIGINT)
+    AS noisy_count_milli,
+  CAST({int(DP_EPSILON * 1_000_000)} AS BIGINT) AS epsilon_micro
+FROM draw
+"""
+
+
+#: four-fifths rule threshold (US EEOC disparate-impact guideline)
+DI_THRESHOLD_PPM = 800_000
+
+
+def q_disparate_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the length-based quality gate across
+    sources — the four-fifths rule applied to data curation: if a
+    filter's pass rate for some source falls below 80% of the
+    best-passing source's rate, the filter is systematically silencing
+    that source (the documented failure mode of naive quality filters
+    on low-resource languages — Gopher/Dolma both report this). Exact
+    integer ppm rates; flag per the EEOC threshold.
+
+    Scale shape: one map-side aggregate to |sources| rows; the max rate
+    rides a window over that bounded relation."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    passed = (F.col("n_chars") >= 200).cast("bigint")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(passed).alias("n_pass"),
+    )
+    rate = F.expr("n_pass * 1000000L div n_docs")
+    wall = Window.partitionBy()
+    scored = per_src.withColumn("pass_ppm", rate).withColumn(
+        "best_ppm", F.max("pass_ppm").over(wall)
+    )
+    return scored.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "pass_ppm",
+        F.expr("pass_ppm * 1000000L div best_ppm").alias(
+            "impact_ratio_ppm"
+        ),
+        (
+            F.expr("pass_ppm * 1000000L div best_ppm")
+            < DI_THRESHOLD_PPM
+        ).alias("four_fifths_violation"),
+    )
+
+
+_DI_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS n_pass
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs, n_pass * 1000000 // n_docs AS pass_ppm,
+    max(n_pass * 1000000 // n_docs) OVER () AS best_ppm
+  FROM per_src
+)
+SELECT source, n_docs, CAST(pass_ppm AS BIGINT) AS pass_ppm,
+  CAST(pass_ppm * 1000000 // best_ppm AS BIGINT) AS impact_ratio_ppm,
+  pass_ppm * 1000000 // best_ppm < {DI_THRESHOLD_PPM}
+    AS four_fifths_violation
+FROM scored
+"""
+
+
 QUERIES = {
     "pseudonymize_users": q_pseudonymize_users,
     "t_closeness_audit": q_t_closeness_audit,
+    "dp_noisy_counts_by_source": q_dp_noisy_counts_by_source,
+    "disparate_impact_report": q_disparate_impact_report,
     "l_diversity_audit": q_l_diversity_audit,
     "order_reconciliation": q_order_reconciliation,
     "sequence_gap_audit": q_sequence_gap_audit,
@@ -550,6 +681,8 @@ QUERIES = {
 ORACLES = {
     "pseudonymize_users": _PSEUDO_ORACLE,
     "t_closeness_audit": _T_CLOSE_ORACLE,
+    "dp_noisy_counts_by_source": _DP_ORACLE,
+    "disparate_impact_report": _DI_ORACLE,
     "l_diversity_audit": _L_DIV_ORACLE,
     "order_reconciliation": _RECON_ORACLE,
     "sequence_gap_audit": _SEQ_GAP_ORACLE,

@@ -1079,9 +1079,118 @@ FROM s GROUP BY label
 """
 
 
+#: triplet audit: anchors are vec_id < TRIPLET_ANCHORS
+TRIPLET_ANCHORS = 300
+
+
+def q_triplet_margin_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet sanity audit for contrastive training data: for each
+    anchor, the deterministic positive (next vec_id with the SAME
+    label) and negative (next vec_id with a DIFFERENT label); a
+    violation is cos(a,p) ≤ cos(a,n) — the anchor sits closer to the
+    wrong class. A high violation rate means (embedding, label) pairs
+    are unusable as contrastive supervision BEFORE any training run
+    spends GPU time discovering it; pairs with mined hard negatives
+    feed negative_sampling_pairs downstream.
+
+    Exactness: triplet ids are exact conditional-min aggregates; the
+    two cosines per triplet use the shared left-fold dot product and
+    are compared directly (same doubles on both engines); counts exact.
+
+    Scale shape: candidate matching joins the bounded anchor set
+    (broadcast) to the corpus once (range predicate vec_id > anchor,
+    conditional min — no window over the corpus); three narrow vector
+    lookups re-join BROADCAST anchor/positive/negative id lists. At
+    production scale anchors are a sample by construction, so every
+    relation except the one corpus scan is bounded."""
+    emb = _emb(spark, sf_dir)
+    a_ids = emb.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label")
+    )
+    cand = (
+        emb.select("vec_id", "label")
+        .join(
+            F.broadcast(a_ids), F.col("vec_id") > F.col("a_id")
+        )
+        .groupBy("a_id", "a_label")
+        .agg(
+            F.min(
+                F.when(F.col("label") == F.col("a_label"), F.col("vec_id"))
+            ).alias("p_id"),
+            F.min(
+                F.when(F.col("label") != F.col("a_label"), F.col("vec_id"))
+            ).alias("n_id"),
+        )
+        .filter(F.col("p_id").isNotNull() & F.col("n_id").isNotNull())
+    )
+    v = emb.select("vec_id", _dbl_vec(F.col("embedding")).alias("vec"))
+    trip = (
+        cand.join(
+            F.broadcast(v.select(F.col("vec_id").alias("a_id"),
+                                 F.col("vec").alias("a_vec"))),
+            "a_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("p_id"),
+                     F.col("vec").alias("p_vec")),
+            "p_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("n_id"),
+                     F.col("vec").alias("n_vec")),
+            "n_id",
+        )
+    )
+    viol = (
+        _cosine(F.col("a_vec"), F.col("p_vec"))
+        <= _cosine(F.col("a_vec"), F.col("n_vec"))
+    ).cast("bigint")
+    return trip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+    ).select(
+        "n_triplets",
+        "n_violations",
+        F.expr("n_violations * 1000000L div n_triplets").alias(
+            "violation_ppm"
+        ),
+    )
+
+
+_TRIPLET_ORACLE = f"""
+WITH a_ids AS (
+  SELECT vec_id AS a_id, label AS a_label FROM embeddings
+  WHERE vec_id < {TRIPLET_ANCHORS}
+), cand AS (
+  SELECT a.a_id, a.a_label,
+    min(CASE WHEN e.label = a.a_label THEN e.vec_id END) AS p_id,
+    min(CASE WHEN e.label != a.a_label THEN e.vec_id END) AS n_id
+  FROM embeddings e JOIN a_ids a ON e.vec_id > a.a_id
+  GROUP BY 1, 2
+), trip AS (
+  SELECT c.a_id, ea.embedding AS a_vec, ep.embedding AS p_vec,
+    en.embedding AS n_vec
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings ep ON ep.vec_id = c.p_id
+  JOIN embeddings en ON en.vec_id = c.n_id
+  WHERE c.p_id IS NOT NULL AND c.n_id IS NOT NULL
+), flags AS (
+  SELECT CASE WHEN {_cos_sql('a_vec', 'p_vec')}
+              <= {_cos_sql('a_vec', 'n_vec')} THEN 1 ELSE 0 END AS viol
+  FROM trip
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+  CAST(sum(viol) AS BIGINT) AS n_violations,
+  CAST(sum(viol) * 1000000 // count(*) AS BIGINT) AS violation_ppm
+FROM flags
+"""
+
+
 QUERIES = {
     "matryoshka_dim_quality": q_matryoshka_dim_quality,
     "silhouette_by_label": q_silhouette_by_label,
+    "triplet_margin_violations": q_triplet_margin_violations,
     "similarity_filtered_topk": q_similarity_filtered_topk,
     "similarity_topk_cosine_arrow": q_similarity_topk_cosine_arrow,
     "semdedup_embedding": q_semdedup_embedding,
@@ -1099,6 +1208,7 @@ QUERIES = {
 ORACLES = {
     "matryoshka_dim_quality": _MRL_ORACLE,
     "silhouette_by_label": _SILHOUETTE_ORACLE,
+    "triplet_margin_violations": _TRIPLET_ORACLE,
     "similarity_filtered_topk": _FILTERED_TOPK_ORACLE,
     "embedding_centroids": _CENTROID_ORACLE,
     "semdedup_embedding": _SEMDEDUP_ORACLE,

@@ -678,11 +678,123 @@ FROM agg
 """
 
 
+#: JS divergence: doc-length bin width in characters
+JS_BIN_CHARS = 100
+
+
+def q_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's doc-length
+    distribution against the REST of the corpus — the bounded,
+    symmetric drift metric (0 ≤ JS ≤ ln 2) that PSI and KL are not:
+    PSI explodes on empty bins and KL is asymmetric, so JS is the
+    right "which source is distributionally weird" ranking. Bins are
+    JS_BIN_CHARS-character length buckets.
+
+    Exactness: the whole statistic derives from the (source × bin)
+    histogram; per-PRESENT-bin contributions are quantized to
+    micro-nats and summed exactly; bins where the source is ABSENT
+    contribute 0.5·ln2·q exactly (p = 0 ⇒ m = q/2 ⇒ the log collapses
+    to the constant ln 2), folded in algebraically as
+    0.5·ln2·(1 − Σ_present q) — no zero-row materialization, the
+    t_closeness_audit trick.
+
+    Scale shape: ONE corpus scan → the bounded histogram; every total
+    (per-bin, per-source, global) is a window over it."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(f"n_chars div {JS_BIN_CHARS}").cast("bigint")
+    g = (
+        docs.select("source", b.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wb = Window.partitionBy("bin")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    h = (
+        g.withColumn("cnt_b", F.sum("cnt").over(wb))
+        .withColumn("n_s", F.sum("cnt").over(ws))
+        .withColumn("n_all", F.sum("cnt").over(wall))
+    )
+    p = F.col("cnt").cast("double") / F.col("n_s").cast("double")
+    q = (F.col("cnt_b") - F.col("cnt")).cast("double") / (
+        F.col("n_all") - F.col("n_s")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * p * F.log(p / m) + F.when(
+        q > 0, F.lit(0.5) * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    # Σ_present q is derived from EXACT integer sums (Σ(cnt_b − cnt)
+    # over present bins, one division at the end) — a float sum of
+    # per-bin q values would be association-order-dependent
+    per_bin = h.select(
+        "source",
+        "n_s",
+        "n_all",
+        F.round(term * 1_000_000).cast("bigint").alias("term_mu"),
+        (F.col("cnt_b") - F.col("cnt")).alias("rest_cnt"),
+    )
+    return per_bin.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_present"),
+        (
+            F.sum("term_mu")
+            + F.round(
+                F.lit(0.5 * 0.6931471805599453)
+                * (
+                    F.lit(1.0)
+                    - F.sum("rest_cnt").cast("double")
+                    / (F.max("n_all") - F.max("n_s")).cast("double")
+                )
+                * 1_000_000
+            ).cast("bigint")
+        ).alias("js_mu"),
+    )
+
+
+_JS_ORACLE = f"""
+WITH g AS (
+  SELECT source, n_chars // {JS_BIN_CHARS} AS bin, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), h AS (
+  SELECT source, cnt,
+    sum(cnt) OVER (PARTITION BY bin) AS cnt_b,
+    sum(cnt) OVER (PARTITION BY source) AS n_s,
+    sum(cnt) OVER () AS n_all
+  FROM g
+), per_bin AS (
+  SELECT source, n_s,
+    CAST(round((
+      0.5 * (CAST(cnt AS DOUBLE) / CAST(n_s AS DOUBLE))
+          * ln((CAST(cnt AS DOUBLE) / CAST(n_s AS DOUBLE))
+               / ((CAST(cnt AS DOUBLE) / CAST(n_s AS DOUBLE)
+                   + CAST(cnt_b - cnt AS DOUBLE)
+                     / CAST(n_all - n_s AS DOUBLE)) / 2.0))
+      + CASE WHEN cnt_b - cnt > 0 THEN
+          0.5 * (CAST(cnt_b - cnt AS DOUBLE) / CAST(n_all - n_s AS DOUBLE))
+          * ln((CAST(cnt_b - cnt AS DOUBLE) / CAST(n_all - n_s AS DOUBLE))
+               / ((CAST(cnt AS DOUBLE) / CAST(n_s AS DOUBLE)
+                   + CAST(cnt_b - cnt AS DOUBLE)
+                     / CAST(n_all - n_s AS DOUBLE)) / 2.0))
+        ELSE 0.0 END) * 1000000) AS BIGINT) AS term_mu,
+    cnt_b - cnt AS rest_cnt, n_all, n_s
+  FROM h
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bins_present,
+  CAST(sum(term_mu)
+    + CAST(round(0.5 * 0.6931471805599453
+        * (1.0 - CAST(sum(rest_cnt) AS DOUBLE)
+                 / CAST(max(n_all) - max(n_s) AS DOUBLE))
+        * 1000000) AS BIGINT) AS BIGINT) AS js_mu
+FROM per_bin GROUP BY source
+"""
+
+
 QUERIES = {
     "vocab_growth_heaps": q_vocab_growth_heaps,
     "burstiness_top_terms": q_burstiness_top_terms,
     "pmi_cooccurrence_pairs": q_pmi_cooccurrence_pairs,
     "ngram_novelty_curve": q_ngram_novelty_curve,
+    "js_divergence_by_source": q_js_divergence_by_source,
     "zipf_slope_fit": q_zipf_slope_fit,
     "chi2_term_source": q_chi2_term_source,
 }
@@ -692,6 +804,7 @@ ORACLES = {
     "burstiness_top_terms": _BURSTY_ORACLE,
     "pmi_cooccurrence_pairs": _PMI_ORACLE,
     "ngram_novelty_curve": _NOVELTY_ORACLE,
+    "js_divergence_by_source": _JS_ORACLE,
     "zipf_slope_fit": _ZIPF_ORACLE,
     "chi2_term_source": _CHI2_ORACLE,
 }

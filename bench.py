@@ -68,6 +68,11 @@ HEADLINE = [
     "fuzzy_join_parts",
     "chunk_dedup",
     "quality_gate_verdict",
+    # round-4 batch-8 additions
+    "dp_noisy_counts_by_source",
+    "disparate_impact_report",
+    "js_divergence_by_source",
+    "triplet_margin_violations",
     # round-4 batch-7 additions
     "events_linear_interpolate",
     "theil_sen_trend",
