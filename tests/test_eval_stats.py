@@ -278,3 +278,173 @@ def test_watermark_unwatermarked_fixture_flags_nothing(spark, sf_dir):
     n_docs = sum(r["n_docs"] for r in rows)
     n_flagged = sum(r["n_flagged"] for r in rows)
     assert n_flagged <= max(2, n_docs // 50)
+
+
+def test_max_cover_gains_monotone_nonincreasing(spark, sf_dir):
+    """Greedy marginal gains are non-increasing (submodularity of
+    coverage) and cumulative coverage is their exact running sum."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep4 import (
+        MAXCOVER_K,
+        q_max_cover_selection,
+    )
+
+    rows = sorted(
+        q_max_cover_selection(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert 1 <= len(rows) <= MAXCOVER_K
+    cum = 0
+    prev_gain = None
+    for r in rows:
+        if prev_gain is not None:
+            assert r["gain"] <= prev_gain
+        prev_gain = r["gain"]
+        cum += r["gain"]
+        assert r["covered_terms"] == cum
+    # picks are distinct documents
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_sprt_decision_consistent_with_llr(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.eval_stats import (
+        SPRT_BOUND_MICRO,
+        q_sprt_sequential_test,
+    )
+
+    row = q_sprt_sequential_test(spark, sf_dir).collect()[0]
+    if row["decision"] == "continue":
+        assert row["decision_hour"] is None
+        assert abs(row["llr_final_micro"]) < SPRT_BOUND_MICRO
+    else:
+        assert row["decision_hour"] is not None
+
+
+def test_dp_noise_is_bounded_and_counts_hidden(spark, sf_dir):
+    """Laplace(b=1/eps) noise from a u in (0,1) grid is finite; the
+    released value must be within a plausible band of the true count
+    (|noise| <= b*ln(2^31) ~ 21.5 for the coarsest u) and the true
+    count column must NOT appear in the output schema."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.audit import (
+        q_dp_noisy_counts_by_source,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+    import pyspark.sql.functions as SF
+
+    df = q_dp_noisy_counts_by_source(spark, sf_dir)
+    assert "n" not in df.columns and "n_docs" not in df.columns
+    true = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(SF.count(SF.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in df.collect():
+        diff = abs(r["noisy_count_milli"] / 1000.0 - true[r["source"]])
+        assert diff <= 22.0
+
+
+def test_disparate_impact_best_source_never_flagged(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.audit import (
+        q_disparate_impact_report,
+    )
+
+    rows = q_disparate_impact_report(spark, sf_dir).collect()
+    best = max(r["pass_ppm"] for r in rows)
+    for r in rows:
+        assert 0 <= r["impact_ratio_ppm"] <= 1_000_000
+        if r["pass_ppm"] == best:
+            assert not r["four_fifths_violation"]
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """0 <= JS <= ln 2 (693147 micro-nats), up to per-bin rounding."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text_stats import (
+        q_js_divergence_by_source,
+    )
+
+    for r in q_js_divergence_by_source(spark, sf_dir).collect():
+        assert -50 <= r["js_mu"] <= 693_200  # rounding slack
+        assert r["n_bins_present"] >= 1
+
+
+def test_triplet_violations_are_a_proportion(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.similarity import (
+        q_triplet_margin_violations,
+    )
+
+    r = q_triplet_margin_violations(spark, sf_dir).collect()[0]
+    assert r["n_triplets"] > 0
+    assert 0 <= r["n_violations"] <= r["n_triplets"]
+
+
+def test_linear_interpolate_matches_observed_and_hull(spark, sf_dir):
+    """Observed hours carry their own value; interior gaps are filled;
+    values outside the observed hull stay NULL; interpolated values lie
+    between the surrounding observed values."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_events_linear_interpolate,
+    )
+
+    rows = q_events_linear_interpolate(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, rs in by_user.items():
+        rs.sort(key=lambda r: r["h"])
+        obs_idx = [i for i, r in enumerate(rs) if r["observed"]]
+        assert obs_idx, "grid spans observed hours by construction"
+        lo, hi = obs_idx[0], obs_idx[-1]
+        for i, r in enumerate(rs):
+            if r["observed"]:
+                assert r["value_interp_mu"] is not None
+            elif lo < i < hi:
+                assert r["value_interp_mu"] is not None
+                prev_v = next(
+                    rs[j]["value_interp_mu"]
+                    for j in range(i, -1, -1)
+                    if rs[j]["observed"]
+                )
+                next_v = next(
+                    rs[j]["value_interp_mu"]
+                    for j in range(i, len(rs))
+                    if rs[j]["observed"]
+                )
+                lo_v, hi_v = min(prev_v, next_v), max(prev_v, next_v)
+                assert lo_v - 1 <= r["value_interp_mu"] <= hi_v + 1
+
+
+def test_theil_sen_ignores_single_outlier_hour(spark, tmp_path):
+    """Robustness: the median-of-slopes must not move when one hour's
+    count is corrupted by a huge spike (OLS would). Synthetic fixture:
+    a perfectly linear hourly series with one 1000x outlier."""
+    import datetime
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_theil_sen_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 10 + 2 * h  # slope exactly 2 events/hour
+        if h == 12:
+            n = 5000  # the outlier
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h, minutes=1),
+                 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    r = q_theil_sen_trend(spark, str(tmp_path)).collect()[0]
+    assert r["theil_sen_slope_mu_per_hour"] == 2_000_000
