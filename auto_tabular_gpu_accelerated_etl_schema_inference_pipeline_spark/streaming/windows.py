@@ -247,7 +247,98 @@ def q_streaming_dedup_within_watermark(
     return spark.table(name)
 
 
+def q_streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sprt_sequential_test — the online experiment
+    monitor: the STREAM maintains the hourly (trials, conversions)
+    increments (complete-mode windowed aggregation, the state a real
+    monitor keeps), and the sequential decision (cumulative LLR against
+    the Wald boundaries) is evaluated on the drained state exactly as
+    the batch operator evaluates it. Same answer as the batch SPRT by
+    construction — the value-verified guarantee that moving the
+    experiment readout online does not change the decision.
+
+    Scale: per-micro-batch state is |hours| rows (event-time windowed
+    counts — tiny, mergeable); the decision query runs on that bounded
+    state, never the raw stream."""
+    from ..operators.eval_stats import (
+        SPRT_BOUND_MICRO,
+        SPRT_P0,
+        SPRT_P1,
+    )
+    import math
+
+    configure_for_oracle(spark)
+    ev = _events_stream(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("x"),
+        )
+        .select(F.col("w.start").alias("h"), "n", "x")
+    )
+    name = "stream_sprt_hourly"
+    q = (
+        hourly.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = spark.table(name)
+    c1_mu = int(round(round(math.log(SPRT_P1 / SPRT_P0), 6) * 1e6))
+    c0_mu = int(
+        round(round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)), 6) * 1e6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = drained.withColumn(
+        "llr",
+        F.sum(
+            F.col("x") * F.lit(c1_mu)
+            + (F.col("n") - F.col("x")) * F.lit(c0_mu)
+        ).over(w),
+    )
+    agg = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.min(
+            F.when(F.col("llr") >= SPRT_BOUND_MICRO, F.col("h"))
+        ).alias("first_up"),
+        F.min(
+            F.when(F.col("llr") <= -SPRT_BOUND_MICRO, F.col("h"))
+        ).alias("first_dn"),
+        F.max_by("llr", "h").cast("bigint").alias("llr_final_micro"),
+    )
+    decision = (
+        F.when(
+            F.col("first_up").isNotNull()
+            & (
+                F.col("first_dn").isNull()
+                | (F.col("first_up") <= F.col("first_dn"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("first_dn").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.select(
+        "n_hours",
+        decision.alias("decision"),
+        F.coalesce(F.col("first_up"), F.col("first_dn")).alias(
+            "decision_hour"
+        ),
+        "llr_final_micro",
+    )
+
+
 QUERIES = {
+    "streaming_sprt_monitor": q_streaming_sprt_monitor,
     "streaming_tumbling_window": q_streaming_tumbling_window,
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_dedup_within_watermark": q_streaming_dedup_within_watermark,
@@ -257,7 +348,12 @@ QUERIES = {
 
 from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
 
+from ..operators.eval_stats import _sprt_oracle as _sprt_oracle_sql  # noqa: E402
+
 ORACLES: dict[str, str] = {
+    # the streaming monitor must reach the SAME decision as the batch
+    # SPRT — one oracle serves both
+    "streaming_sprt_monitor": _sprt_oracle_sql(),
     "streaming_tumbling_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(*) AS n_events,

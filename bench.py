@@ -69,6 +69,7 @@ HEADLINE = [
     "chunk_dedup",
     "quality_gate_verdict",
     # round-4 batch-8 additions
+    "streaming_sprt_monitor",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
