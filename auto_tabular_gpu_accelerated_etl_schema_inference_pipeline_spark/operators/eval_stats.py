@@ -369,14 +369,152 @@ FROM agg
 """
 
 
+#: Poisson bootstrap: number of resamples, and the Poisson(1) inverse
+#: CDF cutoffs (cumulative, 6dp — shared constants on both engines)
+BOOT_B = 100
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012,
+             0.996340, 0.999406, 0.999917)
+
+
+def _pois_w(u_expr: str) -> str:
+    """SQL CASE mapping a uniform to a Poisson(1) weight by inverse CDF
+    (identical string rendered into both engines' queries)."""
+    clauses = " ".join(
+        f"WHEN {u_expr} < {c} THEN {i}"
+        for i, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {clauses} ELSE 7 END"
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean document length with a 90% POISSON-bootstrap
+    confidence interval — the bootstrap that actually runs at scale
+    (Poisson(1) resample weights need no global resample index, so each
+    row independently decides its multiplicity in each of BOOT_B
+    replicas; the classic big-data bootstrap, e.g. Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    Reading a mean without its CI is how corpus dashboards lie — small
+    sources get intervals, not false precision.
+
+    Determinism: the uniform for (doc, replica) is an md5-derived
+    32-bit value; the Poisson inverse-CDF cutoffs are shared 6dp
+    constants; each replica's mean is ONE rounded division of exact
+    integer sums; CI endpoints are selected BY POSITION (5th and 96th
+    of 100 ordered replica means).
+
+    Scale shape: one map-side explode to BOOT_B replica tags per row
+    (no data duplication beyond the narrow (source, b, w·len, w)
+    projection), one (source, replica) partial agg, then per-source
+    windows over exactly BOOT_B rows."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("len")
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(BOOT_B))
+        ).alias("b"),
+    )
+    u = (
+        "(cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+        " cast(b as string))), 1, 8), 16, 10) as bigint) + 0.5)"
+        " / 4294967296.0"
+    )
+    w = F.expr(_pois_w(u))
+    rep = (
+        tagged.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("len")).alias("sw_len"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            "b",
+            F.round(
+                F.col("sw_len").cast("double")
+                * 1_000_000.0
+                / F.col("sw").cast("double")
+            )
+            .cast("bigint")
+            .alias("mean_mu"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy("mean_mu", "b")
+    ranked = rep.withColumn("rn", F.row_number().over(wr))
+    ci = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.max(F.when(F.col("rn") == 5, F.col("mean_mu"))).alias(
+            "ci_lo_mu"
+        ),
+        F.max(F.when(F.col("rn") == 96, F.col("mean_mu"))).alias(
+            "ci_hi_mu"
+        ),
+    )
+    point = docs.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("bigint")).cast("double")
+            * 1_000_000.0
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_mu")
+    )
+    return point.join(ci, "source").select(
+        "source", "mean_mu", "n_replicas", "ci_lo_mu", "ci_hi_mu"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+        " CAST(b AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len,
+    unnest(generate_series(1, {BOOT_B})) AS b
+  FROM documents
+), weighted AS (
+  SELECT source, b, len, {_pois_w(u)} AS w FROM tagged
+), rep AS (
+  SELECT source, b,
+    CAST(round(CAST(sum(w * len) AS DOUBLE) * 1000000.0
+               / CAST(sum(w) AS DOUBLE)) AS BIGINT) AS mean_mu
+  FROM weighted GROUP BY source, b
+  HAVING sum(w) > 0
+), ranked AS (
+  SELECT source, mean_mu,
+    row_number() OVER (PARTITION BY source ORDER BY mean_mu, b) AS rn
+  FROM rep
+), ci AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_replicas,
+    max(CASE WHEN rn = 5 THEN mean_mu END) AS ci_lo_mu,
+    max(CASE WHEN rn = 96 THEN mean_mu END) AS ci_hi_mu
+  FROM ranked GROUP BY source
+), point AS (
+  SELECT source,
+    CAST(round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) * 1000000.0
+               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_mu
+  FROM documents GROUP BY source
+)
+SELECT p.source, p.mean_mu, c.n_replicas, c.ci_lo_mu, c.ci_hi_mu
+FROM point p JOIN ci c ON c.source = p.source
+"""
+
+
 QUERIES = {
     "kaplan_meier_retention": q_kaplan_meier_retention,
     "cohens_kappa_raters": q_cohens_kappa_raters,
     "sprt_sequential_test": q_sprt_sequential_test,
+    "bootstrap_mean_ci": q_bootstrap_mean_ci,
 }
 
 ORACLES = {
     "kaplan_meier_retention": _KM_ORACLE,
     "cohens_kappa_raters": _KAPPA_ORACLE,
     "sprt_sequential_test": _sprt_oracle(),
+    "bootstrap_mean_ci": _bootstrap_oracle(),
 }

@@ -70,6 +70,7 @@ HEADLINE = [
     "quality_gate_verdict",
     # round-4 batch-8 additions
     "streaming_sprt_monitor",
+    "bootstrap_mean_ci",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",

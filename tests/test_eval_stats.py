@@ -448,3 +448,21 @@ def test_theil_sen_ignores_single_outlier_hour(spark, tmp_path):
     )
     r = q_theil_sen_trend(spark, str(tmp_path)).collect()[0]
     assert r["theil_sen_slope_mu_per_hour"] == 2_000_000
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """90% Poisson-bootstrap CI must bracket the full-sample mean for
+    (essentially) every source, be properly ordered, and come from all
+    BOOT_B replicas (Poisson(1) leaves a source empty with prob
+    ~e^-n — never at fixture sizes)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.eval_stats import (
+        BOOT_B,
+        q_bootstrap_mean_ci,
+    )
+
+    rows = q_bootstrap_mean_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_replicas"] == BOOT_B
+        assert r["ci_lo_mu"] <= r["ci_hi_mu"]
+        assert r["ci_lo_mu"] <= r["mean_mu"] <= r["ci_hi_mu"]
