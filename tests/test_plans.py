@@ -497,3 +497,32 @@ def test_cbo_stats_after_analyze(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _scan_count(df):
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .count("FileScan parquet")
+    )
+
+
+def test_round4_scan_floor_pins(spark, sf_dir):
+    """Pin the corpus-pass economies bought in round 4 (Catalyst shares
+    no subtrees across DAG branches, so un-pinned fan-out intermediates
+    silently re-run whole exploded scans — naive Bayes measured SIX
+    exploded corpus scans before localCheckpoint pinning). The counts
+    below are VISIBLE-plan scans; the pinned fit passes run exactly
+    once at query-build time by construction."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.model import (
+        q_naive_bayes_source_confusion,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text_stats import (
+        q_chi2_term_source,
+        q_pmi_cooccurrence_pairs,
+        q_vocab_growth_heaps,
+    )
+
+    assert _scan_count(q_naive_bayes_source_confusion(spark, sf_dir)) <= 2
+    assert _scan_count(q_vocab_growth_heaps(spark, sf_dir)) <= 2
+    assert _scan_count(q_chi2_term_source(spark, sf_dir)) <= 3
+    assert _scan_count(q_pmi_cooccurrence_pairs(spark, sf_dir)) <= 3
