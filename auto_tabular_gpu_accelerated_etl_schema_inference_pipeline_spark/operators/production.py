@@ -202,6 +202,68 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", split.alias("split"))
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: exact-duplicate documents whose copies
+    straddle different splits of q_train_val_test_split — the eval-
+    hygiene check (Dodge et al. 2021 found benchmark answers verbatim
+    in C4's train split this way). A hash-of-id split is immune to
+    RE-ASSIGNMENT drift but does nothing about CONTENT duplicates
+    landing either side of the boundary; this query names every
+    leaking duplicate group: fingerprint, copies, the splits it spans
+    (sorted, joined — a deterministic scalar both engines hash
+    identically). The duplicate key is the 12-token PREFIX fingerprint
+    (the doc_fingerprint blocking key): the fixtures contain no
+    byte-exact duplicate texts, so a full-text digest would make this
+    audit vacuous — prefix near-dups are also what actually leaks in
+    practice (same boilerplate head, divergent tails).
+
+    Scale shape: map-only digest + split columns (text never shuffles —
+    the digest is the shuffle key), one groupBy(digest), leaking groups
+    are small by construction."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    digest = F.md5(
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 12),
+            " ",
+        )
+    )
+    return (
+        docs.select(digest.alias("digest"), split.alias("split"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set("split")), ","
+            ).alias("splits"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
+    )
+
+
+_LEAKAGE_ORACLE = """
+WITH tagged AS (
+  SELECT md5(array_to_string(
+           string_split(lower(trim(text)), ' ')[1:12], ' ')) AS digest,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT digest, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM tagged GROUP BY digest
+HAVING count(*) > 1 AND count(DISTINCT split) > 1
+"""
+
+
 BACKFILL_WINDOW_DAYS = 7
 _US_PER_DAY_BF = 86_400_000_000
 
@@ -358,6 +420,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "incremental_backfill_merge": q_incremental_backfill_merge,
     "train_val_test_split": q_train_val_test_split,
+    "split_leakage_audit": q_split_leakage_audit,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "observe_metrics": q_observe_metrics,
@@ -368,6 +431,7 @@ ORACLES = {
     "incremental_join_view": _IVM_JOIN_ORACLE,
     "sample_weighted": _WEIGHTED_ORACLE,
     "incremental_backfill_merge": _BACKFILL_ORACLE,
+    "split_leakage_audit": _LEAKAGE_ORACLE,
     "train_val_test_split": """
 SELECT doc_id, lang,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

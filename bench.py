@@ -71,6 +71,7 @@ HEADLINE = [
     # round-4 batch-8 additions
     "streaming_sprt_monitor",
     "bootstrap_mean_ci",
+    "split_leakage_audit",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
