@@ -645,7 +645,102 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup graph — the threshold-quality
+    check for dedup_ngram_jaccard: if A~B and B~C but A≁C (an open
+    wedge), the 0.95 cut is slicing through duplicate clusters and the
+    downstream connected-components collapse will merge documents that
+    are NOT mutually near-dups. Reported as the global clustering
+    coefficient gcc = 3·triangles / wedges: near 1 ⇒ the pair relation
+    is effectively transitive (clusters are cliques, CC-collapse is
+    faithful); low ⇒ chains of borderline pairs — tighten the threshold
+    or verify within clusters (the SemDeDup posture).
+
+    Exactness: pure integer graph census (wedges = Σ d(d−1)/2,
+    triangles via the ordered-triple join), one integer division.
+
+    Scale shape: the expensive part is the PPJoin pair computation,
+    which runs ONCE and is localCheckpoint-pinned (unpinned, the
+    triangle join's three edge references would re-run the whole
+    near-dup pipeline three times); everything after operates on the
+    bounded pair set (|pairs| ≪ |docs|²) — the graph_triangle_count
+    shape."""
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .union(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    e1 = pairs.select(F.col("a"), F.col("b"))
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("ta"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN"
+                " 3 * n_triangles * 1000000L div n_wedges"
+                " ELSE NULL END"
+            ).alias("gcc_ppm"),
+        )
+    )
+
+
+_TRANSITIVITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
+  FROM documents
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))
+      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+             AS DOUBLE) >= 0.95
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY v
+), w AS (
+  SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), st AS (SELECT count(*) AS n_edges FROM pairs)
+SELECT CAST(st.n_edges AS BIGINT) AS n_edges,
+  CAST(w.n_wedges AS BIGINT) AS n_wedges,
+  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+  CASE WHEN w.n_wedges > 0 THEN
+    CAST(3 * tri.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+  END AS gcc_ppm
+FROM st, w, tri
+"""
+
+
 QUERIES = {
+    "dedup_transitivity_audit": q_dedup_transitivity_audit,
     "containment_pairs": q_containment_pairs,
     "dedup_exact": q_dedup_exact,
     "fuzzy_join_parts": q_fuzzy_join_parts,
@@ -657,6 +752,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_transitivity_audit": _TRANSITIVITY_ORACLE,
     "containment_pairs": _CONTAINMENT_ORACLE,
     "fuzzy_join_parts": f"""
 WITH names AS (

@@ -72,6 +72,7 @@ HEADLINE = [
     "streaming_sprt_monitor",
     "bootstrap_mean_ci",
     "split_leakage_audit",
+    "dedup_transitivity_audit",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
