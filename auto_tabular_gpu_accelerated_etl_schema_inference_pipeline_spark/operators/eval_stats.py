@@ -505,11 +505,171 @@ FROM point p JOIN ci c ON c.source = p.source
 """
 
 
+def q_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the
+    experimentation-platform staple): adjust each user's experiment-
+    period outcome y by their PRE-period covariate x,
+    ŷ = y − θ·(x − x̄) with θ = cov(x,y)/var(x), which shrinks metric
+    variance by corr²(x,y) and makes small effects readable weeks
+    earlier. Here: x = pre-period event count, y = experiment-period
+    spend (exact cents), periods split at the fixture's time midpoint,
+    arms by user_id parity (the pseudonymize-friendly assignment).
+    Output per arm: users, raw mean, CUPED-adjusted mean, plus the
+    achieved variance-reduction estimate.
+
+    Exactness: per-user sums are exact (counts; cents via decimal);
+    θ and the adjusted means are single double expressions over the
+    exact global moment sums (n·Sxy − Sx·Sy over n·Sxx − Sx²), rounded
+    to micro once per output cell; corr² likewise.
+
+    Scale shape: one scan → per-user (x, y) partial agg; global moments
+    are a 1-row aggregate broadcast back; per-arm collapse is 2 rows."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # integer floor division on both engines (a double `/2` then cast
+    # truncates in Spark but ROUNDS in DuckDB on odd sums)
+    bounds = ev.agg(
+        F.expr(
+            "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2"
+        ).alias("mid_s")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(
+                F.unix_timestamp("ts") < F.col("mid_s"), F.lit(1)
+            ).otherwise(F.lit(0)).alias("pre"),
+            F.when(
+                F.unix_timestamp("ts") >= F.col("mid_s"),
+                F.col("value").cast("decimal(12,2)"),
+            ).alias("spend"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("pre").cast("bigint").alias("x"),
+            F.round(
+                F.coalesce(
+                    F.sum("spend"), F.lit(0).cast("decimal(12,2)")
+                ) * 100
+            ).cast("bigint").alias("y_cents"),
+        )
+        .localCheckpoint()  # feeds the 1-row moments AND the arm rollup
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y_cents") * F.col("y_cents")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    with_theta = mom.select(
+        (num / den).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "xbar"
+        ),
+        F.round(num * num / (den * deny) * 1_000_000)
+        .cast("bigint")
+        .alias("variance_reduction_ppm"),
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y_cents").alias("sy_a"),
+        F.sum("x").alias("sx_a"),
+    )
+    return arm.crossJoin(F.broadcast(with_theta)).select(
+        "arm",
+        "n_users",
+        F.round(
+            F.col("sy_a").cast("double")
+            / F.col("n_users").cast("double")
+            * 10_000.0
+        )
+        .cast("bigint")
+        .alias("raw_mean_spend_micro"),
+        F.round(
+            (
+                F.col("sy_a").cast("double")
+                / F.col("n_users").cast("double")
+                - F.col("theta")
+                * (
+                    F.col("sx_a").cast("double")
+                    / F.col("n_users").cast("double")
+                    - F.col("xbar")
+                )
+            )
+            * 10_000.0
+        )
+        .cast("bigint")
+        .alias("cuped_mean_spend_micro"),
+        "variance_reduction_ppm",
+    )
+
+
+_CUPED_ORACLE = """
+WITH b AS (
+  SELECT (min(epoch_us(ts) // 1000000)
+          + max(epoch_us(ts) // 1000000)) // 2 AS mid_s
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+    CAST(sum(CASE WHEN epoch_us(ts) // 1000000 < b.mid_s
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(round(coalesce(sum(CASE WHEN epoch_us(ts) // 1000000 >= b.mid_s
+      THEN CAST(value AS DECIMAL(12,2)) END), 0) * 100) AS BIGINT)
+      AS y_cents
+  FROM events CROSS JOIN b
+  GROUP BY user_id, CAST(user_id % 2 AS INTEGER)
+), mom AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y_cents) AS sy,
+    sum(x * y_cents) AS sxy, sum(x * x) AS sxx,
+    sum(y_cents * y_cents) AS syy
+  FROM per_user
+), t AS (
+  SELECT
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      * CAST(n * sxy - sx * sy AS DOUBLE)
+      / (CAST(n * sxx - sx * sx AS DOUBLE)
+         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+      AS variance_reduction_ppm
+  FROM mom
+), arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+    sum(y_cents) AS sy_a, sum(x) AS sx_a
+  FROM per_user GROUP BY arm
+)
+SELECT arm.arm, arm.n_users,
+  CAST(round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE) * 10000.0)
+       AS BIGINT) AS raw_mean_spend_micro,
+  CAST(round((CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+    - t.theta * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - t.xbar)) * 10000.0) AS BIGINT)
+    AS cuped_mean_spend_micro,
+  t.variance_reduction_ppm
+FROM arm CROSS JOIN t
+"""
+
+
 QUERIES = {
     "kaplan_meier_retention": q_kaplan_meier_retention,
     "cohens_kappa_raters": q_cohens_kappa_raters,
     "sprt_sequential_test": q_sprt_sequential_test,
     "bootstrap_mean_ci": q_bootstrap_mean_ci,
+    "cuped_adjusted_metric": q_cuped_adjusted_metric,
 }
 
 ORACLES = {
@@ -517,4 +677,5 @@ ORACLES = {
     "cohens_kappa_raters": _KAPPA_ORACLE,
     "sprt_sequential_test": _sprt_oracle(),
     "bootstrap_mean_ci": _bootstrap_oracle(),
+    "cuped_adjusted_metric": _CUPED_ORACLE,
 }

@@ -73,6 +73,7 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "split_leakage_audit",
     "dedup_transitivity_audit",
+    "cuped_adjusted_metric",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
