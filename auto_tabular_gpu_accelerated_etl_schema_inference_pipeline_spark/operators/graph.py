@@ -819,7 +819,117 @@ FROM {prev} GROUP BY src
 """
 
 
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition — the
+    score that says whether the communities LPA found are REAL
+    (Q ≳ 0.3 is the classic "significant community structure" bar;
+    Q ≈ 0 means the partition is no better than random). Clearing
+    denominators makes Q exactly integer until one final division:
+    Q = (4m·Σ_c m_c − Σ_c d_c²) / (4m²) with m = undirected edges,
+    m_c = intra-community edges, d_c = community degree sum.
+
+    Scale shape: the LPA result and the edge list both
+    localCheckpoint-pin (each fans out to 2–3 consumers — unpinned,
+    every consumer would re-run the whole iterative LPA); the census
+    is two broadcast-joined aggregates over the bounded edge set."""
+    from .analytics import q_orders_market_basket
+
+    labels = q_label_propagation_communities(spark, sf_dir).select(
+        F.col("part_node").alias("node"), F.col("community")
+    ).localCheckpoint()
+    pairs = (
+        q_orders_market_basket(spark, sf_dir)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    m = pairs.count()
+    la = labels.select(
+        F.col("node").alias("p1"), F.col("community").alias("c1")
+    )
+    lb = labels.select(
+        F.col("node").alias("p2"), F.col("community").alias("c2")
+    )
+    intra = (
+        pairs.join(F.broadcast(la), "p1")
+        .join(F.broadcast(lb), "p2")
+        .filter(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    directed = pairs.select(F.col("p1").alias("node")).union(
+        pairs.select(F.col("p2").alias("node"))
+    )
+    dc = (
+        directed.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(F.broadcast(labels), "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    sums = dc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+    )
+    return sums.select(
+        "n_communities",
+        F.lit(m).cast("bigint").alias("m_edges"),
+        F.lit(intra).cast("bigint").alias("intra_edges"),
+        F.round(
+            (
+                F.lit(4.0 * m * intra)
+                - F.col("sum_dc2").cast("double")
+            )
+            / F.lit(4.0 * m * m)
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("modularity_ppm"),
+    )
+
+
+def _lpa_modularity_oracle() -> str:
+    return f"""
+WITH lpa AS MATERIALIZED ({_LPA_ORACLE}),
+it2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs2 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it2 a JOIN it2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+mm AS (SELECT count(*) AS m FROM pairs2),
+intra AS (
+  SELECT count(*) AS i
+  FROM pairs2 p
+  JOIN lpa a ON a.part_node = p.p1
+  JOIN lpa b ON b.part_node = p.p2
+  WHERE a.community = b.community
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT p1 AS node FROM pairs2 UNION ALL SELECT p2 FROM pairs2
+  ) GROUP BY node
+),
+dc AS (
+  SELECT l.community, sum(d.deg) AS d_c
+  FROM deg d JOIN lpa l ON l.part_node = d.node
+  GROUP BY l.community
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+    sum(d_c * d_c) AS sum_dc2
+  FROM dc
+)
+SELECT s.n_communities, CAST(mm.m AS BIGINT) AS m_edges,
+  CAST(intra.i AS BIGINT) AS intra_edges,
+  CAST(round((4.0 * mm.m * intra.i - CAST(s.sum_dc2 AS DOUBLE))
+             / (4.0 * mm.m * mm.m) * 1000000.0) AS BIGINT)
+    AS modularity_ppm
+FROM sums s, mm, intra
+"""
+
+
 QUERIES = {
+    "lpa_modularity": q_lpa_modularity,
     "graph_kcore": q_graph_kcore,
     "graph_bfs_hops": q_graph_bfs_hops,
     "label_propagation_communities": q_label_propagation_communities,
@@ -832,6 +942,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lpa_modularity": _lpa_modularity_oracle(),
     "graph_kcore": _kcore_oracle(),
     "label_propagation_communities": _LPA_ORACLE,
     # depth-capped recursive closure: UNION-dedup on (id, hops) bounds

@@ -74,6 +74,7 @@ HEADLINE = [
     "split_leakage_audit",
     "dedup_transitivity_audit",
     "cuped_adjusted_metric",
+    "lpa_modularity",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
