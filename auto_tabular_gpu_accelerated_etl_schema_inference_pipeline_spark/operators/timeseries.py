@@ -1525,7 +1525,106 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+def q_ses_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the SES forecaster with MASE
+    (Hyndman & Koehler 2006) — the scale-free forecast-accuracy metric:
+    for every day t ≥ 2, forecast x̂_t from the SES state over days
+    1..t−1 and score Σ|x_t − x̂_t| / Σ|x_t − x_{t−1}|. MASE < 1 beats
+    the naive carry-forward; a forecaster shipped without this number
+    is a guess. Completes the forecasting lane: events_ses_forecast
+    produces the forecast, this query proves (or disproves) it earns
+    its keep per event type.
+
+    Exactness: daily revenue is exact cents; the SES prefix state uses
+    the same exact integer halving fold as events_ses_forecast (seeded
+    s₁ = x₁, (acc+x) div 2 — non-negative so Spark `div` and DuckDB
+    `//` agree); numerator and denominator are exact integer sums and
+    MASE is one integer ppm division.
+
+    Scale shape: one groupBy shuffle to the per-type DAY series
+    (bounded by calendar span); the rolling-origin evaluation is an
+    in-array higher-order expression (O(days²) lambda evals per type —
+    days ≤ 366, so ≤ ~134k integer ops per group, map-side)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    grouped = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, day_cents))),"
+            " x -> x.day_cents)"
+        ).alias("s")
+    )
+    num = F.expr(
+        "aggregate(transform(sequence(2, size(s)), t ->"
+        " abs(element_at(s, t) - aggregate(slice(s, 2, t - 2),"
+        " element_at(s, 1), (acc, x) -> (acc + x) div 2))),"
+        " 0L, (a, x) -> a + x)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(2, size(s)), t ->"
+        " abs(element_at(s, t) - element_at(s, t - 1))),"
+        " 0L, (a, x) -> a + x)"
+    )
+    return (
+        grouped.select(
+            "event_type",
+            F.size("s").cast("bigint").alias("n_days"),
+            num.alias("sum_abs_err"),
+            den.alias("sum_abs_naive_err"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .select(
+            "event_type",
+            "n_days",
+            "sum_abs_err",
+            "sum_abs_naive_err",
+            F.expr(
+                "sum_abs_err * 1000000L div sum_abs_naive_err"
+            ).alias("mase_ppm"),
+        )
+    )
+
+
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type,
+    list_transform(
+      list_sort(list(struct_pack(day := day, c := day_cents))),
+      x -> x.c) AS s
+  FROM daily GROUP BY event_type
+), scored AS (
+  SELECT event_type, len(s) AS n_days,
+    list_sum(list_transform(generate_series(2, len(s)), t ->
+      abs(s[t] - list_reduce(s[1:t-1],
+                             (acc, x) -> (acc + x) // 2))))
+      AS sum_abs_err,
+    list_sum(list_transform(generate_series(2, len(s)), t ->
+      abs(s[t] - s[t-1]))) AS sum_abs_naive_err
+  FROM series
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+  CAST(sum_abs_naive_err AS BIGINT) AS sum_abs_naive_err,
+  CAST(sum_abs_err * 1000000 // sum_abs_naive_err AS BIGINT)
+    AS mase_ppm
+FROM scored WHERE n_days >= 3
+"""
+
+
 QUERIES = {
+    "ses_backtest_mase": q_ses_backtest_mase,
     "events_linear_interpolate": q_events_linear_interpolate,
     "theil_sen_trend": q_theil_sen_trend,
     "attribution_last_touch": q_attribution_last_touch,
@@ -1563,6 +1662,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ses_backtest_mase": _MASE_ORACLE,
     "events_linear_interpolate": _INTERP_ORACLE,
     "theil_sen_trend": _THEIL_SEN_ORACLE,
     # list_reduce seeds from the first element, matching the Spark

@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_transitivity_audit",
     "cuped_adjusted_metric",
     "lpa_modularity",
+    "ses_backtest_mase",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
