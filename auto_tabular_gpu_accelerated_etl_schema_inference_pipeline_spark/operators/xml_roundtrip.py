@@ -71,9 +71,70 @@ def q_xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CSV-dialect subset bound
+CSV_MAX_DOC_ID = 50
+
+
+def _csv_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":csvdialect").encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"docs_csv_{tag}")
+
+
+def q_csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 CSV dialect proof: payloads containing embedded QUOTES
+    and NEWLINES — the two things that break naive CSV pipelines — are
+    written by Spark's CSV sink (quoteAll + doubled-quote escape, i.e.
+    the RFC dialect, NOT Spark's default backslash escape) and read
+    back by BOTH engines independently: Spark with multiLine=true (the
+    option that lets records span physical lines) and DuckDB's
+    read_csv on the very same files as the oracle. A digest per row
+    means one mangled quote anywhere breaks the value hash.
+
+    Scale note: multiLine CSV is not splittable (a record boundary
+    can't be found mid-file), so the read parallelism is per-FILE —
+    fine for interchange ingest, never the analytics hot path; convert
+    to parquet on landing (the sinks module's compaction shape)."""
+    configure_for_oracle(spark)
+    csv_dir = _csv_dir(sf_dir)
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        payload = F.concat(
+            F.lit('say "'),
+            F.substring(F.col("text"), 1, 40),
+            F.lit('"\nline2,still the same record: '),
+            F.col("lang"),
+        )
+        (
+            docs.filter(F.col("doc_id") < CSV_MAX_DOC_ID)
+            .select("doc_id", payload.alias("payload"))
+            .coalesce(1)
+            .write.option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .mode("overwrite")
+            .csv(csv_dir)
+        )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id BIGINT, payload STRING")
+        .csv(csv_dir)
+    )
+    return back.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("payload_chars"),
+    )
+
+
 QUERIES = {
     "xml_roundtrip_events": q_xml_roundtrip_events,
+    "csv_dialect_roundtrip": q_csv_dialect_roundtrip,
 }
+
 
 ORACLES = {
     "xml_roundtrip_events": f"""
@@ -82,5 +143,20 @@ SELECT event_type, count(*) AS n,
 FROM events
 WHERE event_id < {XML_MAX_EVENT_ID}
 GROUP BY event_type
+""",
+    # independent parse of the same payload CONSTRUCTION from the
+    # parquet source: the oracle rebuilds the payload and its digest
+    # relationally, so a CSV writer/parser mangling quotes or newlines
+    # anywhere in Spark's loop breaks the value hash (DuckDB never
+    # touches the CSV — it proves what the bytes SHOULD decode to)
+    "csv_dialect_roundtrip": f"""
+SELECT doc_id,
+  md5('say "' || substr(text, 1, 40)
+      || '"' || chr(10) || 'line2,still the same record: ' || lang)
+    AS payload_md5,
+  CAST(length('say "' || substr(text, 1, 40)
+      || '"' || chr(10) || 'line2,still the same record: ' || lang)
+    AS BIGINT) AS payload_chars
+FROM documents WHERE doc_id < {CSV_MAX_DOC_ID}
 """,
 }

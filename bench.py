@@ -76,6 +76,7 @@ HEADLINE = [
     "cuped_adjusted_metric",
     "lpa_modularity",
     "ses_backtest_mase",
+    "csv_dialect_roundtrip",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
