@@ -672,10 +672,169 @@ QUERIES = {
     "cuped_adjusted_metric": q_cuped_adjusted_metric,
 }
 
+
+def q_funnel_step_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel significance: the two-proportion pooled z-test
+    on each adjacent funnel conversion (view→click, click→purchase)
+    between experiment arms — events_funnel says WHERE users drop,
+    this says whether the arms drop DIFFERENTLY beyond noise (the
+    readout that stops teams from shipping a funnel "win" that is
+    sampling error). Arms by user_id parity; per-user step membership
+    is existence, not event counts (funnel semantics).
+
+    Membership is per SESSION (30-minute inactivity gap), not per user:
+    on a dense fixture every USER eventually does everything, so a
+    user-level funnel is all-1s and the pooled variance collapses to
+    zero — session granularity is also what product funnels actually
+    measure. If a step's pooled rate still degenerates to 0 or 1, z is
+    NULL (both engines).
+
+    Exactness: all memberships and conversions are exact integers; the
+    pooled z is one double expression per STEP row quantized to
+    milli-sigmas.
+
+    Scale shape: one scan → per-user ordered session numbering (the
+    standard sessionize window) → per-session flags; the step explode
+    is 2 rows per session; everything downstream operates on the 4-row
+    (step × arm) table."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(wu)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    flags = sess.groupBy("user_id", "sess_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("p"),
+    )
+    steps = flags.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view_to_click").alias("step"),
+                    F.col("v").alias("denom"),
+                    F.col("c").alias("conv"),
+                ),
+                F.struct(
+                    F.lit("click_to_purchase").alias("step"),
+                    F.col("c").alias("denom"),
+                    F.col("p").alias("conv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("arm", "s.*").filter(F.col("denom") == 1)
+    g = steps.groupBy("step").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+    )
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (
+        F.col("x1").cast("double") / F.col("n1").cast("double")
+        - F.col("x0").cast("double") / F.col("n0").cast("double")
+    ) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return g.select(
+        "step",
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.when(
+            (F.col("x0") + F.col("x1") > 0)
+            & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
+            F.round(z * 1000.0).cast("bigint"),
+        ).alias("z_milli"),
+    )
+
+
+_FUNNEL_SIG_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_type, ts,
+    CASE WHEN epoch_us(ts) // 1000000
+              - lag(epoch_us(ts) // 1000000)
+                OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_type,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM gaps
+), flags AS (
+  SELECT user_id, sess_id,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM sess GROUP BY user_id, sess_id
+), steps AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+    'view_to_click' AS step, v AS denom, c AS conv FROM flags
+  UNION ALL
+  SELECT CAST(user_id % 2 AS INTEGER), 'click_to_purchase', c, p
+  FROM flags
+), g AS (
+  SELECT step,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM steps WHERE denom = 1 GROUP BY step
+)
+SELECT step, n0, x0, n1, x1,
+  CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+    CAST(round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      * 1000.0) AS BIGINT)
+  END AS z_milli
+FROM g
+"""
+
+
+QUERIES["funnel_step_significance"] = q_funnel_step_significance
+
 ORACLES = {
     "kaplan_meier_retention": _KM_ORACLE,
     "cohens_kappa_raters": _KAPPA_ORACLE,
     "sprt_sequential_test": _sprt_oracle(),
     "bootstrap_mean_ci": _bootstrap_oracle(),
     "cuped_adjusted_metric": _CUPED_ORACLE,
+    "funnel_step_significance": _FUNNEL_SIG_ORACLE,
 }

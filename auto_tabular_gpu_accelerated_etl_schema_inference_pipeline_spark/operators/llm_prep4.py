@@ -578,11 +578,95 @@ FROM picks
 """
 
 
+#: total document budget to apportion across sources
+QUOTA_BUDGET = 10_000
+
+
+def q_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed document
+    budget across sources proportional to their corpus share — the
+    exact-integer answer to "give me 10k docs with the corpus mix":
+    naive rounding of per-source quotas over- or under-shoots the
+    budget; largest-remainder provably sums to EXACTLY the budget and
+    is the standard seat-apportionment algorithm. Ties on equal
+    remainders break on source ASC (engine-stable).
+
+    Exactness: base = ⌊B·n_s/N⌋ and remainder B·n_s mod N are pure
+    integer arithmetic; the leftover seats go to the largest
+    remainders by rank — no floats anywhere.
+
+    Scale shape: one map-side count per source; all windows run over
+    the |sources|-row aggregate."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    scored = (
+        per_src.withColumn("n_all", F.sum("n_docs").over(wall))
+        .withColumn(
+            "base_quota",
+            F.expr(f"{QUOTA_BUDGET} * n_docs div n_all"),
+        )
+        .withColumn(
+            "remainder",
+            F.expr(f"{QUOTA_BUDGET} * n_docs % n_all"),
+        )
+        .withColumn("sum_base", F.sum("base_quota").over(wall))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("remainder").desc(), F.col("source").asc()
+                )
+            ),
+        )
+    )
+    return scored.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("base_quota").cast("bigint").alias("base_quota"),
+        (
+            F.col("base_quota")
+            + (
+                F.col("rem_rank") <= QUOTA_BUDGET - F.col("sum_base")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+_QUOTA_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs,
+    sum(n_docs) OVER () AS n_all,
+    {QUOTA_BUDGET} * n_docs // sum(n_docs) OVER () AS base_quota,
+    {QUOTA_BUDGET} * n_docs % (sum(n_docs) OVER ()) AS remainder
+  FROM per_src
+), ranked AS (
+  SELECT source, n_docs, base_quota,
+    sum(base_quota) OVER () AS sum_base,
+    row_number() OVER (ORDER BY remainder DESC, source ASC) AS rem_rank
+  FROM scored
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(base_quota AS BIGINT) AS base_quota,
+  CAST(base_quota + CASE WHEN rem_rank <= {QUOTA_BUDGET} - sum_base
+                         THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "curriculum_stages": q_curriculum_stages,
     "watermark_greenlist_scan": q_watermark_greenlist_scan,
     "max_cover_selection": q_max_cover_selection,
+    "quota_apportionment": q_quota_apportionment,
     "content_defined_chunks": q_content_defined_chunks,
     "truncation_loss_report": q_truncation_loss_report,
 }
@@ -592,6 +676,7 @@ ORACLES = {
     "curriculum_stages": _CURRICULUM_ORACLE,
     "watermark_greenlist_scan": _WM_ORACLE,
     "max_cover_selection": _maxcover_oracle(),
+    "quota_apportionment": _QUOTA_ORACLE,
     "content_defined_chunks": _CDC_ORACLE,
     "truncation_loss_report": _TRUNC_ORACLE,
 }

@@ -77,6 +77,8 @@ HEADLINE = [
     "lpa_modularity",
     "ses_backtest_mase",
     "csv_dialect_roundtrip",
+    "quota_apportionment",
+    "funnel_step_significance",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
