@@ -466,3 +466,29 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
         assert r["n_replicas"] == BOOT_B
         assert r["ci_lo_mu"] <= r["ci_hi_mu"]
         assert r["ci_lo_mu"] <= r["mean_mu"] <= r["ci_hi_mu"]
+
+
+def test_quota_sums_exactly_to_budget(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep4 import (
+        QUOTA_BUDGET,
+        q_quota_apportionment,
+    )
+
+    rows = q_quota_apportionment(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == QUOTA_BUDGET
+    for r in rows:
+        assert r["quota"] in (r["base_quota"], r["base_quota"] + 1)
+
+
+def test_funnel_significance_counts_consistent(spark, sf_dir):
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.eval_stats import (
+        q_funnel_step_significance,
+    )
+
+    rows = {r["step"]: r for r in
+            q_funnel_step_significance(spark, sf_dir).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    for r in rows.values():
+        assert 0 <= r["x0"] <= r["n0"] and 0 <= r["x1"] <= r["n1"]
+        # non-degenerate at session granularity on the shipped fixtures
+        assert r["z_milli"] is not None
