@@ -179,3 +179,22 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — GATED: the ``avro`` DataSource lives in the separate
+    spark-avro module jar, which this container's pyspark distribution
+    does not bundle (only avro-core, a transitive dependency of other
+    components, is present — verified by jar listing). On a cluster
+    with ``--packages org.apache.spark:spark-avro_2.13:<ver>`` this
+    body is the complete implementation; here it raises with the exact
+    dependency to add rather than failing deep inside the DataSource
+    resolver."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        raise NotImplementedError(
+            "avro source requires the spark-avro module jar "
+            "(org.apache.spark:spark-avro_2.13) which is not bundled "
+            "in this container's pyspark distribution"
+        ) from exc

@@ -749,3 +749,17 @@ def test_generator_determinism_with_pinned_partitions(spark):
     # a DIFFERENT partitioning must be allowed to differ (documented
     # contract: determinism requires the pinned partition count)
     assert a.count() == 5_000
+
+
+def test_avro_reader_gated_with_actionable_error(spark, tmp_path):
+    """The avro source is container-gated (no spark-avro module jar);
+    the reader must fail with the dependency named, not a resolver
+    stack trace."""
+    import pytest
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.sources.readers import (
+        read_avro,
+    )
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path))
