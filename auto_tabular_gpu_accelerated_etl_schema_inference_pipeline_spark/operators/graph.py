@@ -991,18 +991,18 @@ SELECT
     "recursive_cte_order_chain": _RCTE_ORDER_CHAIN_SQL,
     # min reachable doc_id along near-dup edges == hash-min fixpoint
     "dedup_components": f"""
-WITH RECURSIVE toks AS (
+WITH RECURSIVE toks AS MATERIALIZED (
   SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM toks a JOIN toks b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.s, b.s))
       / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
       >= {JACCARD_THRESHOLD}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION ALL
   SELECT b_id, a_id FROM pairs
@@ -1036,35 +1036,35 @@ edges AS (
 ),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
-i1 AS (
+r0 AS MATERIALIZED (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
+i1 AS MATERIALIZED (
   SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
   FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r1 AS (
+r1 AS MATERIALIZED (
   SELECT v.doc_id AS id,
     (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
       + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank
   FROM documents v LEFT JOIN i1 i ON v.doc_id = i.id
 ),
-i2 AS (
+i2 AS MATERIALIZED (
   SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
   FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r2 AS (
+r2 AS MATERIALIZED (
   SELECT v.doc_id AS id,
     (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
       + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank
   FROM documents v LEFT JOIN i2 i ON v.doc_id = i.id
 ),
-i3 AS (
+i3 AS MATERIALIZED (
   SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
   FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r3 AS (
+r3 AS MATERIALIZED (
   SELECT v.doc_id AS id,
     (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
       + {PR_DAMPING} * coalesce(i.inflow, 0.0) AS rank

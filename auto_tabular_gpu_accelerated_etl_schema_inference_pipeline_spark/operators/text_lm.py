@@ -247,20 +247,25 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_prefix(rounds: int) -> str:
     """Shared unrolled DuckDB replay of the BPE fit (CTEs wf, v1..v{n+1},
-    p1..pn, m1..mn)."""
+    p1..pn, m1..mn). Every CTE is MATERIALIZED: each v_{i+1} references
+    v_i once and m_i four times (scalar subqueries), so DuckDB's default
+    CTE inlining expanded the 5-round chain to ~5^5 copies of the corpus
+    tokenization — the bpe_encode_docs oracle measured 400 s at sf0.01
+    (vs ~1 s materialized), the same hazard class as graph_kcore's
+    unroll."""
     sql = """
-WITH wf AS (
+WITH wf AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS f
   FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
         FROM documents)
   GROUP BY w
-), v1 AS (
+), v1 AS MATERIALIZED (
   SELECT w, f,
     trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' #' AS s
   FROM wf
 )"""
     for i in range(1, rounds + 1):
-        sql += f""", p{i} AS (
+        sql += f""", p{i} AS MATERIALIZED (
   SELECT pr[1] AS a, pr[2] AS b, CAST(sum(f) AS BIGINT) AS c
   FROM (SELECT f,
           unnest(list_transform(
@@ -269,9 +274,9 @@ WITH wf AS (
             AS pr
         FROM v{i})
   GROUP BY a, b
-), m{i} AS (
+), m{i} AS MATERIALIZED (
   SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1
-), v{i + 1} AS (
+), v{i + 1} AS MATERIALIZED (
   SELECT w, f,
     trim(replace(' ' || s || ' ',
       ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',
@@ -472,7 +477,78 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — BPE tokens per 1000 characters
+    with the vocabulary q_bpe_merges fits: the number that prices each
+    source's context-window and compute cost (a high-fertility source
+    burns budget on fragmented tokens; the multilingual-tokenizer-tax
+    report, cf. the fertility tables in the BLOOM/XLM-R papers). Uses
+    the SAME fitted vocabulary as bpe_encode_docs, aggregated to the
+    source grain where the curation decision is made.
+
+    Exactness: token and char counts are exact integers; fertility is
+    one integer ppm-per-千-char division (tokens·1e9 div chars keeps
+    three decimal places of tokens/1000 chars exactly).
+
+    Scale shape: the Zipf-bounded vocabulary broadcasts; one exploded
+    scan joins words to it and collapses per source; chars come from a
+    map-only length() scan — text never shuffles."""
+    _, vocab = _bpe_fit(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    toks = (
+        words.join(F.broadcast(vocab.select("w", "s")), "w")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("s", " ")).cast("bigint")).alias(
+                "n_bpe_tokens"
+            )
+        )
+    )
+    chars = docs.groupBy("source").agg(
+        F.sum(
+            F.length(F.lower(F.trim(F.col("text")))).cast("bigint")
+        ).alias("n_chars")
+    )
+    return toks.join(chars, "source").select(
+        "source",
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr(
+            "n_bpe_tokens * 1000000000L div n_chars"
+        ).alias("tokens_per_kchar_micro"),
+    )
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    return (
+        _bpe_prefix(rounds)
+        + f"""
+, toks AS (
+  SELECT d.source,
+    CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents) d
+  JOIN v{rounds + 1} v ON d.w = v.w
+  GROUP BY d.source
+), chars AS (
+  SELECT source,
+    CAST(sum(length(lower(trim(text)))) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_bpe_tokens, c.n_chars,
+  CAST(t.n_bpe_tokens * 1000000000 // c.n_chars AS BIGINT)
+    AS tokens_per_kchar_micro
+FROM toks t JOIN chars c ON c.source = t.source
+"""
+    )
+
+
 QUERIES = {
+    "bpe_fertility_by_source": q_bpe_fertility_by_source,
     "perplexity_band_filter": q_perplexity_band_filter,
     "bigram_lm_score": q_bigram_lm_score,
     "bpe_merges": q_bpe_merges,
@@ -482,6 +558,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_fertility_by_source": _bpe_fertility_oracle(BPE_ROUNDS),
     "perplexity_band_filter": _PPL_BAND_ORACLE,
     "bigram_lm_score": _BIGRAM_ORACLE,
     "bpe_merges": _bpe_oracle(BPE_ROUNDS),

@@ -79,6 +79,7 @@ HEADLINE = [
     "csv_dialect_roundtrip",
     "quota_apportionment",
     "funnel_step_significance",
+    "bpe_fertility_by_source",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
