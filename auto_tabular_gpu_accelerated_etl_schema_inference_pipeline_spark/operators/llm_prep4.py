@@ -661,12 +661,160 @@ FROM ranked
 """
 
 
+#: context lengths to sweep (whitespace tokens)
+CTX_SWEEP = (32, 64, 128, 256)
+
+#: MinHash-LSH parameter grid: (bands, rows-per-band) combos sharing a
+#: 128-hash signature budget, and the Jaccard levels to evaluate
+LSH_GRID = ((32, 4), (16, 8), (8, 16), (64, 2))
+LSH_JACCARDS = (50, 70, 80, 90, 95)  # in percent
+
+
+def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss sweep over candidate context lengths — the table
+    that PICKS max_seq_len: for each length in CTX_SWEEP, what fraction
+    of corpus tokens survives truncation and how many docs are cut at
+    all. truncation_loss_report prices ONE length; training-config
+    decisions need the curve (the knee is where doubling the window
+    stops buying tokens).
+
+    Exactness: all integer counts; loss is one ppm division per cell.
+
+    Scale shape: token counts are map-only size(split(·)); the explode
+    is |CTX_SWEEP| rows per doc; one (length) aggregate. Text never
+    shuffles."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    swept = docs.select(n.alias("n_tok")).select(
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(c) for c in CTX_SWEEP])
+        ).alias("max_len"),
+    )
+    return (
+        swept.groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.col("max_len")))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum((F.col("n_tok") > F.col("max_len")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_truncated_docs"),
+        )
+        .select(
+            F.col("max_len").cast("bigint").alias("max_len"),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "n_truncated_docs",
+            F.expr(
+                "(total_tokens - kept_tokens) * 1000000L"
+                " div total_tokens"
+            ).alias("lost_ppm"),
+        )
+    )
+
+
+_CTX_SWEEP_ORACLE = f"""
+WITH t AS (
+  SELECT len(string_split(lower(trim(text)), ' ')) AS n_tok
+  FROM documents
+), swept AS (
+  SELECT n_tok, unnest([{', '.join(str(c) for c in CTX_SWEEP)}])
+    AS max_len
+  FROM t
+), agg AS (
+  SELECT max_len,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+    CAST(sum(least(n_tok, max_len)) AS BIGINT) AS kept_tokens,
+    CAST(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_truncated_docs
+  FROM swept GROUP BY max_len
+)
+SELECT CAST(max_len AS BIGINT) AS max_len, n_docs, total_tokens,
+  kept_tokens, n_truncated_docs,
+  CAST((total_tokens - kept_tokens) * 1000000 // total_tokens
+       AS BIGINT) AS lost_ppm
+FROM agg
+"""
+
+
+def q_minhash_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH tuning table — pure planning math, no corpus scan:
+    for each (bands b, rows r) split of a 128-hash signature, the
+    S-curve threshold (1/b)^(1/r) and the candidate-pair probability
+    1 − (1 − s^r)^b at each Jaccard level s. This is the table you
+    read BEFORE running dedup_minhash_lsh: pick the (b, r) whose
+    threshold sits just under your dedup cut and whose false-positive
+    mass (probability at low s) your verifier can afford.
+
+    Exactness: probabilities are single closed-form double expressions
+    per CELL over integer grid points, quantized to ppm — identical on
+    both engines.
+
+    Scale: the output is |grid| × |levels| rows from a range source —
+    the one operator in the registry whose cost is O(1) by design
+    (the planner must be free to consult)."""
+    configure_for_oracle(spark)
+    grid = spark.createDataFrame(
+        [(b, r) for b, r in LSH_GRID], "b int, r int"
+    )
+    lv = spark.createDataFrame(
+        [(j,) for j in LSH_JACCARDS], "j_pct int"
+    )
+    cells = grid.crossJoin(lv)
+    s = F.col("j_pct").cast("double") / 100.0
+    thr = F.pow(
+        F.lit(1.0) / F.col("b").cast("double"),
+        F.lit(1.0) / F.col("r").cast("double"),
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("r").cast("double")),
+        F.col("b").cast("double"),
+    )
+    return cells.select(
+        F.col("b").cast("bigint").alias("bands"),
+        F.col("r").cast("bigint").alias("rows_per_band"),
+        F.col("j_pct").cast("bigint").alias("jaccard_pct"),
+        F.round(thr * 1_000_000).cast("bigint").alias("threshold_ppm"),
+        F.round(p * 1_000_000).cast("bigint").alias(
+            "candidate_prob_ppm"
+        ),
+    )
+
+
+def _lsh_planner_oracle() -> str:
+    grid = " UNION ALL ".join(
+        f"SELECT {b} AS b, {r} AS r" for b, r in LSH_GRID
+    )
+    levels = ", ".join(str(j) for j in LSH_JACCARDS)
+    return f"""
+WITH grid AS ({grid}),
+lv AS (SELECT unnest([{levels}]) AS j_pct),
+cells AS (SELECT b, r, j_pct FROM grid CROSS JOIN lv)
+SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+  CAST(j_pct AS BIGINT) AS jaccard_pct,
+  CAST(round(pow(1.0 / b, 1.0 / r) * 1000000) AS BIGINT)
+    AS threshold_ppm,
+  CAST(round((1.0 - pow(1.0 - pow(j_pct / 100.0, CAST(r AS DOUBLE)),
+                        CAST(b AS DOUBLE))) * 1000000) AS BIGINT)
+    AS candidate_prob_ppm
+FROM cells
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "curriculum_stages": q_curriculum_stages,
     "watermark_greenlist_scan": q_watermark_greenlist_scan,
     "max_cover_selection": q_max_cover_selection,
     "quota_apportionment": q_quota_apportionment,
+    "context_length_sweep": q_context_length_sweep,
+    "minhash_lsh_planner": q_minhash_lsh_planner,
     "content_defined_chunks": q_content_defined_chunks,
     "truncation_loss_report": q_truncation_loss_report,
 }
@@ -677,6 +825,8 @@ ORACLES = {
     "watermark_greenlist_scan": _WM_ORACLE,
     "max_cover_selection": _maxcover_oracle(),
     "quota_apportionment": _QUOTA_ORACLE,
+    "context_length_sweep": _CTX_SWEEP_ORACLE,
+    "minhash_lsh_planner": _lsh_planner_oracle(),
     "content_defined_chunks": _CDC_ORACLE,
     "truncation_loss_report": _TRUNC_ORACLE,
 }

@@ -80,6 +80,8 @@ HEADLINE = [
     "quota_apportionment",
     "funnel_step_significance",
     "bpe_fertility_by_source",
+    "context_length_sweep",
+    "minhash_lsh_planner",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
