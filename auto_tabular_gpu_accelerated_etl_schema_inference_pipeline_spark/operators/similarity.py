@@ -1187,7 +1187,123 @@ FROM flags
 """
 
 
+#: hubness audit: corpus subset size and neighborhood size
+HUB_SUBSET = 300
+HUB_K = 10
+
+
+def q_ann_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al., JMLR 2010) — the
+    high-dimensional pathology that quietly ruins ANN quality: a few
+    "hub" vectors appear in a huge share of other points' k-NN lists
+    (their reverse-neighbor count N_k explodes) while antihubs appear
+    in none, so retrieval keeps surfacing the same items regardless of
+    query. Over the deterministic vec_id < HUB_SUBSET sample: exact
+    k-occurrence counts N_10 per vector and the distribution's
+    skew summary (max, share of vectors with N_k = 0, share of
+    k-occurrence mass held by the top decile) — the go/no-go check
+    before trusting cosine k-NN on a new embedding model.
+
+    Exactness: neighbors ranked by (cosine DESC, id ASC) over the same
+    shared left-fold dot product; all summary stats are exact integer
+    counts and one ppm division each.
+
+    Scale shape: the subset is bounded by construction (hubness is an
+    estimator — a sample of a few hundred suffices, Radovanović §6);
+    the pairwise scoring is |subset|² map-side work; ranking windows
+    are per-query over |subset| rows; N_k aggregation is one bounded
+    shuffle."""
+    emb = _emb(spark, sf_dir)
+    sub = emb.filter(F.col("vec_id") < HUB_SUBSET).select(
+        "vec_id", _dbl_vec(F.col("embedding")).alias("vec")
+    ).localCheckpoint()  # both join sides — pin or the scan runs twice
+    a = sub.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q"))
+    b = sub.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c"))
+    scored = a.join(F.broadcast(b), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        _cosine(F.col("q"), F.col("c")).alias("cos"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    knn = scored.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= HUB_K
+    )
+    nk = (
+        sub.select(F.col("vec_id"))
+        .join(
+            knn.groupBy("c_id").agg(
+                F.count(F.lit(1)).alias("n_k")
+            ),
+            sub["vec_id"] == F.col("c_id"),
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce(F.col("n_k"), F.lit(0)).alias("n_k")
+        )
+    )
+    w_rank = Window.orderBy(F.col("n_k").desc(), F.col("vec_id").asc())
+    ranked = nk.withColumn("r", F.row_number().over(w_rank))
+    n_sub = HUB_SUBSET
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max("n_k").cast("bigint").alias("max_n_k"),
+        F.sum((F.col("n_k") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_antihubs"),
+        F.round(
+            F.sum(
+                F.when(F.col("r") <= n_sub // 10, F.col("n_k")).otherwise(
+                    0
+                )
+            ).cast("double")
+            * 1_000_000.0
+            / F.sum("n_k").cast("double")
+        )
+        .cast("bigint")
+        .alias("top_decile_mass_ppm"),
+    )
+
+
+_HUBNESS_ORACLE = f"""
+WITH sub AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {HUB_SUBSET}
+), scored AS MATERIALIZED (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+    {_cos_sql('a.embedding', 'b.embedding')} AS cos
+  FROM sub a JOIN sub b ON a.vec_id != b.vec_id
+), knn AS MATERIALIZED (
+  SELECT c_id FROM (
+    SELECT c_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {HUB_K}
+), nk AS MATERIALIZED (
+  SELECT s.vec_id, coalesce(k.n_k, 0) AS n_k
+  FROM sub s LEFT JOIN (
+    SELECT c_id, count(*) AS n_k FROM knn GROUP BY c_id
+  ) k ON k.c_id = s.vec_id
+), ranked AS (
+  SELECT vec_id, n_k,
+    row_number() OVER (ORDER BY n_k DESC, vec_id ASC) AS r
+  FROM nk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(max(n_k) AS BIGINT) AS max_n_k,
+  CAST(sum(CASE WHEN n_k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_antihubs,
+  CAST(round(CAST(sum(CASE WHEN r <= {HUB_SUBSET} // 10 THEN n_k
+                           ELSE 0 END) AS DOUBLE) * 1000000.0
+             / CAST(sum(n_k) AS DOUBLE)) AS BIGINT)
+    AS top_decile_mass_ppm
+FROM ranked
+"""
+
+
 QUERIES = {
+    "ann_hubness_report": q_ann_hubness_report,
     "matryoshka_dim_quality": q_matryoshka_dim_quality,
     "silhouette_by_label": q_silhouette_by_label,
     "triplet_margin_violations": q_triplet_margin_violations,
@@ -1206,6 +1322,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hubness_report": _HUBNESS_ORACLE,
     "matryoshka_dim_quality": _MRL_ORACLE,
     "silhouette_by_label": _SILHOUETTE_ORACLE,
     "triplet_margin_violations": _TRIPLET_ORACLE,

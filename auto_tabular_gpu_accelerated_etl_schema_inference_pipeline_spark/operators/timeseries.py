@@ -1623,7 +1623,85 @@ FROM scored WHERE n_days >= 3
 """
 
 
+def q_interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion of per-user inter-event times, by event type:
+    CV² = Var(gap)/Mean(gap)² — the Poisson audit (CV² ≈ 1 ⇒ memoryless
+    arrivals; ≫ 1 ⇒ bursty/self-exciting, the session-shaped traffic
+    every rate-limiter and capacity model needs to know about; ≪ 1 ⇒
+    scheduled/bot-like regularity, an abuse signal). Pairs with the
+    Kaplan–Meier lane: KM describes WHEN users stop, this describes the
+    texture of activity while they're alive.
+
+    Exactness: gaps are exact integer seconds (lag over the per-user
+    event order); Σgap and Σgap² are exact BIGINTs; CV² is one rounded
+    ppm division of the cleared-denominator form
+    (n·Σg² − (Σg)²)·1e6 / (Σg)².
+
+    Scale shape: one lag window partitioned per user (the sessionize
+    shape), then a map-side-combined per-type aggregate."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (
+                F.unix_timestamp("ts")
+                - F.lag(F.unix_timestamp("ts")).over(wu)
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias(
+            "sgg"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.expr("sg div n_gaps").alias("mean_gap_s"),
+        F.round(
+            (
+                F.col("n_gaps") * F.col("sgg") - F.col("sg") * F.col("sg")
+            ).cast("double")
+            * 1_000_000.0
+            / (F.col("sg") * F.col("sg")).cast("double")
+        )
+        .cast("bigint")
+        .alias("cv2_ppm"),
+    )
+
+
+_DISPERSION_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+    epoch_us(ts) // 1000000
+      - lag(epoch_us(ts) // 1000000)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+    CAST(sum(gap_s) AS BIGINT) AS sg,
+    CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+  CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+  CAST(round(CAST(n_gaps * sgg - sg * sg AS DOUBLE) * 1000000.0
+             / CAST(sg * sg AS DOUBLE)) AS BIGINT) AS cv2_ppm
+FROM agg
+"""
+
+
 QUERIES = {
+    "interarrival_dispersion": q_interarrival_dispersion,
     "ses_backtest_mase": q_ses_backtest_mase,
     "events_linear_interpolate": q_events_linear_interpolate,
     "theil_sen_trend": q_theil_sen_trend,
@@ -1662,6 +1740,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "interarrival_dispersion": _DISPERSION_ORACLE,
     "ses_backtest_mase": _MASE_ORACLE,
     "events_linear_interpolate": _INTERP_ORACLE,
     "theil_sen_trend": _THEIL_SEN_ORACLE,

@@ -82,6 +82,8 @@ HEADLINE = [
     "bpe_fertility_by_source",
     "context_length_sweep",
     "minhash_lsh_planner",
+    "interarrival_dispersion",
+    "ann_hubness_report",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
