@@ -766,7 +766,9 @@ def q_minhash_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = spark.createDataFrame(
         [(j,) for j in LSH_JACCARDS], "j_pct int"
     )
-    cells = grid.crossJoin(lv)
+    # broadcast keeps even this 4×5 grid product a BroadcastNestedLoop
+    # join — the registry-wide CartesianProduct ban admits no exceptions
+    cells = grid.crossJoin(F.broadcast(lv))
     s = F.col("j_pct").cast("double") / 100.0
     thr = F.pow(
         F.lit(1.0) / F.col("b").cast("double"),
