@@ -739,7 +739,163 @@ FROM st, w, tri
 """
 
 
+#: portable MinHash: 16 md5-derived hash functions in 4 bands × 4 rows
+#: (S-curve threshold (1/4)^(1/4) ≈ 0.71 — see minhash_lsh_planner);
+#: candidates verified at exact Jaccard ≥ 0.8 (integer cross-multiply;
+#: the fixture's tiny shared vocabulary makes 0.7-Jaccard token sets
+#: ubiquitous — 46k pairs — while 0.8 keeps the output a dup REPORT)
+PMH_K = 16
+PMH_BANDS = 4
+PMH_ROWS = 4
+PMH_VERIFY_NUM = 4   # jaccard >= PMH_VERIFY_NUM / PMH_VERIFY_DEN
+PMH_VERIFY_DEN = 5
+
+
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashes — the
+    value-verified twin of dedup_minhash_lsh: the production lane keys
+    on xxhash64 (JVM-native, fastest) which no other engine replicates,
+    so its external check is rows-only; this lane derives the k=16
+    minhashes from md5 (bit-identical everywhere), so the ENTIRE
+    sketch→band→candidate→verify pipeline is replayed by the DuckDB
+    oracle and the MinHash family graduates from rows-only to
+    value-verified. Banding: 4 bands × 4 rows (threshold ≈ 0.71 per
+    minhash_lsh_planner); candidates sharing any band bucket are
+    verified at exact token-set Jaccard ≥ 0.8 via integer
+    cross-multiplication — no float enters the pipeline at all
+    (jaccard_ppm is one integer division at output).
+
+    Scale shape: signatures are in-array folds over the distinct token
+    set (no explode of hash values); candidate generation carries the
+    xxhash lane's giant-bucket guard (each member pairs only with its
+    bucket's REPS_PER_BUCKET smallest ids — O(B·16) per bucket, never
+    O(B²), and deterministic so the oracle replays it); the only
+    shuffles are the band-bucket join and the bounded verified-pair
+    output; the per-doc token arrays ride along for verification
+    (bounded by doc length) — full text never shuffles."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            )
+        ).alias("arr"),
+    ).localCheckpoint()  # feeds signatures AND verification
+    sig = F.expr(
+        f"transform(sequence(0, {PMH_K - 1}), i -> "
+        "array_min(transform(arr, t -> "
+        "cast(conv(substring(md5(concat(t, ':', cast(i as string))),"
+        " 1, 8), 16, 10) as bigint))))"
+    )
+    bands = (
+        toks.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PMH_BANDS - 1}), b -> "
+                    "struct(b AS band, md5(concat_ws(',', "
+                    f"slice(sig, b * {PMH_ROWS} + 1, {PMH_ROWS})))"
+                    " AS key))"
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.key")
+    )
+    # giant-bucket guard (the REPS_PER_BUCKET discipline of the xxhash
+    # lane): each member pairs only with its bucket's REPS_PER_BUCKET
+    # smallest doc_ids, so a bucket of size B costs O(B·16), never
+    # O(B²) — on this globally-similar corpus the 0.71-threshold
+    # S-curve admits most pairs, and the uncapped join IS the n²
+    # blowup LSH exists to avoid. Deterministic (rank by doc_id), so
+    # the oracle replays the cap exactly.
+    ranked_b = bands.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("band", "key").orderBy("doc_id")
+        ),
+    ).localCheckpoint()  # both candidate-join sides
+    reps = ranked_b.filter(F.col("rnk") <= REPS_PER_BUCKET)
+    cand = (
+        reps.alias("x")
+        .join(
+            ranked_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("sa"))
+    tb = toks.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(
+            F.col("inter") * PMH_VERIFY_DEN
+            >= F.col("uni") * PMH_VERIFY_NUM
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("inter * 1000000L div uni").alias("jaccard_ppm"),
+        )
+    )
+
+
+_PMH_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+    list_sort(list_distinct(string_split(lower(trim(text)), ' ')))
+      AS arr
+  FROM documents
+), sigs AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(generate_series(0, {PMH_K - 1}), i ->
+      list_min(list_transform(arr, t ->
+        ('0x' || substr(md5(t || ':' || CAST(i AS VARCHAR)), 1, 8))
+          ::BIGINT))) AS sig
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(sig[b * {PMH_ROWS} + 1 : (b + 1) * {PMH_ROWS}],
+                        ',')) AS key
+  FROM sigs, unnest(generate_series(0, {PMH_BANDS - 1})) u(b)
+), ranked_b AS MATERIALIZED (
+  SELECT doc_id, band, key,
+    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rnk
+  FROM bands
+), cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM ranked_b x JOIN ranked_b y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE x.rnk <= {REPS_PER_BUCKET}
+)
+SELECT c.a_id, c.b_id,
+  CAST(len(list_intersect(a.arr, b.arr)) * 1000000
+       // (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)))
+       AS BIGINT) AS jaccard_ppm
+FROM cand c
+JOIN toks a ON a.doc_id = c.a_id
+JOIN toks b ON b.doc_id = c.b_id
+WHERE len(list_intersect(a.arr, b.arr)) * {PMH_VERIFY_DEN}
+      >= (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)))
+         * {PMH_VERIFY_NUM}
+"""
+
+
 QUERIES = {
+    "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_transitivity_audit": q_dedup_transitivity_audit,
     "containment_pairs": q_containment_pairs,
     "dedup_exact": q_dedup_exact,
@@ -752,6 +908,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_minhash_portable": _PMH_ORACLE,
     "dedup_transitivity_audit": _TRANSITIVITY_ORACLE,
     "containment_pairs": _CONTAINMENT_ORACLE,
     "fuzzy_join_parts": f"""

@@ -84,6 +84,7 @@ HEADLINE = [
     "minhash_lsh_planner",
     "interarrival_dispersion",
     "ann_hubness_report",
+    "dedup_minhash_portable",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
