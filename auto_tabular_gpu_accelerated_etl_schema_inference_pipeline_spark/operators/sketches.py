@@ -102,5 +102,136 @@ GROUP BY p.k, p.true_n
 """
 
 
-QUERIES = {"count_min_sketch": q_count_min_sketch}
-ORACLES = {"count_min_sketch": _CMS_ORACLE}
+#: portable HLL: 2^HLL_P registers; hash = first 8 md5 hex chars
+#: (32 bits) split into bucket (low HLL_P bits) and a 24-bit word
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: alpha_m for m = 256 (Flajolet et al. 2007, m >= 128 case), and the
+#: precomputed alpha*m^2 shipped to BOTH engines as one double literal
+#: (a DECIMAL-parsed alpha overflows DuckDB's literal multiplication)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+HLL_ALPHA_M2 = HLL_ALPHA * HLL_M * HLL_M
+
+
+def q_hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from PORTABLE md5-derived hashes — the
+    value-verified twin of approx_count_distinct (whose Spark-native
+    HLL internals no other engine replays, keeping it rows-only at the
+    gate): 256 registers, register = max leading-zero rank of the
+    24-bit hash word per bucket, estimate = the Flajolet bias-corrected
+    harmonic mean with the small-range linear-counting correction.
+    Every register is an exact integer on both engines (rank from the
+    BINARY-STRING length of the hash word — no float log2 near powers
+    of two); the estimate is one closed-form double expression over the
+    256 exact registers. Output: exact distinct, the HLL estimate, and
+    the signed error — the accuracy contract (±~6.5% at m=256) made
+    inspectable.
+
+    Scale shape: ONE groupBy(bucket) max-aggregate (256 rows out,
+    mergeable by register-wise max — the HLL union property a rollup
+    pipeline exploits); the estimate folds the 256-row table in-array.
+    The exact count alongside is the audit column, not the production
+    path."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    regs = (
+        ev.select(
+            (h % HLL_M).alias("bucket"),
+            F.expr(
+                f"cast(conv(substring(md5(cast(event_id as string)),"
+                f" 1, 8), 16, 10) as bigint) div {HLL_M}"
+            ).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.conv(F.col("w"), 10, 2))
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    # fold the <=256-row register table into the estimate: missing
+    # buckets count as rho = 0 (2^-0 = 1 each, and as zero registers)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias(
+            "z_present"
+        ),
+        F.count(F.lit(1)).alias("m_present"),
+        F.sum((F.col("r") == 0).cast("bigint")).alias("zeros_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("m_present"))
+    zeros = F.col("zeros_present") + (
+        F.lit(HLL_M) - F.col("m_present")
+    )
+    raw = F.lit(HLL_ALPHA_M2) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = ev.agg(
+        F.countDistinct("event_id").cast("bigint").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(agg)).select(
+        "n_exact",
+        F.round(est * 1000).cast("bigint").alias("hll_estimate_milli"),
+        F.round(
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+    AS hv
+  FROM events
+), regs AS (
+  SELECT hv % {HLL_M} AS bucket,
+    max(CASE WHEN hv // {HLL_M} = 0 THEN 25
+             ELSE 25 - length(bin(hv // {HLL_M})) END) AS r
+  FROM h GROUP BY hv % {HLL_M}
+), agg AS (
+  SELECT sum(pow(2.0, -CAST(r AS DOUBLE))) AS z_present,
+    count(*) AS m_present,
+    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros_present
+  FROM regs
+), est AS (
+  SELECT
+    CASE WHEN {HLL_ALPHA_M2!r} / (z_present + ({HLL_M} - m_present))
+              <= 2.5 * {HLL_M}
+          AND zeros_present + ({HLL_M} - m_present) > 0
+         THEN {HLL_M}.0 * ln({HLL_M}.0
+              / CAST(zeros_present + ({HLL_M} - m_present) AS DOUBLE))
+         ELSE {HLL_ALPHA_M2!r} / (z_present + ({HLL_M} - m_present))
+    END AS e
+  FROM agg
+), ex AS (
+  SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact FROM events
+)
+SELECT ex.n_exact,
+  CAST(round(est.e * 1000) AS BIGINT) AS hll_estimate_milli,
+  CAST(round((est.e - CAST(ex.n_exact AS DOUBLE))
+             / CAST(ex.n_exact AS DOUBLE) * 1000000.0) AS BIGINT)
+    AS err_ppm
+FROM ex CROSS JOIN est
+"""
+
+
+QUERIES = {
+    "count_min_sketch": q_count_min_sketch,
+    "hll_portable_distinct": q_hll_portable_distinct,
+}
+ORACLES = {
+    "count_min_sketch": _CMS_ORACLE,
+    "hll_portable_distinct": _HLL_ORACLE,
+}

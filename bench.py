@@ -85,6 +85,7 @@ HEADLINE = [
     "interarrival_dispersion",
     "ann_hubness_report",
     "dedup_minhash_portable",
+    "hll_portable_distinct",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
