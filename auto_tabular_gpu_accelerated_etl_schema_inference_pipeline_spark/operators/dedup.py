@@ -15,7 +15,9 @@ Scale design (100 TB):
   the classic (1-(1-s^r)^b) S-curve. Shuffle is per-(band, bucket), so
   work scales with collisions, not n^2. Candidates are verified with the
   exact Jaccard join. xxhash64 has no DuckDB twin -> rows-only check;
-  the exact-Jaccard operator above is the oracle-graded ground truth.
+  the exact-Jaccard operator above is the oracle-graded ground truth,
+  and dedup_minhash_portable is the md5-keyed twin whose ENTIRE
+  sketch->band->candidate->verify pipeline the oracle replays.
 - **SimHash**: 64-bit signature via bit-vote over token hashes; near-dups
   agree on most bits. Banding the 64 bits into 4x16 gives pigeonhole
   candidate generation for hamming distance <= 3 entirely with equi-joins.
