@@ -896,7 +896,145 @@ WHERE len(list_intersect(a.arr, b.arr)) * {PMH_VERIFY_DEN}
 """
 
 
+#: portable SimHash: 32-bit signature, 4 bands × 8 bits (pigeonhole
+#: covers hamming ≤ 3), exact hamming verify threshold
+PSH_BITS = 32
+PSH_BANDS = 4
+PSH_HAMMING = 3
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashes — the
+    value-verified twin of dedup_simhash (xxhash64-keyed, rows-only),
+    completing the sketch-portability trio with dedup_minhash_portable
+    and hll_portable_distinct: 32-bit signature from md5-derived
+    per-token bit votes, 4×8-bit pigeonhole bands (any pair within
+    hamming ≤ 3 must agree on ≥ 1 band), candidates capped by the
+    REPS_PER_BUCKET giant-bucket guard and verified with the exact
+    popcount-of-xor hamming distance — every stage integer-exact and
+    replayed by the DuckDB oracle.
+
+    Scale shape: votes are one groupBy(doc) with 32 conditional sums
+    (map-side combinable); banding and the capped bucket join follow
+    the minhash-portable shape; verification is a bit op on two
+    8-byte signatures riding the pair rows."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+        ).alias("tok"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"
+        ),
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(PSH_BITS)
+        ]
+    )
+    from functools import reduce
+
+    bit_terms = [
+        F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(PSH_BITS)
+    ]
+    sim = votes.select(
+        "doc_id",
+        reduce(lambda x, y: x.bitwiseOR(y), bit_terms).alias("sig"),
+    ).localCheckpoint()  # feeds banding AND both verify sides
+    bands = sim.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for i in range(PSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    ranked_b = bands.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("band", "key").orderBy("doc_id")
+        ),
+    ).localCheckpoint()
+    reps = ranked_b.filter(F.col("rnk") <= REPS_PER_BUCKET)
+    return (
+        reps.alias("x")
+        .join(
+            ranked_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("x.sig").bitwiseXOR(F.col("y.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PSH_HAMMING)
+        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+_PSH_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+  FROM documents
+), hashed AS MATERIALIZED (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM toks
+), sigs AS MATERIALIZED (
+  SELECT doc_id,
+    {' + '.join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(PSH_BITS)
+    )} AS sig
+  FROM hashed GROUP BY doc_id
+), bands AS MATERIALIZED (
+  SELECT doc_id, sig, b AS band, (sig >> (b * 8)) & 255 AS key
+  FROM sigs, unnest(generate_series(0, {PSH_BANDS - 1})) u(b)
+), ranked_b AS MATERIALIZED (
+  SELECT doc_id, sig, band, key,
+    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rnk
+  FROM bands
+)
+SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+FROM ranked_b x JOIN ranked_b y
+  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+WHERE x.rnk <= {REPS_PER_BUCKET}
+  AND bit_count(xor(x.sig, y.sig)) <= {PSH_HAMMING}
+"""
+
+
 QUERIES = {
+    "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_transitivity_audit": q_dedup_transitivity_audit,
     "containment_pairs": q_containment_pairs,
@@ -910,6 +1048,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_simhash_portable": _PSH_ORACLE,
     "dedup_minhash_portable": _PMH_ORACLE,
     "dedup_transitivity_audit": _TRANSITIVITY_ORACLE,
     "containment_pairs": _CONTAINMENT_ORACLE,

@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_hubness_report",
     "dedup_minhash_portable",
     "hll_portable_distinct",
+    "dedup_simhash_portable",
     "dp_noisy_counts_by_source",
     "disparate_impact_report",
     "js_divergence_by_source",
