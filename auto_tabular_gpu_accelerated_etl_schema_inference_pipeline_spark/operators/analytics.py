@@ -251,7 +251,7 @@ WITH long AS (
   SELECT col, value, CAST(round(value * 100) AS BIGINT) AS cents FROM long
 ), agg AS (
   SELECT col, count(value) AS n_rows,
-    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
     count(DISTINCT value) AS n_distinct,
     round(min(value), 6) AS min_v,
     round(max(value), 6) AS max_v,
@@ -880,9 +880,9 @@ WITH wk AS (
   FROM orders GROUP BY 1
 )
 SELECT week, o_orderpriority,
-  (n * 1000000) // wt AS week_share_ppm,
-  (gn * 1000000) // gt AS global_share_ppm,
-  (n * 1000000) // wt - (gn * 1000000) // gt AS drift_ppm
+  CAST((n * 1000000) // wt AS BIGINT) AS week_share_ppm,
+  CAST((gn * 1000000) // gt AS BIGINT) AS global_share_ppm,
+  CAST((n * 1000000) // wt - (gn * 1000000) // gt AS BIGINT) AS drift_ppm
 FROM wt JOIN gstats USING (o_orderpriority)
 """
 
@@ -1012,7 +1012,7 @@ WITH lens AS (
   FROM lens GROUP BY source
 )
 SELECT source, count(*) AS n_kept,
-  (sum(n_tok) * 1000000) // count(n_tok) AS trimmed_mean_micro
+  CAST((sum(n_tok) * 1000000) // count(n_tok) AS BIGINT) AS trimmed_mean_micro
 FROM lens JOIN b USING (source)
 WHERE n_tok >= p10 AND n_tok <= p90
 GROUP BY source

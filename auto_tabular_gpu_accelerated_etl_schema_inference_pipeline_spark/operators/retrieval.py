@@ -186,7 +186,7 @@ scored AS (
   CROSS JOIN stats
 )
 SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
-  sum(contrib_micro) AS score_micro
+  CAST(sum(contrib_micro) AS BIGINT) AS score_micro
 FROM scored GROUP BY doc_id
 """
 

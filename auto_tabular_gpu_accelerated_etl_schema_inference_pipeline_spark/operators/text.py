@@ -547,7 +547,7 @@ WITH s AS (
   SELECT lang_label, lang_pred, count(*) AS n FROM scored GROUP BY 1, 2
 )
 SELECT lang_label, lang_pred, n,
-  (n * 1000000) // sum(n) OVER (PARTITION BY lang_label)
+  CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang_label) AS BIGINT)
     AS share_of_label_ppm
 FROM cm
 """,

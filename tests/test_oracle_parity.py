@@ -48,6 +48,36 @@ def test_oracle_parity(spark, sf_dir, name):
         con.close()
 
 
+def test_oracle_output_types_portable():
+    """Registry-wide pin for the VERDICT-r4 failure class: DuckDB's
+    sum(BIGINT) / windowed sum / integer `//` silently widen to HUGEINT
+    (arrow decimal128(38,0)), and DECIMAL outputs surface as decimal128 —
+    either diverges from Spark's int64/double in the driver's value-hash
+    even when every value is bit-equal (bm25_search, r4). DESCRIBE every
+    oracle (bind only, no execution) and ban HUGEINT/UHUGEINT/DECIMAL
+    output columns outright: money and ratio columns are exported as
+    µ-unit BIGINT on both sides across this repo, so no oracle has a
+    legitimate reason to emit one."""
+    con = duckdb_conn(os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001"))
+    try:
+        offenders = {}
+        for name, sql in sorted(ORACLES.items()):
+            desc = con.execute("DESCRIBE " + sql).fetchall()
+            bad = [
+                (col, typ)
+                for col, typ, *_ in desc
+                if "HUGEINT" in typ.upper() or "DECIMAL" in typ.upper()
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, (
+            "oracle output columns with hash-diverging physical types "
+            f"(cast to BIGINT / export µ-units instead): {offenders}"
+        )
+    finally:
+        con.close()
+
+
 def test_registry_imports_every_module():
     """The registry's ImportError guard exists so the engine can grow
     module-by-module — but a typo'd import must not SILENTLY drop a
