@@ -216,13 +216,18 @@ def q_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_a",
         "pos_b",
         "agree",
-        F.round(
-            (F.col("n") * F.col("agree") - s).cast("double")
-            * 1_000_000.0
-            / (F.col("n") * F.col("n") - s).cast("double")
-        )
-        .cast("bigint")
-        .alias("kappa_ppm"),
+        # degenerate-marginal guard: if both raters emit a single class,
+        # p_e = 1 and n² = S — kappa is undefined; NULL on both engines
+        # (Spark's non-ANSI 0/0→NaN→bigint would silently yield 0 while
+        # DuckDB's CAST(round(NaN)) errors — the funnel z_milli treatment)
+        F.when(
+            F.col("n") * F.col("n") != s,
+            F.round(
+                (F.col("n") * F.col("agree") - s).cast("double")
+                * 1_000_000.0
+                / (F.col("n") * F.col("n") - s).cast("double")
+            ).cast("bigint"),
+        ).alias("kappa_ppm"),
     )
 
 
@@ -241,12 +246,14 @@ WITH flags AS (
   FROM flags
 )
 SELECT n, pos_a, pos_b, agree,
-  CAST(round(
-    CAST(n * agree - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
-         AS DOUBLE) * 1000000.0
-    / CAST(n * n - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
-           AS DOUBLE)
-  ) AS BIGINT) AS kappa_ppm
+  CASE WHEN n * n != pos_a * pos_b + (n - pos_a) * (n - pos_b) THEN
+    CAST(round(
+      CAST(n * agree - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
+           AS DOUBLE) * 1000000.0
+      / CAST(n * n - (pos_a * pos_b + (n - pos_a) * (n - pos_b))
+             AS DOUBLE)
+    ) AS BIGINT)
+  END AS kappa_ppm
 FROM agg
 """
 
@@ -325,7 +332,11 @@ def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_hours",
         decision.alias("decision"),
-        F.coalesce(F.col("first_up"), F.col("first_dn")).alias(
+        # the hour the DECISION fired: h1 fires iff first_up <= first_dn,
+        # h0 iff first_dn < first_up, so least() (null-ignoring on both
+        # engines) is always the firing boundary's hour — coalesce would
+        # misreport the later up-crossing when h0 fired first
+        F.least(F.col("first_up"), F.col("first_dn")).alias(
             "decision_hour"
         ),
         "llr_final_micro",
@@ -363,7 +374,7 @@ SELECT n_hours,
        THEN 'accept_h1'
        WHEN first_dn IS NOT NULL THEN 'accept_h0'
        ELSE 'continue' END AS decision,
-  coalesce(first_up, first_dn) AS decision_hour,
+  least(first_up, first_dn) AS decision_hour,
   llr_final_micro
 FROM agg
 """

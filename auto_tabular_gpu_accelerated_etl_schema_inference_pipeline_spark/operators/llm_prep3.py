@@ -46,16 +46,25 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     to O(data/shard_size) and every task sorts one shard; the global
     order is (shard, pos) by construction, so no stage ever sees a
     total order. Reading shards in index order replays one fixed
-    permutation — reproducible training order with zero stored state."""
+    permutation — reproducible training order with zero stored state.
+
+    Overflow safety: doc_id * KNUTH_C exceeds BIGINT once doc_id ≳
+    3.5e9 (≈ a 100 TB corpus of 30 KB docs) — Spark's non-ANSI mode
+    would wrap silently while DuckDB errors. The multiply-mod is
+    therefore computed with a 16-bit limb split: for a = doc_id mod
+    2^32, a·K mod 2^32 = ((a_hi·K mod 2^16)·2^16 + a_lo·K) mod 2^32
+    with a_hi = a div 2^16, a_lo = a mod 2^16 — every intermediate
+    < 2^48, exact BIGINT on both engines for ALL doc_id."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    h = F.expr(f"pmod(doc_id * {KNUTH_C}L, {MOD32}L)")
+    hash_sql = (
+        f"pmod((pmod((pmod(doc_id, {MOD32}L) div 65536) * {KNUTH_C}L, "
+        f"65536) * 65536) + pmod(doc_id, 65536) * {KNUTH_C}L, {MOD32}L)"
+    )
     d = docs.select(
         "doc_id",
-        h.alias("h"),
-        F.expr(f"pmod(doc_id * {KNUTH_C}L, {MOD32}L) % {SHUFFLE_SHARDS}")
-        .cast("int")
-        .alias("shard"),
+        F.expr(hash_sql).alias("h"),
+        F.expr(f"{hash_sql} % {SHUFFLE_SHARDS}").cast("int").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return d.select(
@@ -68,9 +77,11 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHUFFLE_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-    (doc_id * {KNUTH_C}) % {MOD32} AS h,
-    CAST((doc_id * {KNUTH_C}) % {MOD32} % {SHUFFLE_SHARDS} AS INTEGER)
-      AS shard
+    ((((doc_id % {MOD32}) // 65536) * {KNUTH_C} % 65536) * 65536
+     + (doc_id % 65536) * {KNUTH_C}) % {MOD32} AS h,
+    CAST(((((doc_id % {MOD32}) // 65536) * {KNUTH_C} % 65536) * 65536
+          + (doc_id % 65536) * {KNUTH_C}) % {MOD32} % {SHUFFLE_SHARDS}
+         AS INTEGER) AS shard
   FROM documents
 )
 SELECT doc_id, shard,

@@ -68,11 +68,34 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# + CORRECTNESS_r02 + CORRECTNESS_r03). A prefix-sampling gate should
+# through CORRECTNESS_r04). A prefix-sampling gate should
 # spend its slots on queries NOT in this set first; once a round
 # verifies more, extend it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r4 greens (CORRECTNESS_r04.json, 49/50) ---
+        "benford_first_digit", "bpe_encode_docs", "bpe_merges",
+        "constraint_audit", "containment_pairs", "count_min_sketch",
+        "customer_rfm_segments", "decision_tree_calibration",
+        "dedup_exact_hash", "duplicate_ngram_spans",
+        "eigencentrality_parts", "entity_resolution_clusters",
+        "event_lateness_profile", "feature_hashing_bow",
+        "geo_cell_rollup", "geo_grid_distance_join",
+        "geo_hilbert_layout", "geo_zone_stats", "graph_bfs_hops",
+        "hybrid_rrf_search", "inverted_index", "join_null_skew_split",
+        "join_skew_salted", "k_anonymity_audit", "ks_two_sample",
+        "perplexity_band_filter", "pseudonymize_users",
+        "psi_numeric_drift", "quantile_bin_map_in_arrow",
+        "quantile_bin_pandas_udf", "quantile_bin_per_group",
+        "quantile_bin_scalable", "quantile_normalize_doclen",
+        "semdedup_embedding", "sequence_gap_audit", "shard_manifest",
+        "similarity_filtered_topk", "streaming_cdc_latest",
+        "streaming_dedup_within_watermark", "streaming_topk_events",
+        "streaming_tumbling_window", "tokenize_generated",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+        "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+        "url_canonicalize_dedup", "variant_extract_events",
+        "xml_roundtrip_events",
         # --- r3 greens (CORRECTNESS_r03.json, 50/50) ---
         "asof_join_events_orders", "auto_tokenize_lineitem",
         "categorical_encode", "cdc_latest_snapshot", "cdc_scd2_history",
@@ -122,52 +145,52 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # TPC-H deep shapes not yet sampled
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
-    # retrieval lane
-    "inverted_index", "bm25_search", "hybrid_rrf_search",
-    "duplicate_ngram_spans",
-    # text_lm lane (tokenizer fit/encode + LM filters)
-    "bpe_merges", "bpe_encode_docs", "perplexity_band_filter",
-    "feature_hashing_bow",
-    # graph lane (remaining)
-    "graph_bfs_hops", "eigencentrality_parts", "entity_resolution_clusters",
-    # geo lane
-    "geo_cell_rollup", "geo_grid_distance_join", "geo_hilbert_layout",
-    "geo_zone_stats",
-    # audit lane
-    "benford_first_digit", "constraint_audit", "k_anonymity_audit",
-    "pseudonymize_users", "sequence_gap_audit",
-    # sketches
-    "count_min_sketch",
-    # r3 post-freeze adds
-    "url_canonicalize_dedup", "shard_manifest", "event_lateness_profile",
-    "decision_tree_calibration",
-    # variant / xml (variant also the r3 perf-adjudication target)
-    "variant_extract_events", "xml_roundtrip_events",
-    # skew-handling joins
-    "join_skew_salted", "join_null_skew_split",
-    # analytics (round-3 adds)
-    "ks_two_sample", "quantile_normalize_doclen", "psi_numeric_drift",
-    "customer_rfm_segments",
-    # streaming (remaining unsampled)
-    "streaming_tumbling_window", "streaming_dedup_within_watermark",
-    "streaming_cdc_latest", "streaming_topk_events",
-    # similarity (remaining)
-    "semdedup_embedding", "similarity_filtered_topk",
-    # dedup (remaining)
-    "dedup_exact_hash", "containment_pairs",
-    # reference flagship lanes promoted to oracle-backed this round
-    # (VERDICT r3 items 3 + 6) + the per-group exact lane
-    "quantile_bin_scalable", "quantile_bin_pandas_udf",
-    "quantile_bin_map_in_arrow", "tokenize_generated",
-    "quantile_bin_per_group",
+    # r4's one failure + the five latent type-divergent oracles, all
+    # fixed this round (VERDICT r4 items 1 + 5) — prove them through
+    # the driver first
+    "bm25_search", "sql_udf_discounted_revenue", "lang_id_confusion",
+    "category_drift_report", "trimmed_mean_by_source", "profile_numeric",
+    # eval_stats lane (never sampled)
+    "kaplan_meier_retention", "cohens_kappa_raters",
+    "sprt_sequential_test", "bootstrap_mean_ci", "cuped_adjusted_metric",
+    "funnel_step_significance",
+    # text_stats lane (never sampled)
+    "vocab_growth_heaps", "burstiness_top_terms",
+    "pmi_cooccurrence_pairs", "ngram_novelty_curve",
+    "js_divergence_by_source", "zipf_slope_fit", "chi2_term_source",
+    # portable sketch twins (whole sketch pipeline oracle-replayed)
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "hll_portable_distinct",
+    # llm_prep3 lane
+    "corpus_global_shuffle", "dedup_survivorship",
+    "sampling_temperature_mix", "winnowing_fingerprint",
+    "cross_source_dup_matrix",
+    # llm_prep4 lane
+    "dsir_importance_weights", "watermark_greenlist_scan",
+    "max_cover_selection", "quota_apportionment", "context_length_sweep",
+    # corpus_reports lane
+    "contamination_report", "source_gini_report",
+    "lexical_diversity_report", "vocab_oov_rate", "dedup_cluster_sizes",
+    # model lane
+    "auc_quality_screen", "naive_bayes_source_confusion",
+    # sql_surface remainder (Spark-4 API surface)
+    "collation_lcase_distinct", "transpose_flag_profile",
+    # production remainder
+    "split_leakage_audit", "incremental_join_view",
+    "train_val_test_split", "sample_weighted",
+    # timeseries remainder (sample of 30 unsampled)
+    "events_rolling_median", "cep_pattern_match",
+    "session_path_analysis",
+    # analytics remainder
+    "weighted_median_by_flag", "histogram_equal_width",
     # next tier (beyond the 50-slot prefix; covered if the gate widens)
+    "streaming_sprt_monitor", "udtf_trigram_positions",
+    "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
+    "asof_join_pandas", "interval_merge_spans", "ndcg_eval",
     "order_reconciliation", "footer_stats_lineitem",
     "similarity_pq_adc_topk", "embedding_dim_profile",
     "dedup_char_shingle_jaccard", "weekly_revenue_wow",
-    "histogram_equal_width", "profile_numeric", "weighted_median_by_flag",
+    "csv_dialect_roundtrip", "error_safe_funcs",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]

@@ -330,7 +330,9 @@ def q_streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_hours",
         decision.alias("decision"),
-        F.coalesce(F.col("first_up"), F.col("first_dn")).alias(
+        # least() = the firing boundary's hour (h1 fires iff first_up <=
+        # first_dn); mirrors the batch SPRT fix in eval_stats.py
+        F.least(F.col("first_up"), F.col("first_dn")).alias(
             "decision_hour"
         ),
         "llr_final_micro",

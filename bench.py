@@ -471,26 +471,43 @@ def main() -> None:
         timings.update(_ref_section_subprocess(spark))
 
     # --- flagship pipeline, phase-timed like etl_benchmark.py:87-90 ---
-    t0 = time.perf_counter()
-    df = load_table(spark, SF_DIR, "lineitem")
-    n = df.count()  # force the scan
-    t1 = time.perf_counter()
-    bounds = fit_quantile_boundaries(
-        df, LINEITEM_MEASURES, bins=100, relative_error=0.001
-    )
-    t2 = time.perf_counter()
-    toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
-    out_dir = tempfile.mkdtemp(prefix="bench_tokens_")
-    try:
-        toks.write.mode("overwrite").parquet(os.path.join(out_dir, "tokens"))
-        t3 = time.perf_counter()
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-
-    timings["flagship_read"] = t1 - t0
-    timings["flagship_fit"] = t2 - t1
-    timings["flagship_transform_write"] = t3 - t2
-    flagship_total = t3 - t0
+    # Same best-of-N + early-stop + full-disclosure protocol as the ref
+    # section (ADVICE r4: the two headline numbers must share one
+    # measurement policy, or the reported ratio mixes a min with a
+    # single draw). Every attempt's total is reported in
+    # flagship_total_runs; the phase split comes from the best attempt.
+    attempts = int(os.environ.get("SPARK_GRAFT_REF_ATTEMPTS", "3"))
+    flagship_total = float("inf")
+    flagship_runs: list[float] = []
+    n = 0
+    for _ in range(max(1, attempts)):
+        t0 = time.perf_counter()
+        df = load_table(spark, SF_DIR, "lineitem")
+        n = df.count()  # force the scan
+        t1 = time.perf_counter()
+        bounds = fit_quantile_boundaries(
+            df, LINEITEM_MEASURES, bins=100, relative_error=0.001
+        )
+        t2 = time.perf_counter()
+        toks = bucketize(df, bounds, keep_cols=LINEITEM_KEYS)
+        out_dir = tempfile.mkdtemp(prefix="bench_tokens_")
+        try:
+            toks.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "tokens")
+            )
+            t3 = time.perf_counter()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        total = t3 - t0
+        flagship_runs.append(round(total, 4))
+        if total < flagship_total:
+            flagship_total = total
+            timings["flagship_read"] = t1 - t0
+            timings["flagship_fit"] = t2 - t1
+            timings["flagship_transform_write"] = t3 - t2
+        if flagship_total < 4.0:  # already a quiet-host number
+            break
+    timings["flagship_total_runs"] = flagship_runs  # type: ignore[assignment]
 
     # --- headline queries (forced via noop-equivalent count) ---
     queries = entrymod.queries()

@@ -216,8 +216,7 @@ def test_curriculum_stage_sizes_and_rank_contiguity(spark, sf_dir):
         assert r["lo"] == 1 and r["hi"] == r["n"] == r["nd"]
 
 
-@pytest.mark.parametrize("flip", [False])
-def test_km_censoring_biases_naive_mean_down(spark, sf_dir, flip):
+def test_km_censoring_biases_naive_mean_down(spark, sf_dir):
     """The motivation for KM: the naive mean lifetime over CHURNED users
     only must not exceed the KM-weighted view — censored users carry the
     longest observed lifetimes by construction (they were still active
