@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup import FUZZY_MAX_DIST, JACCARD_THRESHOLD, q_dedup_ngram_jaccard
+from .dedup import FUZZY_MAX_DIST, JACCARD_THRESHOLD, near_dup_pairs
 
 
 def connected_components(
@@ -243,7 +243,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.explode("ids").alias("doc_id"), "component_id")
             )
     # general case: doc-level prefix-filtered pair join + hash-min CC
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    # (session-memoized — shared with pagerank/transitivity consumers)
+    pairs = near_dup_pairs(spark, sf_dir)
     verts = docs.select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     comp = connected_components(verts, edges)
@@ -307,7 +308,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    pairs = near_dup_pairs(spark, sf_dir)
     verts = docs.select(F.col("doc_id").alias("id"))
     sym = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
         pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
