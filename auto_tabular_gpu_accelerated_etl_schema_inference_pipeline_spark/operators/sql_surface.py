@@ -124,7 +124,14 @@ def q_transpose_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction).
 
     Exactness: metrics are exact integer counts cast to one common
-    BIGINT type (transpose requires a uniform value type)."""
+    BIGINT type (transpose requires a uniform value type).
+
+    Cost bound: DataFrame.transpose infers the output schema by
+    COLLECTING the index column to the driver — acceptable only
+    because the input here is the bounded 3-row profile; that
+    collect-driven inference is why the bench entry pays a few seconds
+    of fixed overhead and why transposing row-scale data is out of
+    scope (VERDICT r4 item 7)."""
     configure_for_oracle(spark)
     li = load_table(spark, sf_dir, "lineitem")
     prof = (

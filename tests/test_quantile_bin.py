@@ -5,6 +5,8 @@ three implementations against each other — SURVEY.md §5; we do)."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -321,6 +323,39 @@ def test_iterator_udf_matches_scalar_udf(spark, sf_dir):
     scalar = make_searchsorted_udf(interior)
     it = make_searchsorted_iter_udf(interior)
     both = li.select(scalar("v").alias("a"), it("v").alias("b"))
+    assert both.filter("a IS DISTINCT FROM b").count() == 0
+
+
+def _cuda_available() -> bool:
+    try:
+        import torch
+
+        return bool(torch.cuda.is_available())
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _cuda_available(), reason="requires torch with a CUDA device"
+)
+def test_gpu_factory_branch_on_hardware(spark, sf_dir):
+    """End-to-end torch-CUDA lane (VERDICT r4 item 7): on a GPU host
+    this runs the real device kernel through Spark with zero code
+    changes and pins it to the CPU lane bit-for-bit; on CUDA-less CI it
+    skips (the mocked-torch test below still covers the branch body)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.functions.udf_kernels import (
+        make_searchsorted_udf,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_extendedprice").cast("double").alias("v"))
+        .limit(10_000)
+    )
+    interior = [1000.0, 5000.0, 20000.0, 50000.0]
+    gpu = make_searchsorted_udf(interior, use_gpu=True)
+    cpu = make_searchsorted_udf(interior, use_gpu=False)
+    both = li.select(gpu("v").alias("a"), cpu("v").alias("b"))
     assert both.filter("a IS DISTINCT FROM b").count() == 0
 
 
