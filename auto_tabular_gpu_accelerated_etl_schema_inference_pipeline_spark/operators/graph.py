@@ -373,9 +373,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the standard refinement is degree-ordered orientation (point
     every edge low-degree -> high-degree) so no vertex's out-degree
     exceeds sqrt(2m); same two joins, bounded skew."""
-    from .analytics import q_orders_market_basket
+    from .analytics import market_basket_pairs
 
-    edges = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    edges = market_basket_pairs(spark, sf_dir).select("p1", "p2")
     e1 = edges.toDF("a", "b")
     e2 = edges.toDF("b", "c")
     e3 = edges.toDF("a", "c")
@@ -579,22 +579,11 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation). ``localCheckpoint`` truncates lineage per round as in
     connected_components. The hop bound makes the result deterministic
     and lets the oracle replay it as a depth-capped recursive closure."""
-    from ..session import configure_for_oracle, load_table
+    from ..session import configure_for_oracle
+    from .analytics import market_basket_pairs
 
     configure_for_oracle(spark)
-    it = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = it.toDF("okey", "p1")
-    b = it.toDF("okey", "p2")
-    pairs = (
-        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    pairs = market_basket_pairs(spark, sf_dir).select("p1", "p2")
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
@@ -652,10 +641,10 @@ def q_label_propagation_communities(
     labels ≤ degree). Lineage is pinned per round (localCheckpoint, the
     pagerank discipline) so round k+1 doesn't replay round k."""
     from ..session import configure_for_oracle
-    from .analytics import q_orders_market_basket
+    from .analytics import market_basket_pairs
 
     configure_for_oracle(spark)
-    e = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    e = market_basket_pairs(spark, sf_dir).select("p1", "p2")
     edges = (
         e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2")))
         .toDF("node", "nbr")
@@ -683,6 +672,20 @@ def q_label_propagation_communities(
     return labels.select(
         F.col("lid").cast("bigint").alias("part_node"),
         F.col("lab").cast("bigint").alias("community"),
+    )
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized LPA community labels — shared by the
+    label_propagation_communities query and the modularity census
+    (uncached, lpa_modularity re-ran the full iterative LPA)."""
+    from ..session import session_memo
+
+    return session_memo(
+        spark,
+        "lpa_labels",
+        sf_dir,
+        lambda: q_label_propagation_communities(spark, sf_dir),
     )
 
 
@@ -754,9 +757,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank/CC discipline); state only ever shrinks. At 100 TB this is
     the textbook distributed k-core peel (one shuffle per round,
     O(diameter-ish) rounds)."""
-    from .analytics import q_orders_market_basket
+    from .analytics import market_basket_pairs
 
-    base = q_orders_market_basket(spark, sf_dir).select("p1", "p2")
+    base = market_basket_pairs(spark, sf_dir).select("p1", "p2")
     edges = (
         base.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .union(
@@ -833,16 +836,12 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-pin (each fans out to 2–3 consumers — unpinned,
     every consumer would re-run the whole iterative LPA); the census
     is two broadcast-joined aggregates over the bounded edge set."""
-    from .analytics import q_orders_market_basket
+    from .analytics import market_basket_pairs
 
-    labels = q_label_propagation_communities(spark, sf_dir).select(
+    labels = lpa_labels(spark, sf_dir).select(
         F.col("part_node").alias("node"), F.col("community")
-    ).localCheckpoint()
-    pairs = (
-        q_orders_market_basket(spark, sf_dir)
-        .select("p1", "p2")
-        .localCheckpoint()
     )
+    pairs = market_basket_pairs(spark, sf_dir).select("p1", "p2")
     m = pairs.count()
     la = labels.select(
         F.col("node").alias("p1"), F.col("community").alias("c1")
@@ -933,7 +932,7 @@ QUERIES = {
     "lpa_modularity": q_lpa_modularity,
     "graph_kcore": q_graph_kcore,
     "graph_bfs_hops": q_graph_bfs_hops,
-    "label_propagation_communities": q_label_propagation_communities,
+    "label_propagation_communities": lpa_labels,  # memoized LPA result
     "entity_resolution_clusters": q_entity_resolution_clusters,
     "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,

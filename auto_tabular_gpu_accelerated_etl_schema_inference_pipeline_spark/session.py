@@ -88,6 +88,31 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: session-scoped DataFrame memo — expensive relations that several
+#: registry queries share (near-dup pairs, market-basket edges, LPA
+#: labels) are computed once per (SparkContext, key, sf_dir) and
+#: localCheckpoint-pinned. A checkpoint is only valid inside the
+#: context that produced it, hence the context id in the key; the
+#: pinned relations are all output-sized (pairs/labels ≪ input²). This
+#: is the production discipline at 100 TB: materialize a shared
+#: intermediate once per run, derive every consumer from the
+#: materialization instead of re-running the pipeline.
+_DF_MEMO: dict = {}
+
+
+def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame:
+    """Return the checkpoint-pinned result of ``build()`` for this
+    (SparkContext, key, sf_dir), computing it at most once."""
+    k = (id(spark.sparkContext), key, sf_dir)
+    df = _DF_MEMO.get(k)
+    if df is None:
+        df = build().localCheckpoint()
+        if len(_DF_MEMO) > 64:  # stale-context guard, keeps the dict tiny
+            _DF_MEMO.clear()
+        _DF_MEMO[k] = df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference O3, etl_benchmark.py:27): schema comes from
     the parquet footer; Catalyst pushes filters/projections into the scan."""
