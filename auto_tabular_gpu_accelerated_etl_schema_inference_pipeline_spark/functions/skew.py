@@ -114,13 +114,78 @@ LEFT JOIN supplier ON sparse_suppkey = s_suppkey
 """
 
 
+def q_join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    when one side of a shuffle join carries a selective filter, the
+    optimizer builds a bloom filter over that side's join keys at
+    runtime and pushes `bloom_filter_might_contain` into the OTHER
+    side's scan — at 100 TB this is what turns a fact⋈filtered-dim
+    sort-merge join from "shuffle the whole fact table" into "shuffle
+    only rows whose key might match" (~row-reduction equal to the dim
+    filter's selectivity). Here: lineitem ⋈ orders restricted to
+    1-URGENT, aggregated per priority.
+
+    The aggressive settings live on a forked session (`newSession()`:
+    shared context, PRIVATE conf) so they cannot leak into the caller's
+    session: broadcast is disabled to force the shuffle-join shape the
+    rule targets (at fixture scale the dim would broadcast and no
+    runtime filter would be needed), and the application-side size
+    threshold is zeroed because the fixture scan is far below the 10 GB
+    production default. A plan test pins bloom_filter_might_contain in
+    the physical plan.
+
+    Result-neutrality: the bloom filter only drops rows that cannot
+    join (false positives pass through to the exact join) — the oracle
+    is the PLAIN join's aggregate."""
+    s = spark.newSession()
+    from ..session import configure_for_oracle, load_table
+
+    configure_for_oracle(s)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_null_skew_split": q_join_null_skew_split,
     "join_skew_salted": q_join_skew_salted,
+    "join_runtime_bloom_filter": q_join_runtime_bloom_filter,
 }
 
 ORACLES = {
     "join_null_skew_split": _NULL_SKEW_ORACLE,
+    "join_runtime_bloom_filter": _BLOOM_JOIN_ORACLE,
     "join_skew_salted": """
 SELECT c.c_mktsegment,
   count(*) AS n_events,

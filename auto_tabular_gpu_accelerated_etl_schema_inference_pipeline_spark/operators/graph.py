@@ -406,21 +406,12 @@ def q_eigencentrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized); the max is a broadcast 1-row aggregate. At 100 TB this
     is the checkpointed-loop pattern of connected_components with the
     same one-shuffle-per-round bound."""
-    from ..session import configure_for_oracle, load_table
+    from ..session import configure_for_oracle
+    from .analytics import market_basket_pairs
 
     configure_for_oracle(spark)
-    it = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = it.toDF("okey", "p1")
-    b = it.toDF("okey", "p2")
-    pairs = (
-        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
+    pairs = market_basket_pairs(spark, sf_dir).select(
+        "p1", "p2", F.col("support").alias("w")
     )
     edges = pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst"), "w"

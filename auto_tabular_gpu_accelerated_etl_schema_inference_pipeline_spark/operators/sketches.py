@@ -227,11 +227,143 @@ FROM ex CROSS JOIN est
 """
 
 
+def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY made first-class — the property that makes
+    sketches the 100 TB distinct-count answer: DAILY register tables
+    (256 rows/day, not raw events) are unioned into WEEKLY sketches by
+    register-wise max, so a rollup pipeline stores tiny per-partition
+    sketches and answers any coarser window WITHOUT rescanning raw
+    data. Weekly distinct users estimated from merged daily registers,
+    with the exact count and signed error as audit columns.
+
+    Exactness: max-merge of exact integer registers is associative —
+    merged weekly registers are bit-identical to registers computed
+    from the raw week, so the oracle replays the same two-level
+    pipeline and every value matches (same portable md5 construction
+    as hll_portable_distinct).
+
+    Scale shape: one groupBy(day, bucket) over events (the only pass
+    that touches raw rows, map-side combinable), then all further
+    aggregation is over |days|×256 register rows — at 100 TB the merge
+    stage processes kilobytes per partition regardless of event
+    volume. The exact countDistinct alongside is the fixture-scale
+    audit, not the production path."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (h % HLL_M).alias("bucket"),
+        F.expr(
+            f"cast(conv(substring(md5(cast(user_id as string)), 1, 8),"
+            f" 16, 10) as bigint) div {HLL_M}"
+        ).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(25)).otherwise(
+            F.lit(25) - F.length(F.conv(F.col("w"), 10, 2))
+        ),
+    )
+    daily = base.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
+    week = F.expr("(unix_timestamp(day) div 86400) div 7")
+    merged = (
+        daily.select(week.alias("week"), "bucket", "r")
+        .groupBy("week", "bucket")
+        .agg(F.max("r").alias("r"))  # register-wise HLL union
+    )
+    agg = merged.groupBy("week").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias(
+            "z_present"
+        ),
+        F.count(F.lit(1)).alias("m_present"),
+        F.sum((F.col("r") == 0).cast("bigint")).alias("zeros_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("m_present"))
+    zeros = F.col("zeros_present") + (F.lit(HLL_M) - F.col("m_present"))
+    raw = F.lit(HLL_ALPHA_M2) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = (
+        ev.select(
+            F.expr(
+                "(unix_timestamp(date_trunc('day', ts)) div 86400) div 7"
+            ).alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return exact.join(agg, "week").select(
+        F.col("week").cast("bigint").alias("week"),
+        "n_exact",
+        F.round(est * 1000).cast("bigint").alias("hll_estimate_milli"),
+        F.round(
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
+_HLL_ROLLUP_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+), daily AS (
+  SELECT day, hv % {HLL_M} AS bucket,
+    max(CASE WHEN hv // {HLL_M} = 0 THEN 25
+             ELSE 25 - length(bin(hv // {HLL_M})) END) AS r
+  FROM h GROUP BY 1, 2
+), merged AS (
+  SELECT (epoch_us(day) // 86400000000) // 7 AS week, bucket,
+    max(r) AS r
+  FROM daily GROUP BY 1, 2
+), agg AS (
+  SELECT week,
+    sum(pow(2.0, -CAST(r AS DOUBLE))) AS z_present,
+    count(*) AS m_present,
+    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros_present
+  FROM merged GROUP BY week
+), est AS (
+  SELECT week,
+    CASE WHEN {HLL_ALPHA_M2!r} / (z_present + ({HLL_M} - m_present))
+              <= 2.5 * {HLL_M}
+          AND zeros_present + ({HLL_M} - m_present) > 0
+         THEN {HLL_M}.0 * ln({HLL_M}.0
+              / CAST(zeros_present + ({HLL_M} - m_present) AS DOUBLE))
+         ELSE {HLL_ALPHA_M2!r} / (z_present + ({HLL_M} - m_present))
+    END AS e
+  FROM agg
+), ex AS (
+  SELECT (epoch_us(date_trunc('day', ts)) // 86400000000) // 7 AS week,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT CAST(ex.week AS BIGINT) AS week, ex.n_exact,
+  CAST(round(est.e * 1000) AS BIGINT) AS hll_estimate_milli,
+  CAST(round((est.e - CAST(ex.n_exact AS DOUBLE))
+             / CAST(ex.n_exact AS DOUBLE) * 1000000.0) AS BIGINT)
+    AS err_ppm
+FROM ex JOIN est ON ex.week = est.week
+"""
+
+
 QUERIES = {
     "count_min_sketch": q_count_min_sketch,
     "hll_portable_distinct": q_hll_portable_distinct,
+    "hll_rollup_merge": q_hll_rollup_merge,
 }
 ORACLES = {
     "count_min_sketch": _CMS_ORACLE,
     "hll_portable_distinct": _HLL_ORACLE,
+    "hll_rollup_merge": _HLL_ROLLUP_ORACLE,
 }

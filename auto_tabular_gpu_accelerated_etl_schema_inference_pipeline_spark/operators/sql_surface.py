@@ -191,14 +191,61 @@ FROM long GROUP BY metric
 """
 
 
+def q_sql_pipe_syntax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear
+    FROM → WHERE → EXTEND → AGGREGATE → WHERE form that reads in
+    execution order instead of inside-out — the surface SQL-heavy users
+    adopt for multi-stage transforms (each `|>` stage consumes the
+    previous stage's output relation). Semantics are identical to the
+    nested form — Catalyst parses pipes into the same logical plan, so
+    pushdown/codegen are unchanged; the oracle is the classic ANSI
+    rendering of the same query, proving the two notations agree
+    cross-engine.
+
+    Exactness: cents are exact integers (round ×100 then BIGINT), so
+    the aggregate is an integer sum on both engines.
+
+    Scale shape: same as tpch_q1 — pushed filter, pruned scan, partial
+    agg, one small shuffle; the post-AGGREGATE `|> WHERE` is a HAVING
+    that runs on the aggregated (tiny) relation."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_pipe")
+    return spark.sql(
+        """
+        FROM li_pipe
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+                     sum(price_cents) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 1
+        """
+    )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 1
+"""
+
+
 QUERIES = {
     "sql_udf_discounted_revenue": q_sql_udf_discounted_revenue,
     "collation_lcase_distinct": q_collation_lcase_distinct,
     "transpose_flag_profile": q_transpose_flag_profile,
+    "sql_pipe_syntax_profile": q_sql_pipe_syntax_profile,
 }
 
 ORACLES = {
     "sql_udf_discounted_revenue": _SQL_UDF_ORACLE,
     "collation_lcase_distinct": _COLLATION_ORACLE,
     "transpose_flag_profile": _transpose_oracle(),
+    "sql_pipe_syntax_profile": _PIPE_ORACLE,
 }

@@ -184,6 +184,8 @@ _PRIORITY_WINDOW = [
     # analytics remainder
     "weighted_median_by_flag", "histogram_equal_width",
     # next tier (beyond the 50-slot prefix; covered if the gate widens)
+    "sql_pipe_syntax_profile", "join_runtime_bloom_filter",
+    "hll_rollup_merge",
     "streaming_sprt_monitor", "udtf_trigram_positions",
     "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
     "asof_join_pandas", "interval_merge_spans", "ndcg_eval",

@@ -94,6 +94,10 @@ HEADLINE = [
     # round-4 batch-7 additions
     "events_linear_interpolate",
     "theil_sen_trend",
+    # round-5 additions
+    "sql_pipe_syntax_profile",
+    "join_runtime_bloom_filter",
+    "hll_rollup_merge",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",

@@ -526,3 +526,30 @@ def test_round4_scan_floor_pins(spark, sf_dir):
     assert _scan_count(q_vocab_growth_heaps(spark, sf_dir)) <= 2
     assert _scan_count(q_chi2_term_source(spark, sf_dir)) <= 3
     assert _scan_count(q_pmi_cooccurrence_pairs(spark, sf_dir)) <= 3
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """join_runtime_bloom_filter's whole point is the optimizer-injected
+    runtime filter: the physical plan must contain
+    bloom_filter_might_contain on the fact side (and the result itself
+    is oracle-verified elsewhere — the filter is result-neutral)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.functions.skew import (
+        q_join_runtime_bloom_filter,
+    )
+
+    df = q_join_runtime_bloom_filter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+
+
+def test_pipe_syntax_plan_matches_classic(spark, sf_dir):
+    """SQL pipe syntax must be pure notation: the pipe query's optimized
+    plan has the same pushed parquet filter and no extra operators vs
+    the classic rendering — Catalyst sees one logical plan."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.sql_surface import (
+        q_sql_pipe_syntax_profile,
+    )
+
+    df = q_sql_pipe_syntax_profile(spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in physical and "l_shipdate" in physical
