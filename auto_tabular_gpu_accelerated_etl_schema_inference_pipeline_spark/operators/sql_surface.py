@@ -236,11 +236,66 @@ HAVING count(*) > 1
 """
 
 
+def q_parameterized_sql_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parameterized SQL (Spark 4): named parameter markers (`:name`)
+    bound through ``spark.sql(sql, args=...)`` plus the IDENTIFIER
+    clause for table names — the injection-safe template surface a
+    SQL-heavy shop standardizes on instead of f-string SQL (values
+    arrive as typed literals, identifiers are validated as identifiers,
+    and one template text serves every (table, cutoff) combination so
+    plan caching keys on the same text). Query: revenue per market
+    segment after a cutoff date, tables AND cutoff all parameters.
+
+    Exactness: cents as exact integers; the cutoff binds as a string
+    cast to timestamp identically on both engines.
+
+    Scale shape: standard fact⋈dim join (customer side small → Spark
+    broadcasts it), pushed date filter, one aggregate shuffle."""
+    configure_for_oracle(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cust_param"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ord_param"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM IDENTIFIER(:ord) JOIN IDENTIFIER(:cust)
+          ON o_custkey = c_custkey
+        WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+        GROUP BY c_mktsegment
+        """,
+        args={
+            "ord": "ord_param",
+            "cust": "cust_param",
+            "cutoff": "1996-01-01",
+        },
+    )
+
+
+_PARAM_SQL_ORACLE = """
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "sql_udf_discounted_revenue": q_sql_udf_discounted_revenue,
     "collation_lcase_distinct": q_collation_lcase_distinct,
     "transpose_flag_profile": q_transpose_flag_profile,
     "sql_pipe_syntax_profile": q_sql_pipe_syntax_profile,
+    "parameterized_sql_segment_revenue": q_parameterized_sql_segment_revenue,
 }
 
 ORACLES = {
@@ -248,4 +303,5 @@ ORACLES = {
     "collation_lcase_distinct": _COLLATION_ORACLE,
     "transpose_flag_profile": _transpose_oracle(),
     "sql_pipe_syntax_profile": _PIPE_ORACLE,
+    "parameterized_sql_segment_revenue": _PARAM_SQL_ORACLE,
 }

@@ -34,6 +34,7 @@ _MODULES = [
     "streaming.joins",
     "streaming.enrich",
     "streaming.tokenize",
+    "streaming.state_reader",
     "operators.multimodal",
     "operators.schema_infer",
     "operators.timeseries",
@@ -185,7 +186,8 @@ _PRIORITY_WINDOW = [
     "weighted_median_by_flag", "histogram_equal_width",
     # next tier (beyond the 50-slot prefix; covered if the gate widens)
     "sql_pipe_syntax_profile", "join_runtime_bloom_filter",
-    "hll_rollup_merge",
+    "hll_rollup_merge", "statestore_reader_counts",
+    "parameterized_sql_segment_revenue",
     "streaming_sprt_monitor", "udtf_trigram_positions",
     "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
     "asof_join_pandas", "interval_merge_spans", "ndcg_eval",

@@ -98,6 +98,8 @@ HEADLINE = [
     "sql_pipe_syntax_profile",
     "join_runtime_bloom_filter",
     "hll_rollup_merge",
+    "statestore_reader_counts",
+    "parameterized_sql_segment_revenue",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
