@@ -143,3 +143,28 @@ def test_cli_list_and_unknown():
     with contextlib.redirect_stderr(err):
         assert main(["run", "tpch_q1_typo"]) == 2
     assert "did you mean" in err.getvalue()
+
+
+def test_session_memo_identity_and_keying(spark, sf_dir):
+    """session_memo contract: same (context, key, sf_dir) returns the
+    SAME pinned DataFrame object (consumers share one checkpoint);
+    different key or sf_dir builds separately; the build thunk runs at
+    most once per key."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        session_memo,
+    )
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id AS v")
+
+    a = session_memo(spark, "memo_test_a", sf_dir, build)
+    b = session_memo(spark, "memo_test_a", sf_dir, build)
+    assert a is b and calls["n"] == 1
+    c = session_memo(spark, "memo_test_b", sf_dir, build)
+    assert c is not a and calls["n"] == 2
+    d = session_memo(spark, "memo_test_a", sf_dir + "/other", build)
+    assert d is not a and calls["n"] == 3
+    assert sorted(r["v"] for r in a.collect()) == [0, 1, 2, 3, 4]
