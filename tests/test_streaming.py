@@ -76,3 +76,27 @@ def test_tws_query_registered_iff_protobuf():
         stateful_v2.tws_available()
     )
     assert set(stateful_v2.ORACLES) <= set(stateful_v2.QUERIES)
+
+
+def test_state_metadata_reader_lists_operator(spark, sf_dir):
+    """Companion to statestore_reader_counts: the state-metadata format
+    must list the checkpoint's aggregation operator with the expected
+    identity (operator 0, stateStoreSave, default store) and the
+    single-batch lifecycle of the bounded build stream."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.state_reader import (
+        _checkpoint_for,
+    )
+
+    s = spark.newSession()
+    s.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false",
+    )
+    ck = _checkpoint_for(s, sf_dir)
+    rows = s.read.format("state-metadata").load(ck).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["operatorId"] == 0
+    assert r["operatorName"] == "stateStoreSave"
+    assert r["stateStoreName"] == "default"
+    assert r["minBatchId"] == 0
