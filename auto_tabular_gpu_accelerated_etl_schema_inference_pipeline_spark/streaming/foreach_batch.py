@@ -303,13 +303,218 @@ def q_streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _hll_register_table(df: DataFrame) -> DataFrame:
+    """(bucket, r) HLL register table over user_id — the same portable
+    md5 construction as operators.sketches.q_hll_portable_distinct."""
+    from ..operators.sketches import HLL_M
+
+    h = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    return (
+        df.select(
+            (h % HLL_M).alias("bucket"),
+            F.expr(
+                f"cast(conv(substring(md5(cast(user_id as string)),"
+                f" 1, 8), 16, 10) as bigint) div {HLL_M}"
+            ).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.conv(F.col("w"), 10, 2))
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def _hll_merge_batch(target_dir: str, spark: SparkSession):
+    """foreachBatch callback: merge the batch's register table into the
+    target by register-wise MAX — the HLL union. Max-merge is
+    associative, commutative, and idempotent, so the final state is
+    independent of how the stream was micro-batched AND survives
+    at-least-once batch replays with no dedup bookkeeping at all —
+    sketches are the rare sink where foreachBatch's delivery semantics
+    cost literally nothing."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        part = _hll_register_table(batch_df)
+        cur_path = os.path.join(target_dir, "current")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            merged = (
+                cur.join(part, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    F.greatest(
+                        F.coalesce(cur["r"], F.lit(0)),
+                        F.coalesce(part["r"], F.lit(0)),
+                    ).alias("r"),
+                )
+            )
+        else:
+            merged = part
+        new_path = os.path.join(target_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        old = os.path.join(target_dir, "prev")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(cur_path):
+            os.rename(cur_path, old)
+        os.rename(new_path, cur_path)
+
+    return apply
+
+
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user HLL maintained across micro-batches by
+    register-wise max in a foreachBatch sink — the streaming face of
+    hll_rollup_merge's mergeability story. The fixture events are
+    pre-split into 4 files (write-if-absent) and drained with
+    maxFilesPerTrigger=1, so the merge REALLY runs across 4 batches;
+    because max-merge is order/batching-invariant, the final registers
+    are bit-identical to a single batch pass over the whole table,
+    which is exactly what the oracle computes. Output: exact distinct,
+    the estimate, and the signed error (the hll_portable_distinct
+    contract, over user_id).
+
+    Scale shape: per batch, one map-side-combinable register aggregate
+    (256 rows out) and a 256-row merge — streaming state is the sketch,
+    kilobytes regardless of stream volume."""
+    import hashlib
+
+    from ..operators.sketches import HLL_ALPHA_M2, HLL_M
+    from .windows import _events_stream
+
+    configure_for_oracle(spark)
+    # pre-split the fixture into 4 deterministic files (by user_id mod 4)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stat = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    split_dir = os.path.join(tempfile.gettempdir(), f"events_4split_{tag}")
+    done = os.path.join(split_dir, "_SPLIT_DONE")
+    if not os.path.exists(done):
+        os.makedirs(split_dir, exist_ok=True)
+        full = spark.read.parquet(src)
+        for i in range(4):
+            (
+                full.filter(F.expr(f"pmod(user_id, 4) = {i}"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(split_dir, f"part_{i}"))
+            )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+        .select("user_id")
+    )
+    target_dir = tempfile.mkdtemp(prefix="hll_stream_target_")
+    ckpt = os.path.join(target_dir, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(_hll_merge_batch(target_dir, spark))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    regs = spark.read.parquet(os.path.join(target_dir, "current"))
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias(
+            "z_present"
+        ),
+        F.count(F.lit(1)).alias("m_present"),
+        F.sum((F.col("r") == 0).cast("bigint")).alias("zeros_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("m_present"))
+    zeros = F.col("zeros_present") + (F.lit(HLL_M) - F.col("m_present"))
+    raw = F.lit(HLL_ALPHA_M2) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = spark.read.parquet(src).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    out = (
+        exact.crossJoin(F.broadcast(agg))
+        .select(
+            "n_exact",
+            F.round(est * 1000).cast("bigint").alias("hll_estimate_milli"),
+            F.round(
+                (est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+                * 1_000_000.0
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .localCheckpoint()  # materialize before target_dir cleanup
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "streaming_topk_events": q_streaming_topk_events,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_cdc_latest": q_streaming_cdc_latest,
+    "streaming_hll_distinct": q_streaming_hll_distinct,
 }
 
+from ..operators.sketches import HLL_ALPHA_M2 as _AM2  # noqa: E402
+from ..operators.sketches import HLL_M as _M  # noqa: E402
+
+_STREAM_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+    AS hv
+  FROM events
+), regs AS (
+  SELECT hv % {_M} AS bucket,
+    max(CASE WHEN hv // {_M} = 0 THEN 25
+             ELSE 25 - length(bin(hv // {_M})) END) AS r
+  FROM h GROUP BY hv % {_M}
+), agg AS (
+  SELECT sum(pow(2.0, -CAST(r AS DOUBLE))) AS z_present,
+    count(*) AS m_present,
+    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros_present
+  FROM regs
+), est AS (
+  SELECT
+    CASE WHEN {_AM2!r} / (z_present + ({_M} - m_present))
+              <= 2.5 * {_M}
+          AND zeros_present + ({_M} - m_present) > 0
+         THEN {_M}.0 * ln({_M}.0
+              / CAST(zeros_present + ({_M} - m_present) AS DOUBLE))
+         ELSE {_AM2!r} / (z_present + ({_M} - m_present))
+    END AS e
+  FROM agg
+), ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+)
+SELECT ex.n_exact,
+  CAST(round(est.e * 1000) AS BIGINT) AS hll_estimate_milli,
+  CAST(round((est.e - CAST(ex.n_exact AS DOUBLE))
+             / CAST(ex.n_exact AS DOUBLE) * 1000000.0) AS BIGINT)
+    AS err_ppm
+FROM ex CROSS JOIN est
+"""
+
 ORACLES = {
+    "streaming_hll_distinct": _STREAM_HLL_ORACLE,
     "streaming_topk_events": f"""
 SELECT event_id, user_id,
   CAST(round(value * 100) AS BIGINT) AS cents,

@@ -100,6 +100,7 @@ HEADLINE = [
     "hll_rollup_merge",
     "statestore_reader_counts",
     "parameterized_sql_segment_revenue",
+    "streaming_hll_distinct",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
