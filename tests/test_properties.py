@@ -279,3 +279,50 @@ def test_fold_ops_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
     assert tiny == big
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_shuffle_hash_limb_split_matches_bignum(doc_id):
+    """corpus_global_shuffle's 16-bit limb-split multiply-mod must equal
+    the true (doc_id * KNUTH_C) mod 2^32 computed in Python bignum for
+    the WHOLE bigint domain — including doc_id beyond 3.5e9 where the
+    naive BIGINT product overflows (the 100 TB regime the fix targets).
+    Pure arithmetic, no Spark session needed."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.llm_prep3 import (
+        KNUTH_C,
+        MOD32,
+    )
+
+    a = doc_id % MOD32
+    hi, lo = a // 65536, a % 65536
+    limb = ((hi * KNUTH_C % 65536) * 65536 + lo * KNUTH_C) % MOD32
+    assert limb == (doc_id * KNUTH_C) % MOD32
+    # every intermediate stays inside int64 (the point of the split)
+    assert (hi * KNUTH_C % 65536) * 65536 + lo * KNUTH_C < 2**63
+
+
+def test_kappa_degenerate_marginals_null(spark):
+    """Cohen's kappa with single-class marginals (p_e = 1) must return
+    NULL, not a silent 0 from a non-ANSI NaN cast (ADVICE r4). Build a
+    tiny corpus where every doc passes both raters."""
+    import pandas as pd
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.eval_stats import (
+        KAPPA_MIN_CHARS,
+        KAPPA_MIN_TOKENS,
+        q_cohens_kappa_raters,
+    )
+
+    long_text = " ".join(["word"] * max(KAPPA_MIN_TOKENS, KAPPA_MIN_CHARS))
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [long_text] * 3})
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kappa_degen_")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    row = q_cohens_kappa_raters(spark, d).collect()[0]
+    assert row["n"] == 3 and row["agree"] == 3
+    assert row["kappa_ppm"] is None
