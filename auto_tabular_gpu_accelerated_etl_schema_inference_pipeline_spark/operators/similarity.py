@@ -1302,7 +1302,216 @@ FROM ranked
 """
 
 
+#: portable hyperplane-LSH: 32 md5-derived ±1 planes in 8 bands × 4
+#: rows; candidates verified at exact integer cosine ≥ 3/10 (the
+#: corpus's COSINE_DUP_THRESHOLD as a rational, cleared of the sqrt by
+#: cross-multiplying squares). REPS_PER_BUCKET=16 giant-bucket guard
+#: (the minhash/simhash discipline).
+PLSH_BANDS = 8
+PLSH_ROWS = 4
+PLSH_SCALE = 1_000_000  # component quantization (float32 → e6 BIGINT)
+PLSH_REPS = 8
+PLSH_NUM, PLSH_DEN = 3, 10  # cosine >= NUM/DEN
+
+
+def _plsh_plane_signs(j: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"plane:{j}:{i}".encode()).digest()[0] & 1 else -1
+        for i in range(64)
+    ]
+
+
+def q_similarity_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with an ENGINE-PORTABLE, ALL-INTEGER
+    pipeline — the value-verified twin that graduates the cosine-LSH
+    family from rows-only (joining dedup_minhash_portable /
+    dedup_simhash_portable / hll_portable_distinct): components quantize
+    to e6 BIGINTs (round-half-away, identical in both engines), each
+    signature bit is the SIGN OF AN INTEGER SUM (plane components are
+    md5-derived ±1, so the dot is Σ ±e_i — exact, no float anywhere),
+    banding is 8 bands × 4 bits, and candidates verify at cosine ≥ 3/10
+    WITHOUT sqrt: dot > 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖², the squares
+    compared in DECIMAL(38,0)/HUGEINT (internal only — outputs are
+    BIGINT). Output: verified pairs with their integer dot and squared
+    norms, every value replayed bit-for-bit by the oracle.
+
+    Scale shape: signature computation is map-only; the only shuffles
+    are the 8 band-bucket joins (REPS_PER_BUCKET-guarded: a bucket of
+    size B costs O(B·16), never O(B²)) and the bounded verified-pair
+    output; quantized vectors ride the joins (64×8 bytes/row)."""
+    emb = _emb(spark, sf_dir)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    # norms computed ONCE per vector here (not per candidate pair), and
+    # the 32 signature bits as ONE transform over a 2-D plane literal —
+    # a compact expression tree instead of 32 copies of the fold logic
+    # (the 32-copy form measured ~2 s of pure plan/codegen overhead)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * PLSH_SCALE).cast("bigint"),
+        ).alias("e"),
+    ).withColumn("n2_q", idot(F.col("e"), F.col("e")))
+    # ONE expr string for the 32×64 ±1 matrix: building it element-wise
+    # with F.lit costs 2048 py4j round-trips PER INVOCATION (~2-3 s of
+    # pure driver time); a single parsed literal is milliseconds
+    planes_lit = F.expr(
+        "array({})".format(
+            ", ".join(
+                "array({})".format(
+                    ", ".join(
+                        str(s) + "L" for s in _plsh_plane_signs(j)
+                    )
+                )
+                for j in range(PLSH_BANDS * PLSH_ROWS)
+            )
+        )
+    )
+    sigbits = F.transform(
+        planes_lit,
+        lambda p: F.when(idot(F.col("e"), p) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        ),
+    )
+    banded = (
+        q.withColumn("bits", sigbits)
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PLSH_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.array_join(
+                            F.slice(
+                                F.col("bits"), b * PLSH_ROWS + 1, PLSH_ROWS
+                            ),
+                            "",
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("vec_id", "bk.band", "bk.key")
+    )
+    ranked = banded.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("band", "key").orderBy("vec_id")
+        ),
+    ).localCheckpoint()  # both candidate-join sides
+    reps = ranked.filter(F.col("rnk") <= PLSH_REPS)
+    cand = (
+        reps.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a_id"),
+            F.col("y.vec_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ea = q.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ea"),
+        F.col("n2_q").alias("na2_q"),
+    )
+    eb = q.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("eb"),
+        F.col("n2_q").alias("nb2_q"),
+    )
+    scored = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            idot(F.col("ea"), F.col("eb")).alias("dot_q"),
+            "na2_q",
+            "nb2_q",
+        )
+    )
+    d = F.col("dot_q").cast("decimal(38,0)")
+    return scored.filter(
+        (F.col("dot_q") > 0)
+        & (
+            d * d * F.lit(PLSH_DEN * PLSH_DEN)
+            >= F.col("na2_q").cast("decimal(38,0)")
+            * F.col("nb2_q").cast("decimal(38,0)")
+            * F.lit(PLSH_NUM * PLSH_NUM)
+        )
+    ).select("a_id", "b_id", "dot_q", "na2_q", "nb2_q")
+
+
+def _plsh_oracle() -> str:
+    def bit_sql(j: int) -> str:
+        signs = _plsh_plane_signs(j)
+        terms = "".join(
+            ("+" if s > 0 else "-") + f"e[{i + 1}]"
+            for i, s in enumerate(signs)
+        )
+        return f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END"
+
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, e, {b} AS band, {key} AS key FROM q".format(
+            b=b,
+            key=" || ".join(
+                bit_sql(b * PLSH_ROWS + r) for r in range(PLSH_ROWS)
+            ),
+        )
+        for b in range(PLSH_BANDS)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * {PLSH_SCALE}) AS BIGINT)) AS e
+  FROM embeddings
+), banded AS MATERIALIZED ({band_rows}),
+ranked AS MATERIALIZED (
+  SELECT vec_id, band, key,
+    row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rnk
+  FROM banded
+), cand AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM ranked x JOIN ranked y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+  WHERE x.rnk <= {PLSH_REPS}
+), scored AS (
+  SELECT a_id, b_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> ea.e[i] * eb.e[i])) AS BIGINT) AS dot_q,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> ea.e[i] * ea.e[i])) AS BIGINT) AS na2_q,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> eb.e[i] * eb.e[i])) AS BIGINT) AS nb2_q
+  FROM cand JOIN q ea ON cand.a_id = ea.vec_id
+  JOIN q eb ON cand.b_id = eb.vec_id
+)
+SELECT a_id, b_id, dot_q, na2_q, nb2_q
+FROM scored
+WHERE dot_q > 0
+  AND CAST(dot_q AS HUGEINT) * dot_q * {PLSH_DEN * PLSH_DEN}
+      >= CAST(na2_q AS HUGEINT) * nb2_q * {PLSH_NUM * PLSH_NUM}
+"""
+
+
 QUERIES = {
+    "similarity_lsh_portable": q_similarity_lsh_portable,
     "ann_hubness_report": q_ann_hubness_report,
     "matryoshka_dim_quality": q_matryoshka_dim_quality,
     "silhouette_by_label": q_silhouette_by_label,
@@ -1322,6 +1531,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_lsh_portable": _plsh_oracle(),
     "ann_hubness_report": _HUBNESS_ORACLE,
     "matryoshka_dim_quality": _MRL_ORACLE,
     "silhouette_by_label": _SILHOUETTE_ORACLE,

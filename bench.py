@@ -101,6 +101,7 @@ HEADLINE = [
     "statestore_reader_counts",
     "parameterized_sql_segment_revenue",
     "streaming_hll_distinct",
+    "similarity_lsh_portable",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
