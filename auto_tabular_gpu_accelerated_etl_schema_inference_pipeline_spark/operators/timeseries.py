@@ -1700,7 +1700,59 @@ FROM agg
 """
 
 
+#: Holt's linear-trend smoothing as ONE recursive SQL text both engines
+#: run VERBATIM (the recursive_cte_order_chain parity pattern, applied
+#: to an iterative STATS recurrence): α = 2/10, β = 1/10, state in
+#: exact micro-units, every step's division written as the
+#: truncation-identity (v − v%10)/10 — integer-exact in BOTH engines
+#: (the quotient is < 2^53, so even DuckDB's float division is exact;
+#: % is C-style truncating remainder in both). The 30-row daily spine
+#: bounds the recursion (well under Spark's 100-level default) and the
+#: single-partition row_number window (spine-sized by construction —
+#: the KS-window discipline).
+_HOLT_LINEAR_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+  FROM daily
+),
+walk(rn, d, x, l_mu, b_mu) AS (
+  SELECT rn, d, x, x * 1000000, CAST(0 AS BIGINT) FROM spine WHERE rn = 1
+  UNION ALL
+  SELECT rn, d, x, l_new,
+    CAST((l_new - l_prev + 9 * b_prev
+          - ((l_new - l_prev + 9 * b_prev) % 10)) / 10 AS BIGINT)
+  FROM (
+    SELECT s.rn, s.d, s.x, w.l_mu AS l_prev, w.b_mu AS b_prev,
+      CAST((2 * s.x * 1000000 + 8 * (w.l_mu + w.b_mu)
+            - ((2 * s.x * 1000000 + 8 * (w.l_mu + w.b_mu)) % 10)) / 10
+           AS BIGINT) AS l_new
+    FROM walk w JOIN spine s ON s.rn = w.rn + 1
+  ) step
+)
+SELECT CAST(d AS DATE) AS day, x AS n_events, l_mu AS level_mu,
+  b_mu AS trend_mu, l_mu + b_mu AS forecast_next_mu
+FROM walk
+"""
+
+
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of the daily event
+    count (level + trend state, the step beyond events_ses_forecast's
+    level-only SES): one VERBATIM recursive SQL text runs on both
+    engines — iteration as a PLAN, state as two exact micro-unit
+    integers per day, forecast = level + trend. The strongest parity
+    claim (same bytes, not two translations) applied to an iterative
+    statistics recurrence."""
+    configure_for_oracle(spark)
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_HOLT_LINEAR_SQL)
+
+
 QUERIES = {
+    "events_holt_linear": q_events_holt_linear,
     "interarrival_dispersion": q_interarrival_dispersion,
     "ses_backtest_mase": q_ses_backtest_mase,
     "events_linear_interpolate": q_events_linear_interpolate,
@@ -1740,6 +1792,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_holt_linear": _HOLT_LINEAR_SQL,
     "interarrival_dispersion": _DISPERSION_ORACLE,
     "ses_backtest_mase": _MASE_ORACLE,
     "events_linear_interpolate": _INTERP_ORACLE,

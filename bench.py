@@ -102,6 +102,7 @@ HEADLINE = [
     "parameterized_sql_segment_revenue",
     "streaming_hll_distinct",
     "similarity_lsh_portable",
+    "events_holt_linear",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
