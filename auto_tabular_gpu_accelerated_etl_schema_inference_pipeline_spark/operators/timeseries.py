@@ -1710,16 +1710,16 @@ FROM agg
 #: bounds the recursion (well under Spark's 100-level default) and the
 #: single-partition row_number window (spine-sized by construction —
 #: the KS-window discipline).
-_HOLT_LINEAR_SQL = """
-WITH RECURSIVE daily AS (
-  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
-  FROM events GROUP BY 1
-), spine AS (
-  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
-  FROM daily
-),
+#: The recursion CORE is one shared text; each engine materializes the
+#: 30-row daily spine its own idiomatic way first (DuckDB: AS
+#: MATERIALIZED CTEs — its default inlining would re-run the events
+#: aggregate per level, the r4 batch-15 hazard; Spark: a checkpointed
+#: temp view — Spark re-plans a plain CTE per recursion level, which
+#: measured 9 s of repeated full-table aggregation for a 30-row walk).
+_HOLT_WALK_SQL = """
 walk(rn, d, x, l_mu, b_mu) AS (
-  SELECT rn, d, x, x * 1000000, CAST(0 AS BIGINT) FROM spine WHERE rn = 1
+  SELECT rn, d, x, x * 1000000, CAST(0 AS BIGINT) FROM {spine}
+  WHERE rn = 1
   UNION ALL
   SELECT rn, d, x, l_new,
     CAST((l_new - l_prev + 9 * b_prev
@@ -1729,7 +1729,7 @@ walk(rn, d, x, l_mu, b_mu) AS (
       CAST((2 * s.x * 1000000 + 8 * (w.l_mu + w.b_mu)
             - ((2 * s.x * 1000000 + 8 * (w.l_mu + w.b_mu)) % 10)) / 10
            AS BIGINT) AS l_new
-    FROM walk w JOIN spine s ON s.rn = w.rn + 1
+    FROM walk w JOIN {spine} s ON s.rn = w.rn + 1
   ) step
 )
 SELECT CAST(d AS DATE) AS day, x AS n_events, l_mu AS level_mu,
@@ -1737,18 +1737,44 @@ SELECT CAST(d AS DATE) AS day, x AS n_events, l_mu AS level_mu,
 FROM walk
 """
 
+_HOLT_LINEAR_ORACLE = (
+    """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), spine AS MATERIALIZED (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+  FROM daily
+),
+"""
+    + _HOLT_WALK_SQL.format(spine="spine")
+)
+
 
 def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing of the daily event
     count (level + trend state, the step beyond events_ses_forecast's
-    level-only SES): one VERBATIM recursive SQL text runs on both
-    engines — iteration as a PLAN, state as two exact micro-unit
-    integers per day, forecast = level + trend. The strongest parity
-    claim (same bytes, not two translations) applied to an iterative
-    statistics recurrence."""
+    level-only SES): the recursion text is SHARED byte-for-byte with
+    the oracle (the recursive_cte_order_chain parity pattern applied to
+    an iterative statistics recurrence) — iteration as a PLAN, state as
+    two exact micro-unit integers per day, forecast = level + trend.
+    The bounded spine (one row per day) is checkpoint-materialized
+    before the walk so the 30-level recursion joins 30 rows per level
+    instead of re-aggregating the events table per level."""
     configure_for_oracle(spark)
-    load_events(spark, sf_dir).createOrReplaceTempView("events")
-    return spark.sql(_HOLT_LINEAR_SQL)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    spine = daily.select(
+        "d",
+        "x",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
+    ).localCheckpoint()
+    spine.createOrReplaceTempView("holt_spine")
+    return spark.sql(
+        "WITH RECURSIVE " + _HOLT_WALK_SQL.format(spine="holt_spine")
+    )
 
 
 QUERIES = {
@@ -1792,7 +1818,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "events_holt_linear": _HOLT_LINEAR_SQL,
+    "events_holt_linear": _HOLT_LINEAR_ORACLE,
     "interarrival_dispersion": _DISPERSION_ORACLE,
     "ses_backtest_mase": _MASE_ORACLE,
     "events_linear_interpolate": _INTERP_ORACLE,
