@@ -1113,7 +1113,126 @@ WHERE x.rnk <= {REPS_PER_BUCKET}
 """
 
 
+def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement census across the three near-dup families —
+    the curation artifact an operator reads before trusting ANY single
+    detector: every (canonical-set, canonical-set) pair flagged by the
+    exact PPJoin (J ≥ 0.95), the portable MinHash-LSH lane (J ≥ 0.8
+    verified), or set containment, tallied by which detectors fired.
+    High exact∧minhash overlap validates the sketch's recall at its
+    band threshold; containment-only pairs are the excerpt/quote class
+    Jaccard structurally misses — the census quantifies each regime
+    instead of asserting it.
+
+    Scale shape: the three pair relations are each bounded
+    (output-sized) and the PPJoin one comes from the session memo;
+    doc-level pairs collapse to canonical-set pairs (distinct on two
+    ids) before the flag joins, so the census never revisits text or
+    token arrays. Output is at most 7 rows."""
+    sets = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(_norm_text(), " "))).alias(
+            "s"
+        ),
+    )
+    wg = Window.partitionBy("s")
+    dm = sets.select(
+        "doc_id", F.min("doc_id").over(wg).alias("rep")
+    ).localCheckpoint()
+    ra = dm.select(F.col("doc_id").alias("a_id"), F.col("rep").alias("ra"))
+    rb = dm.select(F.col("doc_id").alias("b_id"), F.col("rep").alias("rb"))
+
+    def to_rep_pairs(doc_pairs: DataFrame) -> DataFrame:
+        return (
+            doc_pairs.join(F.broadcast(ra), "a_id")
+            .join(F.broadcast(rb), "b_id")
+            .filter(F.col("ra") != F.col("rb"))
+            .select(
+                F.least("ra", "rb").alias("x"),
+                F.greatest("ra", "rb").alias("y"),
+            )
+            .distinct()
+        )
+
+    jac = to_rep_pairs(near_dup_pairs(spark, sf_dir).select("a_id", "b_id"))
+    mh = to_rep_pairs(
+        q_dedup_minhash_portable(spark, sf_dir).select("a_id", "b_id")
+    )
+    ct = (
+        q_containment_pairs(spark, sf_dir)
+        .select(
+            F.least("subset_rep", "superset_rep").alias("x"),
+            F.greatest("subset_rep", "superset_rep").alias("y"),
+        )
+        .distinct()
+    )
+    allp = jac.unionByName(mh).unionByName(ct).distinct()
+    flags = (
+        allp.join(jac.withColumn("fj", F.lit(1)), ["x", "y"], "left")
+        .join(mh.withColumn("fm", F.lit(1)), ["x", "y"], "left")
+        .join(ct.withColumn("fc", F.lit(1)), ["x", "y"], "left")
+        .select(
+            F.coalesce("fj", F.lit(0)).cast("int").alias("has_jaccard"),
+            F.coalesce("fm", F.lit(0)).cast("int").alias("has_minhash"),
+            F.coalesce("fc", F.lit(0)).cast("int").alias("has_containment"),
+        )
+    )
+    return flags.groupBy(
+        "has_jaccard", "has_minhash", "has_containment"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+def _detector_agreement_oracle() -> str:
+    ngram_pairs_sql = f"""
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM toks0 a JOIN toks0 b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+    >= {JACCARD_THRESHOLD}
+"""
+    return f"""
+WITH toks0 AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS s
+  FROM documents
+), dm AS MATERIALIZED (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY list_sort(s)) AS rep
+  FROM toks0
+), j AS MATERIALIZED (
+  SELECT DISTINCT least(da.rep, db.rep) AS x, greatest(da.rep, db.rep) AS y
+  FROM ({ngram_pairs_sql}) p
+  JOIN dm da ON p.a_id = da.doc_id JOIN dm db ON p.b_id = db.doc_id
+  WHERE da.rep != db.rep
+), m AS MATERIALIZED (
+  SELECT DISTINCT least(da.rep, db.rep) AS x, greatest(da.rep, db.rep) AS y
+  FROM ({_PMH_ORACLE}) p
+  JOIN dm da ON p.a_id = da.doc_id JOIN dm db ON p.b_id = db.doc_id
+  WHERE da.rep != db.rep
+), c AS MATERIALIZED (
+  SELECT DISTINCT least(subset_rep, superset_rep) AS x,
+    greatest(subset_rep, superset_rep) AS y
+  FROM ({_CONTAINMENT_ORACLE})
+), allp AS MATERIALIZED (
+  SELECT x, y FROM j UNION SELECT x, y FROM m UNION SELECT x, y FROM c
+)
+SELECT
+  CAST(CASE WHEN j.x IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS has_jaccard,
+  CAST(CASE WHEN m.x IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS has_minhash,
+  CAST(CASE WHEN c.x IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS has_containment,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM allp
+LEFT JOIN j ON allp.x = j.x AND allp.y = j.y
+LEFT JOIN m ON allp.x = m.x AND allp.y = m.y
+LEFT JOIN c ON allp.x = c.x AND allp.y = c.y
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "dedup_detector_agreement": q_dedup_detector_agreement,
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_transitivity_audit": q_dedup_transitivity_audit,
@@ -1128,6 +1247,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_detector_agreement": _detector_agreement_oracle(),
     "dedup_simhash_portable": _PSH_ORACLE,
     "dedup_minhash_portable": _PMH_ORACLE,
     "dedup_transitivity_audit": _TRANSITIVITY_ORACLE,

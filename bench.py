@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_hll_distinct",
     "similarity_lsh_portable",
     "events_holt_linear",
+    "dedup_detector_agreement",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
