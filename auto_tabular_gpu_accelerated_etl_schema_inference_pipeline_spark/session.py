@@ -80,10 +80,14 @@ def get_spark(
 
 
 def configure_for_oracle(spark: SparkSession) -> SparkSession:
-    """Runtime settings every oracle-compared query needs regardless of who
-    built the session (the driver builds its own): UTC timestamps so Spark
-    renders the same instants DuckDB reads from the parquet footers, ANSI
-    off for permissive casts."""
+    """Runtime settings every oracle-compared query needs regardless of
+    who built the session (the driver builds its own): UTC timestamps so
+    Spark renders the same instants DuckDB reads from the parquet
+    footers. ANSI mode is deliberately left at Spark 4's default (ON) —
+    the whole registry passes under it (degenerate cases are guarded
+    explicitly, e.g. kappa's p_e = 1 NULL, rather than leaning on
+    non-ANSI NaN→0 casts), so queries behave identically on strict
+    production clusters."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
 
