@@ -100,3 +100,31 @@ def test_state_metadata_reader_lists_operator(spark, sf_dir):
     assert r["operatorName"] == "stateStoreSave"
     assert r["stateStoreName"] == "default"
     assert r["minBatchId"] == 0
+
+
+def test_stateful_totals_identical_under_rocksdb_provider(spark, sf_dir):
+    """State-store provider portability: the same stateful aggregation
+    must produce identical results under the default HDFS-backed
+    provider and RocksDB (the provider production clusters run for
+    large state — state off-heap, incremental checkpoints). Each run
+    gets a forked session so the provider conf cannot leak."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.stateful import (
+        q_streaming_stateful_user_totals,
+    )
+
+    results = []
+    for provider in (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ):
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
+        rows = sorted(
+            map(tuple, q_streaming_stateful_user_totals(s, sf_dir).collect())
+        )
+        results.append(rows)
+    assert results[0] == results[1] and len(results[0]) > 0
