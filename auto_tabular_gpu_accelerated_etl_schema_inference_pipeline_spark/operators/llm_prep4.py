@@ -809,7 +809,121 @@ FROM cells
 """
 
 
+#: span corruption (T5/UL2 denoising) planning: target noise density
+#: 15% (mask a position iff md5(doc_id:pos) mod 1000 < 150 — the
+#: deterministic stand-in for the training-time RNG, so both engines
+#: and every retry agree), adjacent masked positions merge into spans
+SPAN_NOISE_PERMILLE = 150
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption PLAN statistics (the T5/UL2 denoising objective's
+    data-side step): deterministically mark ~15% of each document's
+    token positions, merge adjacent marks into spans (what the encoder
+    sees as one sentinel), and report per doc the realized mask ratio,
+    span count, and mean span length — the knobs (noise density, mean
+    span length) a pre-training run monitors against its targets. The
+    hash-derived mask is the reproducibility contract: any engine, any
+    retry, any partitioning produces the same corruption plan.
+
+    Exactness: mask decisions are integer hash comparisons; span
+    merging is the islands-and-gaps window (a span starts where the
+    previous position is unmasked); ratios exported as exact ppm /
+    micro integer divisions.
+
+    Scale shape: posexplode is bounded by document length; the only
+    window partitions BY DOC over its own masked positions (never
+    corpus-wide); output one row per document."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    pos = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("toks").alias("p", "w"),
+    ).select("doc_id", "n_tokens", "p")
+    masked = pos.filter(
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat(cast(doc_id as string),"
+            f" ':', cast(p as string))), 1, 8), 16, 10) as bigint), 1000)"
+            f" < {SPAN_NOISE_PERMILLE}"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = masked.withColumn(
+        "new_span",
+        F.when(
+            F.lag("p").over(w).isNull()
+            | (F.lag("p").over(w) != F.col("p") - 1),
+            1,
+        ).otherwise(0),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_masked"),
+        F.sum("new_span").cast("bigint").alias("n_spans"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.expr(
+                "coalesce(n_masked, 0L) * 1000000 div n_tokens"
+            ).alias("mask_ratio_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(n_spans, 0L) > 0 THEN"
+                " n_masked * 1000000 div n_spans END"
+            ).alias("mean_span_len_micro"),
+        )
+    )
+
+
+_SPAN_CORRUPTION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM toks
+), pos AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM toks
+), masked AS (
+  SELECT doc_id, p FROM pos
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(p AS VARCHAR)), 1, 8))::BIGINT
+        % 1000 < {SPAN_NOISE_PERMILLE}
+), spans AS (
+  SELECT doc_id, p,
+    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           OR lag(p) OVER (PARTITION BY doc_id ORDER BY p) != p - 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM masked
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+    CAST(sum(new_span) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  coalesce(p.n_masked, 0) AS n_masked,
+  coalesce(p.n_spans, 0) AS n_spans,
+  CAST(coalesce(p.n_masked, 0) * 1000000 // b.n_tokens AS BIGINT)
+    AS mask_ratio_ppm,
+  CASE WHEN coalesce(p.n_spans, 0) > 0 THEN
+    CAST(p.n_masked * 1000000 // p.n_spans AS BIGINT)
+  END AS mean_span_len_micro
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
+    "span_corruption_plan": q_span_corruption_plan,
     "dsir_importance_weights": q_dsir_importance_weights,
     "curriculum_stages": q_curriculum_stages,
     "watermark_greenlist_scan": q_watermark_greenlist_scan,
@@ -822,6 +936,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "span_corruption_plan": _SPAN_CORRUPTION_ORACLE,
     "dsir_importance_weights": _DSIR_ORACLE,
     "curriculum_stages": _CURRICULUM_ORACLE,
     "watermark_greenlist_scan": _WM_ORACLE,

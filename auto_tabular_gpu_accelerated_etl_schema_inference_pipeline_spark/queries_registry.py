@@ -189,7 +189,7 @@ _PRIORITY_WINDOW = [
     "hll_rollup_merge", "statestore_reader_counts",
     "parameterized_sql_segment_revenue", "streaming_hll_distinct",
     "similarity_lsh_portable", "events_holt_linear",
-    "dedup_detector_agreement",
+    "dedup_detector_agreement", "span_corruption_plan",
     "streaming_sprt_monitor", "udtf_trigram_positions",
     "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
     "asof_join_pandas", "interval_merge_spans", "ndcg_eval",

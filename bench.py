@@ -104,6 +104,7 @@ HEADLINE = [
     "similarity_lsh_portable",
     "events_holt_linear",
     "dedup_detector_agreement",
+    "span_corruption_plan",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
