@@ -290,7 +290,74 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sql_scripting_threshold_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END compound statements): a
+    two-phase analysis written entirely in SQL — phase 1 computes a
+    data-derived scalar (the median order value, exact interpolated
+    percentile over cents) into a DECLAREd variable, phase 2 reports
+    per-priority volume above that threshold. This is the pattern that
+    previously forced a driver round-trip (collect the scalar, f-string
+    it into query 2) or a cross-join of a 1-row aggregate; scripting
+    keeps the whole control flow inside the engine, where a stored-
+    procedure-shaped workload belongs.
+
+    Exactness: the median of an even count of cents is (a+b)/2 — exact
+    in doubles below 2^52 — rounded back to a cents BIGINT identically
+    on both engines (the oracle inlines the same quantile).
+
+    Scale shape: phase 1 is one percentile aggregate, phase 2 one
+    pushed-filter aggregate; the variable is driver-free scalar
+    state."""
+    configure_for_oracle(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ord_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cut_cents BIGINT;
+          SET cut_cents = (
+            SELECT CAST(round(percentile(
+                     CAST(round(o_totalprice * 100) AS BIGINT), 0.5))
+                   AS BIGINT)
+            FROM ord_script);
+          SELECT o_orderpriority,
+            CAST(count(*) AS BIGINT) AS n_above,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS revenue_above_cents,
+            cut_cents AS median_cents
+          FROM ord_script
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > cut_cents
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+_SCRIPTING_ORACLE = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderpriority
+  FROM orders
+), m AS (
+  SELECT CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS cut_cents
+  FROM c
+)
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_above,
+  CAST(sum(cents) AS BIGINT) AS revenue_above_cents,
+  m.cut_cents AS median_cents
+FROM c, m
+WHERE cents > m.cut_cents
+GROUP BY o_orderpriority, m.cut_cents
+"""
+
+
 QUERIES = {
+    "sql_scripting_threshold_report": q_sql_scripting_threshold_report,
     "sql_udf_discounted_revenue": q_sql_udf_discounted_revenue,
     "collation_lcase_distinct": q_collation_lcase_distinct,
     "transpose_flag_profile": q_transpose_flag_profile,
@@ -304,4 +371,5 @@ ORACLES = {
     "transpose_flag_profile": _transpose_oracle(),
     "sql_pipe_syntax_profile": _PIPE_ORACLE,
     "parameterized_sql_segment_revenue": _PARAM_SQL_ORACLE,
+    "sql_scripting_threshold_report": _SCRIPTING_ORACLE,
 }

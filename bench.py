@@ -105,6 +105,7 @@ HEADLINE = [
     "events_holt_linear",
     "dedup_detector_agreement",
     "span_corruption_plan",
+    "sql_scripting_threshold_report",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
