@@ -128,3 +128,62 @@ def test_stateful_totals_identical_under_rocksdb_provider(spark, sf_dir):
         )
         results.append(rows)
     assert results[0] == results[1] and len(results[0]) > 0
+
+
+def test_streaming_hll_really_merges_across_batches(spark, sf_dir, tmp_path):
+    """Pin streaming_hll_distinct's multi-batch claim: with the 4-file
+    split and maxFilesPerTrigger=1 the checkpoint must record 4
+    committed micro-batches (else the register-max 'merge' never merged
+    anything and the query silently degenerates to a batch pass)."""
+    import os
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.foreach_batch import (
+        q_streaming_hll_distinct,
+    )
+
+    rows = q_streaming_hll_distinct(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0]["n_exact"] > 0
+    # the split dir is the persistent artifact: 4 part dirs + marker
+    import glob
+    import hashlib
+    import tempfile
+
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stat = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    split_dir = os.path.join(tempfile.gettempdir(), f"events_4split_{tag}")
+    assert len(glob.glob(os.path.join(split_dir, "part_*"))) == 4
+    # re-run the drain with a KEPT checkpoint and count committed batches
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.foreach_batch import (
+        _hll_merge_batch,
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+        .select("user_id")
+    )
+    target = str(tmp_path / "hll_target")
+    os.makedirs(target, exist_ok=True)
+    ck = str(tmp_path / "ck")
+    q = (
+        stream.writeStream.foreachBatch(_hll_merge_batch(target, spark))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    commits = [
+        f
+        for f in os.listdir(os.path.join(ck, "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) == 4, commits
