@@ -53,6 +53,11 @@ HEADLINE = [
     "incremental_user_totals",
     "sample_stratified",
     "udtf_bigram_vocab",
+    # the PPJoin pair relation is session-memoized (dedup.near_dup_pairs);
+    # run its NAMED entry first so the build cost lands there and the
+    # consumers below (components / transitivity / pagerank) report their
+    # true incremental cost
+    "dedup_ngram_jaccard",
     # round-2 additions
     "dedup_components",
     "variant_extract_events",
@@ -74,6 +79,9 @@ HEADLINE = [
     "split_leakage_audit",
     "dedup_transitivity_audit",
     "cuped_adjusted_metric",
+    # basket edges + LPA labels are session-memoized; named payers first
+    "orders_market_basket",
+    "label_propagation_communities",
     "lpa_modularity",
     "ses_backtest_mase",
     "csv_dialect_roundtrip",
@@ -134,7 +142,6 @@ HEADLINE = [
     # round-4 batch-2 additions
     "dsir_importance_weights",
     "content_defined_chunks",
-    "label_propagation_communities",
     "ndcg_eval",
     "lexical_diversity_report",
     # round-4 additions
@@ -154,7 +161,6 @@ HEADLINE = [
     "auto_tokenize_lineitem",
     "dedup_incremental_bloom",
     "denormalize_star",
-    "orders_market_basket",
     "events_retention_cohorts",
     "winsorize_clip",
     "profile_numeric",
