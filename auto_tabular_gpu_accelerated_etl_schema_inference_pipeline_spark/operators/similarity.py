@@ -1305,8 +1305,9 @@ FROM ranked
 #: portable hyperplane-LSH: 32 md5-derived ±1 planes in 8 bands × 4
 #: rows; candidates verified at exact integer cosine ≥ 3/10 (the
 #: corpus's COSINE_DUP_THRESHOLD as a rational, cleared of the sqrt by
-#: cross-multiplying squares). REPS_PER_BUCKET=16 giant-bucket guard
-#: (the minhash/simhash discipline).
+#: cross-multiplying squares). PLSH_REPS=8 giant-bucket guard (the
+#: minhash/simhash REPS_PER_BUCKET discipline, tightened for the finer
+#: 4-bit buckets).
 PLSH_BANDS = 8
 PLSH_ROWS = 4
 PLSH_SCALE = 1_000_000  # component quantization (float32 → e6 BIGINT)
@@ -1338,8 +1339,8 @@ def q_similarity_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms, every value replayed bit-for-bit by the oracle.
 
     Scale shape: signature computation is map-only; the only shuffles
-    are the 8 band-bucket joins (REPS_PER_BUCKET-guarded: a bucket of
-    size B costs O(B·16), never O(B²)) and the bounded verified-pair
+    are the 8 band-bucket joins (PLSH_REPS-guarded: a bucket of size B
+    costs O(B·8), never O(B²)) and the bounded verified-pair
     output; quantized vectors ride the joins (64×8 bytes/row)."""
     emb = _emb(spark, sf_dir)
 

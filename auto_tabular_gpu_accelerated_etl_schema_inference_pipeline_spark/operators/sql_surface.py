@@ -310,12 +310,14 @@ def q_sql_scripting_threshold_report(
     Scale shape: phase 1 is one percentile aggregate, phase 2 one
     pushed-filter aggregate; the variable is driver-free scalar
     state."""
-    configure_for_oracle(spark)
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "ord_script"
-    )
-    return spark.sql(
+    # forked session: scripting stays scoped to this query instead of
+    # silently changing what SQL the caller's shared session accepts
+    # (the join_runtime_bloom_filter / statestore_reader discipline)
+    s = spark.newSession()
+    configure_for_oracle(s)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(s, sf_dir, "orders").createOrReplaceTempView("ord_script")
+    return s.sql(
         """
         BEGIN
           DECLARE cut_cents BIGINT;

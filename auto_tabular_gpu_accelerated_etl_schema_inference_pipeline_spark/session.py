@@ -106,8 +106,12 @@ _DF_MEMO: dict = {}
 
 def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame:
     """Return the checkpoint-pinned result of ``build()`` for this
-    (SparkContext, key, sf_dir), computing it at most once."""
-    k = (id(spark.sparkContext), key, sf_dir)
+    (SparkContext, key, sf_dir), computing it at most once. Keyed by
+    applicationId + startTime — NOT id(sparkContext): CPython recycles
+    object addresses, so a restarted context could otherwise be handed
+    a dead checkpoint pinned by its predecessor."""
+    sc = spark.sparkContext
+    k = (sc.applicationId, sc.startTime, key, sf_dir)
     df = _DF_MEMO.get(k)
     if df is None:
         df = build().localCheckpoint()

@@ -5,7 +5,7 @@ DataFrame and the callback runs arbitrary BATCH logic on it.
 
 Pattern here: raw event stream -> per-batch partial aggregate -> MERGE
 into an accumulating per-user totals table (read target, full-outer
-join, add, atomic-rename overwrite). That is the classic incremental
+join, add, atomic pointer-file commit). That is the classic incremental
 rollup: state lives in the TARGET TABLE, not the stream's state store,
 so the stream carries no aggregation state at all (contrast
 streaming/stateful.py where Spark's state store holds it).
@@ -30,6 +30,33 @@ from pyspark.sql import functions as F
 from ..session import configure_for_oracle
 
 
+def _current_table(target_dir: str, spark: SparkSession):
+    """Resolve the committed state table via the CURRENT pointer file,
+    or None before the first commit."""
+    ptr = os.path.join(target_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def _publish_table(target_dir: str, merged: DataFrame, batch_id: int) -> None:
+    """Crash-safe commit shared by every foreachBatch merge sink: write
+    the merged state as an immutable v{batch_id} dir, then flip the
+    CURRENT pointer file with one atomic os.replace. The previous
+    two-rename dance had a crash window (die between the renames and
+    'current' vanishes — all prior state silently lost on restart);
+    a pointer flip is a single atomic step, readers always resolve a
+    complete table, and stale v* dirs are garbage, not state.
+    Delta/Iceberg replace this dance with a real commit log."""
+    new_path = os.path.join(target_dir, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(new_path)
+    tmp = os.path.join(target_dir, f".ptr.{batch_id}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(new_path)
+    os.replace(tmp, os.path.join(target_dir, "CURRENT"))
+
+
 def _merge_batch(target_dir: str, spark: SparkSession):
     """Returns the foreachBatch callback closing over the target table
     location. Additive merge keyed on user_id."""
@@ -42,9 +69,8 @@ def _merge_batch(target_dir: str, spark: SparkSession):
                 F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
             )
         )
-        cur_path = os.path.join(target_dir, "current")
-        if os.path.exists(cur_path):
-            cur = spark.read.parquet(cur_path)
+        cur = _current_table(target_dir, spark)
+        if cur is not None:
             merged = (
                 cur.join(part, "user_id", "full_outer")
                 .select(
@@ -63,16 +89,7 @@ def _merge_batch(target_dir: str, spark: SparkSession):
             merged = part.select(
                 "user_id", "n_events", F.col("sum_value").cast("decimal(12,2)")
             )
-        # write-new-then-rename: readers of `current` never see a partial
-        # table (poor man's transactional commit; Delta/Iceberg replace
-        # this dance with a real one)
-        new_path = os.path.join(target_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        old = os.path.join(target_dir, "prev")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(new_path, cur_path)
+        _publish_table(target_dir, merged, batch_id)
 
     return apply
 
@@ -98,7 +115,7 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = (
-        spark.read.parquet(os.path.join(target_dir, "current"))
+        _current_table(target_dir, spark)
         .select(
             "user_id",
             "n_events",
@@ -143,24 +160,16 @@ def _cdc_merge_batch(target_dir: str, spark: SparkSession):
                 ).alias("rec"),
             )
         )
-        cur_path = os.path.join(target_dir, "current")
-        if os.path.exists(cur_path):
-            cur = spark.read.parquet(cur_path).withColumnRenamed(
-                "rec", "rec_cur"
-            )
+        cur = _current_table(target_dir, spark)
+        if cur is not None:
+            cur = cur.withColumnRenamed("rec", "rec_cur")
             merged = cur.join(part, "user_id", "full_outer").select(
                 "user_id",
                 F.greatest(F.col("rec_cur"), F.col("rec")).alias("rec"),
             )
         else:
             merged = part
-        new_path = os.path.join(target_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        old = os.path.join(target_dir, "prev")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(new_path, cur_path)
+        _publish_table(target_dir, merged, batch_id)
 
     return apply
 
@@ -210,7 +219,7 @@ def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = (
-        spark.read.parquet(os.path.join(target_dir, "current"))
+        _current_table(target_dir, spark)
         .select(
             "user_id",
             F.col("rec.event_type").alias("last_state"),
@@ -238,9 +247,8 @@ def _topk_batch(target_dir: str, spark: SparkSession):
         part = batch_df.orderBy(
             F.desc("cents"), "event_id"
         ).limit(TOPK_K)
-        cur_path = os.path.join(target_dir, "current")
-        if os.path.exists(cur_path):
-            cur = spark.read.parquet(cur_path)
+        cur = _current_table(target_dir, spark)
+        if cur is not None:
             merged = (
                 cur.unionByName(part)
                 .orderBy(F.desc("cents"), "event_id")
@@ -248,13 +256,7 @@ def _topk_batch(target_dir: str, spark: SparkSession):
             )
         else:
             merged = part
-        new_path = os.path.join(target_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        old = os.path.join(target_dir, "prev")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(new_path, cur_path)
+        _publish_table(target_dir, merged, batch_id)
 
     return apply
 
@@ -290,7 +292,7 @@ def q_streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("cents"), "event_id")
     out = (
-        spark.read.parquet(os.path.join(target_dir, "current"))
+        _current_table(target_dir, spark)
         .select(
             "event_id",
             "user_id",
@@ -342,9 +344,8 @@ def _hll_merge_batch(target_dir: str, spark: SparkSession):
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         part = _hll_register_table(batch_df)
-        cur_path = os.path.join(target_dir, "current")
-        if os.path.exists(cur_path):
-            cur = spark.read.parquet(cur_path)
+        cur = _current_table(target_dir, spark)
+        if cur is not None:
             merged = (
                 cur.join(part, "bucket", "full_outer")
                 .select(
@@ -357,13 +358,7 @@ def _hll_merge_batch(target_dir: str, spark: SparkSession):
             )
         else:
             merged = part
-        new_path = os.path.join(target_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        old = os.path.join(target_dir, "prev")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(new_path, cur_path)
+        _publish_table(target_dir, merged, batch_id)
 
     return apply
 
@@ -386,7 +381,6 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from ..operators.sketches import HLL_ALPHA_M2, HLL_M
-    from .windows import _events_stream
 
     configure_for_oracle(spark)
     # pre-split the fixture into 4 deterministic files (by user_id mod 4)
@@ -396,19 +390,25 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
     ).hexdigest()[:12]
     split_dir = os.path.join(tempfile.gettempdir(), f"events_4split_{tag}")
-    done = os.path.join(split_dir, "_SPLIT_DONE")
-    if not os.path.exists(done):
-        os.makedirs(split_dir, exist_ok=True)
+    if not os.path.exists(split_dir):
+        # build in a process-unique dir and RENAME into place: a plain
+        # marker-file guard races across processes (a second builder's
+        # mode("overwrite") deletes files out from under the first
+        # process's running stream); rename is atomic, and the loser of
+        # the race just discards its build
+        build = f"{split_dir}.build-{os.getpid()}"
         full = spark.read.parquet(src)
         for i in range(4):
             (
                 full.filter(F.expr(f"pmod(user_id, 4) = {i}"))
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(os.path.join(split_dir, f"part_{i}"))
+                .parquet(os.path.join(build, f"part_{i}"))
             )
-        with open(done, "w") as fh:
-            fh.write("ok\n")
+        try:
+            os.rename(build, split_dir)
+        except OSError:  # another process won the race
+            shutil.rmtree(build, ignore_errors=True)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -429,7 +429,7 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         q.stop()
-    regs = spark.read.parquet(os.path.join(target_dir, "current"))
+    regs = _current_table(target_dir, spark)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias(
             "z_present"

@@ -41,19 +41,26 @@ def _checkpoint_for(spark: SparkSession, sf_dir: str) -> str:
         f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
     ).hexdigest()[:12]
     ck = os.path.join(tempfile.gettempdir(), f"state_ck_counts_{tag}")
-    done = os.path.join(ck, "_QUERY_DONE")
-    if not os.path.exists(done):
+    if not os.path.exists(ck):
+        # build under a process-unique path, rename into place when the
+        # stream has fully stopped: atomic publish, no marker-file race
+        # with a concurrent builder (the events_4split discipline)
+        build = f"{ck}.build-{os.getpid()}"
         agg = _events_stream(spark, sf_dir).groupBy("event_type").count()
         q = (
             agg.writeStream.format("noop")
             .outputMode("complete")
-            .option("checkpointLocation", ck)
+            .option("checkpointLocation", build)
             .start()
         )
         q.processAllAvailable()
         q.stop()
-        with open(done, "w") as fh:
-            fh.write("ok\n")
+        try:
+            os.rename(build, ck)
+        except OSError:  # another process won the race
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     return ck
 
 

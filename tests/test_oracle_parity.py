@@ -58,7 +58,9 @@ def test_oracle_output_types_portable():
     output columns outright: money and ratio columns are exported as
     µ-unit BIGINT on both sides across this repo, so no oracle has a
     legitimate reason to emit one."""
-    con = duckdb_conn(os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001"))
+    from tests.conftest import SF_CORRECT
+
+    con = duckdb_conn(SF_CORRECT)
     try:
         offenders = {}
         for name, sql in sorted(ORACLES.items()):

@@ -553,3 +553,31 @@ def test_pipe_syntax_plan_matches_classic(spark, sf_dir):
     df = q_sql_pipe_syntax_profile(spark, sf_dir)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in physical and "l_shipdate" in physical
+
+
+def test_memoized_builders_raw_plans_audited(spark, sf_dir):
+    """The registry maps dedup_ngram_jaccard / orders_market_basket /
+    label_propagation_communities to session-memoized wrappers whose
+    DataFrames are localCheckpoint scans — so the registry-wide
+    CartesianProduct ban never sees their REAL build plans. Audit the
+    raw builders here: no cartesian, and the PPJoin must keep its
+    equi-join shape (a regression to an all-pairs join would otherwise
+    hide behind the checkpoint)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.analytics import (
+        q_orders_market_basket,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        q_label_propagation_communities,
+    )
+
+    for fn in (
+        q_dedup_ngram_jaccard,
+        q_orders_market_basket,
+        q_label_propagation_communities,
+    ):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
