@@ -1113,6 +1113,20 @@ WHERE x.rnk <= {REPS_PER_BUCKET}
 """
 
 
+def minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized portable-MinHash pair relation — shared by the
+    dedup_minhash_portable entry and the detector-agreement census
+    (uncached, the full sketch→band→verify pipeline ran twice)."""
+    from ..session import session_memo
+
+    return session_memo(
+        spark,
+        "minhash_portable_pairs",
+        sf_dir,
+        lambda: q_dedup_minhash_portable(spark, sf_dir),
+    )
+
+
 def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector-agreement census across the three near-dup families —
     the curation artifact an operator reads before trusting ANY single
@@ -1156,7 +1170,7 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jac = to_rep_pairs(near_dup_pairs(spark, sf_dir).select("a_id", "b_id"))
     mh = to_rep_pairs(
-        q_dedup_minhash_portable(spark, sf_dir).select("a_id", "b_id")
+        minhash_portable_pairs(spark, sf_dir).select("a_id", "b_id")
     )
     ct = (
         q_containment_pairs(spark, sf_dir)
@@ -1234,7 +1248,7 @@ GROUP BY 1, 2, 3
 QUERIES = {
     "dedup_detector_agreement": q_dedup_detector_agreement,
     "dedup_simhash_portable": q_dedup_simhash_portable,
-    "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_minhash_portable": minhash_portable_pairs,  # memoized
     "dedup_transitivity_audit": q_dedup_transitivity_audit,
     "containment_pairs": q_containment_pairs,
     "dedup_exact": q_dedup_exact,

@@ -567,6 +567,7 @@ def test_memoized_builders_raw_plans_audited(spark, sf_dir):
         q_orders_market_basket,
     )
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.dedup import (
+        q_dedup_minhash_portable,
         q_dedup_ngram_jaccard,
     )
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
@@ -577,6 +578,7 @@ def test_memoized_builders_raw_plans_audited(spark, sf_dir):
         q_dedup_ngram_jaccard,
         q_orders_market_basket,
         q_label_propagation_communities,
+        q_dedup_minhash_portable,
     ):
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
