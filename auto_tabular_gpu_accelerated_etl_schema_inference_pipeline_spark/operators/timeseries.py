@@ -145,6 +145,83 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full as-of DIRECTION matrix in one pass (pandas
+    merge_asof's backward / forward / nearest, the axis
+    asof_join_events_orders covers only the backward half of): for
+    each event, the same customer's most recent order at-or-before ts,
+    the first order at-or-after ts, and the temporally nearest order
+    with its gap. One equi-join on the customer key, then three
+    FILTERed min_by/max_by aggregates over zero-padded string composite
+    keys (epoch‖orderkey — lexicographic order == numeric order for
+    fixed-width non-negatives, and a VARCHAR key is the one argmax key
+    type BOTH engines' arg_min/arg_max accept) — tiebreaks are total
+    orders (date, orderkey), so both engines agree exactly.
+
+    Scale shape: one shuffle on the customer key; per-event state is
+    three argmax accumulators (map-side combinable), never a sorted
+    window — the aggregate form beats three ranking windows at scale
+    because no per-event ordering is materialized."""
+    ev = _ev(spark, sf_dir)
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    j = (
+        ev.join(orders, F.col("user_id") == F.col("o_custkey"), "inner")
+        .withColumn("od_us", od_us)
+        .withColumn(
+            "abs_us", F.abs(F.unix_micros("ts") - F.col("od_us"))
+        )
+        .withColumn(
+            "dk",
+            F.concat(
+                F.lpad(F.col("od_us").cast("string"), 20, "0"),
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            ),
+        )
+        .withColumn(
+            "nk",
+            F.concat(
+                F.lpad(F.col("abs_us").cast("string"), 20, "0"),
+                F.col("dk"),
+            ),
+        )
+    )
+    return j.groupBy("event_id", "user_id", "ts").agg(
+        F.expr(
+            "max_by(o_orderkey, dk) FILTER (WHERE o_orderdate <= ts)"
+        ).alias("last_orderkey"),
+        F.expr(
+            "min_by(o_orderkey, dk) FILTER (WHERE o_orderdate >= ts)"
+        ).alias("next_orderkey"),
+        F.expr("min_by(o_orderkey, nk)").alias("nearest_orderkey"),
+        F.min("abs_us").cast("bigint").alias("nearest_gap_us"),
+    )
+
+
+_ASOF_DIRECTIONS_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+    abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+      AS abs_us,
+    lpad(CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS VARCHAR),
+         20, '0')
+      || lpad(CAST(o.o_orderkey AS VARCHAR), 12, '0') AS dk
+  FROM events e JOIN orders o ON e.user_id = o.o_custkey
+), k AS (
+  SELECT *, lpad(CAST(abs_us AS VARCHAR), 20, '0') || dk AS nk FROM j
+)
+SELECT event_id, user_id, ts,
+  arg_max(o_orderkey, dk)
+    FILTER (WHERE o_orderdate <= ts) AS last_orderkey,
+  arg_min(o_orderkey, dk)
+    FILTER (WHERE o_orderdate >= ts) AS next_orderkey,
+  arg_min(o_orderkey, nk) AS nearest_orderkey,
+  CAST(min(abs_us) AS BIGINT) AS nearest_gap_us
+FROM k GROUP BY event_id, user_id, ts
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: for each signup event, count the same user's
     events in the following hour (non-equi time predicate on top of the
@@ -1814,10 +1891,12 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "events_sessionize": q_events_sessionize,
     "asof_join_events_orders": q_asof_join_events_orders,
+    "asof_join_directions": q_asof_join_directions,
     "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
+    "asof_join_directions": _ASOF_DIRECTIONS_ORACLE,
     "events_holt_linear": _HOLT_LINEAR_ORACLE,
     "interarrival_dispersion": _DISPERSION_ORACLE,
     "ses_backtest_mase": _MASE_ORACLE,

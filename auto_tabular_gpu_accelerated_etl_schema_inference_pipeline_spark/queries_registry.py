@@ -190,7 +190,7 @@ _PRIORITY_WINDOW = [
     "parameterized_sql_segment_revenue", "streaming_hll_distinct",
     "similarity_lsh_portable", "events_holt_linear",
     "dedup_detector_agreement", "span_corruption_plan",
-    "sql_scripting_threshold_report",
+    "sql_scripting_threshold_report", "asof_join_directions",
     "streaming_sprt_monitor", "udtf_trigram_positions",
     "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
     "asof_join_pandas", "interval_merge_spans", "ndcg_eval",

@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_detector_agreement",
     "span_corruption_plan",
     "sql_scripting_threshold_report",
+    "asof_join_directions",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
