@@ -545,6 +545,41 @@ def _interior_splits(bounds: list[float]) -> list[float]:
     return interior
 
 
+def save_boundaries(
+    spark, bounds: dict[str, list[float]], path: str
+) -> None:
+    """Persist a fitted boundary model as a tiny parquet artifact
+    ((col, idx, value) rows — engine-neutral, human-inspectable, exact:
+    doubles round-trip parquet bit-for-bit). This is the train/serve
+    split the reference's in-process fit+transform lacks: fit once on
+    the training corpus, ship the KB-sized model, tokenize any later
+    batch/stream without refitting."""
+    rows = [
+        (c, i, float(v))
+        for c, vals in bounds.items()
+        for i, v in enumerate(vals)
+    ]
+    (
+        spark.createDataFrame(rows, "col string, idx int, value double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_boundaries(spark, path: str) -> dict[str, list[float]]:
+    """Reload a save_boundaries artifact. The collect is bounded by
+    model size (cols × (bins+1) rows — KBs), never data size."""
+    rows = spark.read.parquet(path).collect()
+    out: dict[str, dict[int, float]] = {}
+    for r in rows:
+        out.setdefault(r["col"], {})[r["idx"]] = r["value"]
+    return {
+        c: [idx_map[i] for i in sorted(idx_map)]
+        for c, idx_map in out.items()
+    }
+
+
 def bucketize(
     df: DataFrame,
     boundaries: dict[str, list[float]],

@@ -75,6 +75,46 @@ def q_quantile_bin_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketize(df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS)
 
 
+def q_quantile_bin_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model persistence round-trip (the train/serve split): the exact
+    boundary fit is SAVED as a KB-sized parquet artifact
+    (write-if-absent per fixture), RELOADED from disk, and only the
+    reloaded model drives the Bucketizer transform — proving the
+    persisted artifact carries the full model bit-for-bit (doubles
+    round-trip parquet exactly, so the oracle is the same shared
+    boundary oracle as the in-memory lanes). At 100 TB this is how the
+    tokenizer actually deploys: fit on the training corpus once, ship
+    the artifact, tokenize every later batch/stream without refitting."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .quantile_bin import bucketize, load_boundaries, save_boundaries
+
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
+    stat = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    model_dir = os.path.join(
+        tempfile.gettempdir(), f"qbin_model_{tag}"
+    )
+    if not os.path.exists(model_dir):
+        build = f"{model_dir}.build-{os.getpid()}"
+        save_boundaries(spark, _exact_rounded_boundaries(df), build)
+        try:
+            os.rename(build, model_dir)
+        except OSError:  # concurrent builder won
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    return bucketize(
+        df, load_boundaries(spark, model_dir), keep_cols=LINEITEM_KEYS
+    )
+
+
 def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized searchsorted lane (the reference's GPU-kernel
     port, etl_benchmark.py:53,79) over the same deterministic exact-fit
@@ -203,6 +243,7 @@ QUERIES = {
     "quantile_bin_map_in_arrow": q_quantile_bin_map_in_arrow,
     "quantile_bin_exact_boundaries": q_quantile_bin_exact_boundaries,
     "quantile_bin_scalable": q_quantile_bin_scalable,
+    "quantile_bin_saved_model": q_quantile_bin_saved_model,
     "quantile_bin_pandas_udf": q_quantile_bin_pandas_udf,
     "tokenize_generated": q_tokenize_generated,
 }
@@ -235,6 +276,7 @@ _GEN_BIN_COLS = ",\n  ".join(
 
 ORACLES = {
     "quantile_bin_scalable": _EXACT_BOUNDARY_ORACLE,
+    "quantile_bin_saved_model": _EXACT_BOUNDARY_ORACLE,
     "quantile_bin_pandas_udf": _EXACT_BOUNDARY_ORACLE,
     "quantile_bin_map_in_arrow": _EXACT_BOUNDARY_ORACLE,
     "tokenize_generated": f"""

@@ -191,6 +191,7 @@ _PRIORITY_WINDOW = [
     "similarity_lsh_portable", "events_holt_linear",
     "dedup_detector_agreement", "span_corruption_plan",
     "sql_scripting_threshold_report", "asof_join_directions",
+    "quantile_bin_saved_model",
     "streaming_sprt_monitor", "udtf_trigram_positions",
     "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
     "asof_join_pandas", "interval_merge_spans", "ndcg_eval",

@@ -115,6 +115,7 @@ HEADLINE = [
     "span_corruption_plan",
     "sql_scripting_threshold_report",
     "asof_join_directions",
+    "quantile_bin_saved_model",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
