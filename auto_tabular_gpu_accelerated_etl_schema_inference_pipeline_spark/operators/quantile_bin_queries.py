@@ -102,7 +102,12 @@ def q_quantile_bin_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"qbin_model_{tag}"
     )
     if not os.path.exists(model_dir):
-        build = f"{model_dir}.build-{os.getpid()}"
+        # pid alone is not call-unique: two threads in one process (or a
+        # retry after a failed save) would share the build path and the
+        # second overwrite would delete the first's in-progress artifact
+        import uuid
+
+        build = f"{model_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         save_boundaries(spark, _exact_rounded_boundaries(df), build)
         try:
             os.rename(build, model_dir)

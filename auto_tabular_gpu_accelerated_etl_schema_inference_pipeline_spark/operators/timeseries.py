@@ -1838,8 +1838,13 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bounded spine (one row per day) is checkpoint-materialized
     before the walk so the 30-level recursion joins 30 rows per level
     instead of re-aggregating the events table per level."""
-    configure_for_oracle(spark)
-    ev = load_events(spark, sf_dir)
+    # forked session: the spine temp view stays scoped to this query
+    # instead of persisting on (and potentially clobbering a name in)
+    # the caller's shared session — the bloom-filter/scripting/
+    # statestore hygiene applied to every view-registering lane
+    s = spark.newSession()
+    configure_for_oracle(s)
+    ev = load_events(s, sf_dir)
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
@@ -1849,7 +1854,7 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
     ).localCheckpoint()
     spine.createOrReplaceTempView("holt_spine")
-    return spark.sql(
+    return s.sql(
         "WITH RECURSIVE " + _HOLT_WALK_SQL.format(spine="holt_spine")
     )
 

@@ -69,11 +69,35 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# through CORRECTNESS_r04). A prefix-sampling gate should
+# through CORRECTNESS_r05). A prefix-sampling gate should
 # spend its slots on queries NOT in this set first; once a round
 # verifies more, extend it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r5 greens (CORRECTNESS_r05.json, 50/50) ---
+        "auc_quality_screen", "bm25_search", "bootstrap_mean_ci",
+        "burstiness_top_terms", "category_drift_report",
+        "cep_pattern_match", "chi2_term_source", "cohens_kappa_raters",
+        "collation_lcase_distinct", "contamination_report",
+        "context_length_sweep", "corpus_global_shuffle",
+        "cross_source_dup_matrix", "cuped_adjusted_metric",
+        "dedup_cluster_sizes", "dedup_minhash_portable",
+        "dedup_simhash_portable", "dedup_survivorship",
+        "dsir_importance_weights", "events_rolling_median",
+        "funnel_step_significance", "histogram_equal_width",
+        "hll_portable_distinct", "incremental_join_view",
+        "js_divergence_by_source", "kaplan_meier_retention",
+        "lang_id_confusion", "lexical_diversity_report",
+        "max_cover_selection", "naive_bayes_source_confusion",
+        "ngram_novelty_curve", "pmi_cooccurrence_pairs",
+        "profile_numeric", "quota_apportionment", "sample_weighted",
+        "sampling_temperature_mix", "session_path_analysis",
+        "source_gini_report", "split_leakage_audit",
+        "sprt_sequential_test", "sql_udf_discounted_revenue",
+        "train_val_test_split", "transpose_flag_profile",
+        "trimmed_mean_by_source", "vocab_growth_heaps", "vocab_oov_rate",
+        "watermark_greenlist_scan", "weighted_median_by_flag",
+        "winnowing_fingerprint", "zipf_slope_fit",
         # --- r4 greens (CORRECTNESS_r04.json, 49/50) ---
         "benford_first_digit", "bpe_encode_docs", "bpe_merges",
         "constraint_audit", "containment_pairs", "count_min_sketch",
@@ -146,59 +170,49 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # r4's one failure + the five latent type-divergent oracles, all
-    # fixed this round (VERDICT r4 items 1 + 5) — prove them through
-    # the driver first
-    "bm25_search", "sql_udf_discounted_revenue", "lang_id_confusion",
-    "category_drift_report", "trimmed_mean_by_source", "profile_numeric",
-    # eval_stats lane (never sampled)
-    "kaplan_meier_retention", "cohens_kappa_raters",
-    "sprt_sequential_test", "bootstrap_mean_ci", "cuped_adjusted_metric",
-    "funnel_step_significance",
-    # text_stats lane (never sampled)
-    "vocab_growth_heaps", "burstiness_top_terms",
-    "pmi_cooccurrence_pairs", "ngram_novelty_curve",
-    "js_divergence_by_source", "zipf_slope_fit", "chi2_term_source",
-    # portable sketch twins (whole sketch pipeline oracle-replayed)
-    "dedup_minhash_portable", "dedup_simhash_portable",
-    "hll_portable_distinct",
-    # llm_prep3 lane
-    "corpus_global_shuffle", "dedup_survivorship",
-    "sampling_temperature_mix", "winnowing_fingerprint",
-    "cross_source_dup_matrix",
-    # llm_prep4 lane
-    "dsir_importance_weights", "watermark_greenlist_scan",
-    "max_cover_selection", "quota_apportionment", "context_length_sweep",
-    # corpus_reports lane
-    "contamination_report", "source_gini_report",
-    "lexical_diversity_report", "vocab_oov_rate", "dedup_cluster_sizes",
-    # model lane
-    "auc_quality_screen", "naive_bayes_source_confusion",
-    # sql_surface remainder (Spark-4 API surface)
-    "collation_lcase_distinct", "transpose_flag_profile",
-    # production remainder
-    "split_leakage_audit", "incremental_join_view",
-    "train_val_test_split", "sample_weighted",
-    # timeseries remainder (sample of 30 unsampled)
-    "events_rolling_median", "cep_pattern_match",
-    "session_path_analysis",
-    # analytics remainder
-    "weighted_median_by_flag", "histogram_equal_width",
-    # next tier (beyond the 50-slot prefix; covered if the gate widens)
+    # The 13 round-5 additions — newest code, least external evidence
+    # (VERDICT r5 item 1 names these explicitly): prove them first.
+    "quantile_bin_saved_model", "asof_join_directions",
     "sql_pipe_syntax_profile", "join_runtime_bloom_filter",
     "hll_rollup_merge", "statestore_reader_counts",
-    "parameterized_sql_segment_revenue", "streaming_hll_distinct",
-    "similarity_lsh_portable", "events_holt_linear",
-    "dedup_detector_agreement", "span_corruption_plan",
-    "sql_scripting_threshold_report", "asof_join_directions",
-    "quantile_bin_saved_model",
-    "streaming_sprt_monitor", "udtf_trigram_positions",
-    "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
-    "asof_join_pandas", "interval_merge_spans", "ndcg_eval",
-    "order_reconciliation", "footer_stats_lineitem",
-    "similarity_pq_adc_topk", "embedding_dim_profile",
-    "dedup_char_shingle_jaccard", "weekly_revenue_wow",
-    "csv_dialect_roundtrip", "error_safe_funcs",
+    "parameterized_sql_segment_revenue",
+    "sql_scripting_threshold_report", "span_corruption_plan",
+    "dedup_detector_agreement", "events_holt_linear",
+    "streaming_hll_distinct", "similarity_lsh_portable",
+    # timeseries backlog — the biggest never-sampled pocket (27 left)
+    "events_tumbling_window", "events_sliding_window",
+    "events_session_window_native", "events_range_join",
+    "events_linear_interpolate", "events_twap", "events_debounce",
+    "events_longest_streak", "events_running_distinct_types",
+    "events_clamped_balance", "events_bollinger_breach",
+    "events_cusum_changepoints", "events_hourly_anomaly",
+    "events_error_bursts", "events_seasonality_profile",
+    "events_ses_forecast", "ses_backtest_mase", "theil_sen_trend",
+    "events_cross_correlation", "interarrival_dispersion",
+    "attribution_last_touch", "attribution_linear",
+    "business_days_to_ship", "conversion_latency_histogram",
+    "event_transition_matrix", "tz_conversion_funcs",
+    "user_path_similarity",
+    # analytics backlog — the second pocket (first 10 of 21)
+    "ab_experiment_report", "abc_classification_parts",
+    "cdf_transform_price", "denormalize_star",
+    "doc_length_histogram_by_source", "event_type_lift",
+    "events_retention_cohorts", "grouped_linear_regression",
+    "item_item_similarity", "join_explosion_estimate",
+    # next tier (beyond the 50-slot prefix; covered if the gate widens):
+    # analytics remainder, then similarity / audit / llm_prep pockets
+    "key_skew_profile", "mad_outlier_flags", "orders_market_basket",
+    "revenue_share_by_nation", "skyline_parts", "snapshot_diff",
+    "supplier_hhi_by_nation", "user_behavior_entropy",
+    "weekly_revenue_wow", "weekly_top_parts", "winsorize_clip",
+    "ann_hubness_report", "embedding_dim_profile",
+    "matryoshka_dim_quality", "silhouette_by_label",
+    "similarity_pq_adc_topk", "triplet_margin_violations",
+    "disparate_impact_report", "dp_noisy_counts_by_source",
+    "footer_stats_lineitem", "l_diversity_audit",
+    "order_reconciliation", "t_closeness_audit",
+    "embedding_quantize_int8", "group_sample_fixed_n",
+    "html_strip_clean", "length_bucket_batches",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]

@@ -106,17 +106,25 @@ _DF_MEMO: dict = {}
 
 def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame:
     """Return the checkpoint-pinned result of ``build()`` for this
-    (SparkContext, key, sf_dir), computing it at most once. Keyed by
+    (session, key, sf_dir), computing it at most once. Keyed by
     applicationId + startTime — NOT id(sparkContext): CPython recycles
     object addresses, so a restarted context could otherwise be handed
-    a dead checkpoint pinned by its predecessor."""
+    a dead checkpoint pinned by its predecessor — PLUS the JVM
+    SparkSession's identity hash: forked ``newSession()`` clones share
+    the context (same appId/startTime) but a DataFrame is bound to the
+    session that built it, so handing a fork another session's plan
+    would mix session state/confs. A fork therefore gets its own memo
+    slot (correct, merely un-shared). Eviction drops only entries from
+    other (dead) contexts; live-context entries are never purged."""
     sc = spark.sparkContext
-    k = (sc.applicationId, sc.startTime, key, sf_dir)
+    ctx = (sc.applicationId, sc.startTime)
+    k = (*ctx, spark._jsparkSession.hashCode(), key, sf_dir)
     df = _DF_MEMO.get(k)
     if df is None:
         df = build().localCheckpoint()
-        if len(_DF_MEMO) > 64:  # stale-context guard, keeps the dict tiny
-            _DF_MEMO.clear()
+        if len(_DF_MEMO) > 64:  # evict stale-context entries only
+            for old in [ok for ok in _DF_MEMO if ok[:2] != ctx]:
+                del _DF_MEMO[old]
         _DF_MEMO[k] = df
     return df
 

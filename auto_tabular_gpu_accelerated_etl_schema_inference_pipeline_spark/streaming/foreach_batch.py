@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,8 +49,21 @@ def _publish_table(target_dir: str, merged: DataFrame, batch_id: int) -> None:
     'current' vanishes — all prior state silently lost on restart);
     a pointer flip is a single atomic step, readers always resolve a
     complete table, and stale v* dirs are garbage, not state.
-    Delta/Iceberg replace this dance with a real commit log."""
+    Delta/Iceberg replace this dance with a real commit log.
+
+    Replay guard: foreachBatch re-delivers a batch if the process dies
+    between our pointer flip and the stream's checkpoint commit. On the
+    re-run CURRENT already points at v{batch_id}; proceeding would
+    lazily read that table while overwriting the same path (Spark's
+    self-overwrite error) and, worse, double-apply the additive merge.
+    batch_id is the idempotency key: if CURRENT already resolves to
+    v{batch_id}, this exact batch committed — skip."""
     new_path = os.path.join(target_dir, f"v{batch_id}")
+    ptr = os.path.join(target_dir, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            if fh.read().strip() == new_path:
+                return
     merged.write.mode("overwrite").parquet(new_path)
     tmp = os.path.join(target_dir, f".ptr.{batch_id}.tmp")
     with open(tmp, "w") as fh:
@@ -395,8 +409,9 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # marker-file guard races across processes (a second builder's
         # mode("overwrite") deletes files out from under the first
         # process's running stream); rename is atomic, and the loser of
-        # the race just discards its build
-        build = f"{split_dir}.build-{os.getpid()}"
+        # the race just discards its build. uuid suffix: pid alone is
+        # shared by same-process threads and retries
+        build = f"{split_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         full = spark.read.parquet(src)
         for i in range(4):
             (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,8 +45,9 @@ def _checkpoint_for(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(ck):
         # build under a process-unique path, rename into place when the
         # stream has fully stopped: atomic publish, no marker-file race
-        # with a concurrent builder (the events_4split discipline)
-        build = f"{ck}.build-{os.getpid()}"
+        # with a concurrent builder (the events_4split discipline);
+        # uuid suffix keeps same-process threads and retries disjoint
+        build = f"{ck}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         agg = _events_stream(spark, sf_dir).groupBy("event_type").count()
         q = (
             agg.writeStream.format("noop")

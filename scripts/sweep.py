@@ -1,0 +1,71 @@
+"""Hostile-session oracle sweep — the local mirror of the driver gate.
+
+Runs registry queries on a deliberately untuned SparkSession (local[8],
+non-UTC timezone, ANSI on — the confs the round driver might use, not
+ours) and compares each against its DuckDB oracle at sf0.01 using the
+same normalize-and-compare the test suite uses.
+
+Usage:
+    python scripts/sweep.py                 # the 50-slot priority prefix
+    python scripts/sweep.py --all           # every oracle-backed query
+    python scripts/sweep.py name1 name2 ... # specific queries
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_harness import compare, duckdb_conn  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def main(argv: list[str]) -> int:
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if argv and argv[0] == "--all":
+        names = [n for n in queries if n in oracles]
+    elif argv:
+        names = argv
+    else:
+        names = [n for n in list(queries)[:50] if n in oracles]
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    failed = []
+    t0 = time.time()
+    for i, name in enumerate(names, 1):
+        con = duckdb_conn(SF)
+        t1 = time.time()
+        try:
+            df = queries[name](spark, SF)
+            compare(df, con, oracles[name], name)
+            print(f"[{i}/{len(names)}] PASS {name} ({time.time()-t1:.1f}s)", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"[{i}/{len(names)}] FAIL {name}: {exc}", flush=True)
+            traceback.print_exc()
+        finally:
+            con.close()
+    print(f"\n{len(names)-len(failed)}/{len(names)} green in {time.time()-t0:.0f}s")
+    if failed:
+        print("FAILED:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -583,3 +583,9 @@ def test_memoized_builders_raw_plans_audited(spark, sf_dir):
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
+        # "keeps its equi-join shape" must be asserted, not implied: a
+        # regression to a non-equi predicate plans as
+        # BroadcastNestedLoopJoin (the planner's fallback), which the
+        # cartesian ban alone would wave through — same O(n·m) compare
+        # count at scale, just with one side broadcast.
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
