@@ -8,6 +8,9 @@ fixture layout::
     python -m auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark run tpch_q1 --sf-dir /root/testdata/sf0.01
     python -m auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark run dedup_exact --limit 5
     python -m auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark explain tpch_q6
+    # round-5 report lanes, same surface:
+    python -m auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark run dedup_detector_agreement
+    python -m auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark explain span_corruption_plan
 
 `run` prints rows via DataFrame.show (ASCII table, truncation off with
 --full); `explain` prints the formatted physical plan — the same

@@ -84,3 +84,49 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_probe_builders_split_hot_partition(spark, sf_dir):
+    """Pin the skewed-key scale probe's OWN code path (scripts/
+    probe_skew.py): its Zipf-keyed builder must put ~20% of rows on one
+    key, and AQE must mark that partition skewed (skew=true) on the
+    probe's both-sides-shuffled join — so the probe measures a split
+    hot key, not an unsplit one, every time it is re-run. Thresholds
+    floored for fixture size, same as the probe floors them for 60 M
+    rows and production leaves the 256 MB defaults."""
+    import importlib
+
+    probe = importlib.import_module("scripts.probe_skew")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_keys = 1000
+        big = probe.keyed(
+            probe.replicated_lineitem(spark, sf_dir, reps=3),
+            n_keys,
+            hot_fraction_inv=5,
+        )
+        hot = big.filter(F.col("k") == 0).count()
+        total = big.count()
+        assert 0.15 < hot / total < 0.25, f"hot share {hot/total:.3f}"
+        q = probe.shuffle_join_agg(big, probe.dim_side(spark, n_keys))
+        row = q.collect()[0]
+        assert row["n"] == total  # unique dim keys: join preserves rows
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
