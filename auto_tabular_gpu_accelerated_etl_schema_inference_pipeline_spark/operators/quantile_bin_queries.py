@@ -85,22 +85,36 @@ def q_quantile_bin_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary oracle as the in-memory lanes). At 100 TB this is how the
     tokenizer actually deploys: fit on the training corpus once, ship
     the artifact, tokenize every later batch/stream without refitting."""
+    from .quantile_bin import bucketize
+
+    configure_for_oracle(spark)
+    df = load_table(spark, sf_dir, "lineitem")
+    return bucketize(
+        df, persisted_exact_boundaries(spark, sf_dir), keep_cols=LINEITEM_KEYS
+    )
+
+
+def persisted_exact_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, list[float]]:
+    """Load (building once per fixture) the persisted exact-fit boundary
+    artifact for lineitem's measures — the fit-once/serve-forever
+    artifact the saved-model lane proves. Shared with the auto-tokenize
+    lane (VERDICT r5 item 4): both deploy the SAME model in production,
+    so both serve from the same KB parquet artifact instead of paying
+    the exact distributed fit per query."""
     import hashlib
     import os
     import tempfile
 
-    from .quantile_bin import bucketize, load_boundaries, save_boundaries
+    from .quantile_bin import load_boundaries, save_boundaries
 
-    configure_for_oracle(spark)
-    df = load_table(spark, sf_dir, "lineitem")
     src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
     stat = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
     ).hexdigest()[:12]
-    model_dir = os.path.join(
-        tempfile.gettempdir(), f"qbin_model_{tag}"
-    )
+    model_dir = os.path.join(tempfile.gettempdir(), f"qbin_model_{tag}")
     if not os.path.exists(model_dir):
         # pid alone is not call-unique: two threads in one process (or a
         # retry after a failed save) would share the build path and the
@@ -108,6 +122,7 @@ def q_quantile_bin_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         import uuid
 
         build = f"{model_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        df = load_table(spark, sf_dir, "lineitem")
         save_boundaries(spark, _exact_rounded_boundaries(df), build)
         try:
             os.rename(build, model_dir)
@@ -115,9 +130,7 @@ def q_quantile_bin_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(build, ignore_errors=True)
-    return bucketize(
-        df, load_boundaries(spark, model_dir), keep_cols=LINEITEM_KEYS
-    )
+    return load_boundaries(spark, model_dir)
 
 
 def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
