@@ -168,3 +168,16 @@ def test_session_memo_identity_and_keying(spark, sf_dir):
     d = session_memo(spark, "memo_test_a", sf_dir + "/other", build)
     assert d is not a and calls["n"] == 3
     assert sorted(r["v"] for r in a.collect()) == [0, 1, 2, 3, 4]
+    # ADVICE r5: a forked newSession() must get its OWN slot — a
+    # DataFrame is bound to the session that built it, so handing the
+    # fork another session's plan would mix session state/confs.
+    forked = spark.newSession()
+
+    def build_forked():
+        calls["n"] += 1
+        return forked.range(5).selectExpr("id AS v")
+
+    e = session_memo(forked, "memo_test_a", sf_dir, build_forked)
+    assert e is not a and calls["n"] == 4
+    f = session_memo(forked, "memo_test_a", sf_dir, build_forked)
+    assert f is e and calls["n"] == 4  # memoized within the fork

@@ -412,3 +412,40 @@ def test_gpu_factory_branch_with_mocked_torch(monkeypatch):
     assert (got == want).all()
     # NaN pinned to the LAST bin (len(interior)), matching the JVM lane
     assert got[-1] == len(interior)
+
+
+def test_auto_tokenize_serve_mode_guards_partial_model(spark, sf_dir):
+    """Serve-mode contract (round-6 train/serve split): a boundaries
+    model covering every continuous column is used verbatim (no refit);
+    a PARTIAL model is ignored and everything refits — serving a model
+    that silently covers half the columns would mix model vintages."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.quantile_bin_queries import (
+        persisted_exact_boundaries,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.schema_infer import (
+        auto_tokenize,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    full = persisted_exact_boundaries(spark, sf_dir)
+    served = auto_tokenize(
+        spark, df, "lineitem", relative_error=0.0, boundary_round=6,
+        boundaries=full,
+    )
+    refit = auto_tokenize(
+        spark, df, "lineitem", relative_error=0.0, boundary_round=6,
+    )
+    assert served.columns == refit.columns
+    assert served.exceptAll(refit).count() == 0
+    assert refit.exceptAll(served).count() == 0
+    # partial model: drop one continuous column -> must refit (same
+    # values again, because the refit reproduces the exact boundaries)
+    partial = {k: v for k, v in full.items() if k != "l_tax"}
+    refit2 = auto_tokenize(
+        spark, df, "lineitem", relative_error=0.0, boundary_round=6,
+        boundaries=partial,
+    )
+    assert refit2.exceptAll(refit).count() == 0
