@@ -46,6 +46,12 @@ def q_quantile_bin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Recipe version of the persisted boundary artifact (see
+#: persisted_exact_boundaries). Encodes every knob that shapes the
+#: model's VALUES; bump on any change to _exact_rounded_boundaries.
+_BOUNDARY_MODEL_SPEC = "exact-fit:bins=100:round=6dp:v1"
+
+
 def _exact_rounded_boundaries(df: DataFrame) -> dict[str, list[float]]:
     """Deterministic, DuckDB-expressible boundary fit shared by the three
     transform lanes below: the distributed exact percentile fit
@@ -111,8 +117,13 @@ def persisted_exact_boundaries(
 
     src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
     stat = os.stat(src)
+    # _BOUNDARY_MODEL_SPEC salts the tag with the MODEL recipe, not just
+    # the fixture identity: five oracle lanes now serve this artifact,
+    # so a change to the fit/rounding logic must invalidate the cache —
+    # bump the spec string whenever _exact_rounded_boundaries changes.
     tag = hashlib.md5(
-        f"{src}:{stat.st_size}:{int(stat.st_mtime)}".encode()
+        f"{_BOUNDARY_MODEL_SPEC}:{src}:{stat.st_size}:{int(stat.st_mtime)}"
+        .encode()
     ).hexdigest()[:12]
     model_dir = os.path.join(tempfile.gettempdir(), f"qbin_model_{tag}")
     if not os.path.exists(model_dir):

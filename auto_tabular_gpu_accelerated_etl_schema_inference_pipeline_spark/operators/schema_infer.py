@@ -156,8 +156,8 @@ def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inferred classes for lineitem + documents + embeddings columns.
     Each table's stats frame (16 rows of ints) is session-memoized —
     the lineitem entry is shared with q_auto_tokenize_lineitem, so one
-    bench/driver session pays each table's Expand-based multi-distinct
-    profiling scan exactly once."""
+    bench/driver session pays each table's per-column profiling union
+    (see infer_column_classes) exactly once."""
     configure_for_oracle(spark)
     from functools import reduce
 

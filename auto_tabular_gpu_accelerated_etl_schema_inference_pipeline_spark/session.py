@@ -110,15 +110,19 @@ def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame
     applicationId + startTime — NOT id(sparkContext): CPython recycles
     object addresses, so a restarted context could otherwise be handed
     a dead checkpoint pinned by its predecessor — PLUS the JVM
-    SparkSession's identity hash: forked ``newSession()`` clones share
+    SparkSession's sessionUUID: forked ``newSession()`` clones share
     the context (same appId/startTime) but a DataFrame is bound to the
     session that built it, so handing a fork another session's plan
     would mix session state/confs. A fork therefore gets its own memo
-    slot (correct, merely un-shared). Eviction drops only entries from
-    other (dead) contexts; live-context entries are never purged."""
+    slot (correct, merely un-shared). sessionUUID, not
+    ``hashCode()``: identity hashes are ~31-bit and reusable after GC,
+    so a later session could collide with a dead fork's entry; the
+    UUID is collision-free for the context's lifetime. Eviction drops
+    only entries from other (dead) contexts; live-context entries are
+    never purged."""
     sc = spark.sparkContext
     ctx = (sc.applicationId, sc.startTime)
-    k = (*ctx, spark._jsparkSession.hashCode(), key, sf_dir)
+    k = (*ctx, spark._jsparkSession.sessionUUID(), key, sf_dir)
     df = _DF_MEMO.get(k)
     if df is None:
         df = build().localCheckpoint()

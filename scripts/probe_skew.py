@@ -161,6 +161,17 @@ def run(reps: int) -> dict:
     results["skew_on_vs_uniform"] = round(
         results["skew_aqe_on"]["sec"] / results["uniform"]["sec"], 2
     )
+    # The probe's contract, enforced: a run where the split never
+    # engaged measured an UNSPLIT hot key — timings would be
+    # pass-shaped noise, not evidence. Fail loudly instead.
+    assert results["skew_aqe_on"]["skew_split_engaged"], (
+        "AQE skew split did not engage on the skewed run — "
+        "thresholds vs partition bytes need re-derivation (see the "
+        "payload/mapper-boundary notes above)"
+    )
+    assert not results["skew_aqe_off"]["skew_split_engaged"], (
+        "skew split engaged with skewJoin.enabled=false — conf not applied"
+    )
     return results
 
 

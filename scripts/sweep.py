@@ -36,7 +36,10 @@ def main(argv: list[str]) -> int:
     elif argv:
         names = argv
     else:
-        names = [n for n in list(queries)[:50] if n in oracles]
+        # filter THEN slice: the default must mirror the driver's
+        # 50-oracle-query gate even if a non-oracle entry ever lands in
+        # the registry's first 50 slots
+        names = [n for n in queries if n in oracles][:50]
 
     spark = (
         SparkSession.builder.master("local[8]")
