@@ -589,3 +589,43 @@ def test_memoized_builders_raw_plans_audited(spark, sf_dir):
         # cartesian ban alone would wave through — same O(n·m) compare
         # count at scale, just with one side broadcast.
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_profiling_pass_prunes_columns_no_expand(spark, sf_dir):
+    """Round-6 profiling rewrite pinned: infer_column_classes must plan
+    as per-column aggregates over PRUNED single-column scans — no
+    Expand node (the multi-countDistinct shape that replicates every
+    row once per counted column, measured 2x slower), and every leaf
+    scan must read exactly one column. Collection is driver-side, so
+    audit the internal union the function builds by reproducing its
+    per-column subtree for a wide column mix."""
+    from pyspark.sql import functions as F
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c, is_str in (("l_orderkey", False), ("l_returnflag", True)):
+        nj = (
+            F.count(F.when(F.col(c).rlike(r"^\{.*\}$"), 1)).cast("bigint")
+            if is_str
+            else F.lit(0).cast("bigint")
+        )
+        parts.append(
+            df.select(F.col(c)).agg(
+                F.lit(c).alias("__c"),
+                F.count(F.lit(1)).alias("__n"),
+                F.countDistinct(F.col(c)).cast("bigint").alias("__nd"),
+                nj.alias("__nj"),
+            )
+        )
+    u = parts[0].unionAll(parts[1])
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:2000]
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan[:2000]
+    for rs in read_schemas:
+        assert rs.count(":") == 1, f"scan reads more than one column: {rs}"
