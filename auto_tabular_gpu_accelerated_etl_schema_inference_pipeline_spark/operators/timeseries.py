@@ -161,7 +161,19 @@ def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on the customer key; per-event state is
     three argmax accumulators (map-side combinable), never a sorted
     window — the aggregate form beats three ranking windows at scale
-    because no per-event ordering is materialized."""
+    because no per-event ordering is materialized.
+
+    Fan-out bound: the pre-aggregation intermediate is |events per
+    user| x |orders per user| rows per user. In this schema orders
+    are TPC-H-distributed (avg 10 per customer, measured max 25 at
+    sf0.01/sf0.1 — the o_custkey multiplicity is fixed by the
+    generator, independent of scale: more data means more customers,
+    not deeper customers), so the fan-out is a small constant factor
+    on the events
+    table and every per-user slice is KB-scale. For a schema where
+    the build side is NOT multiplicity-bounded, use
+    q_asof_join_directions_union below: same answer, zero fan-out
+    (merge-sorted union instead of a join)."""
     ev = _ev(spark, sf_dir)
     configure_for_oracle(spark)
     orders = load_table(spark, sf_dir, "orders")
@@ -221,13 +233,151 @@ SELECT event_id, user_id, ts,
 FROM k GROUP BY event_id, user_id, ts
 """
 
+_RANGE_JOIN_ORACLE = """
+SELECT s.event_id AS signup_id, s.user_id,
+  count(e.event_id) AS n_events_next_hour
+FROM events s LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+"""
+
+
+def q_asof_join_directions_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ZERO-FAN-OUT scale twin of q_asof_join_directions: same
+    direction matrix (backward / forward / nearest), same oracle, but
+    formulated as a merge-sorted union instead of an equi-join — the
+    classic sort-based as-of plan for when the build side is NOT
+    multiplicity-bounded per key.
+
+    Orders are first collapsed per (customer, date) carrying
+    max/min orderkey (the only two tiebreak survivors either
+    direction can ever pick), then unioned with events and swept by
+    two running-last windows over one hash partitioning on user_id:
+    ascending (most recent order at-or-before each event) and
+    descending (first order at-or-after). Order rows sort before
+    event rows at equal timestamps (kind asc) so "at-or-" includes
+    equality in both directions. Nearest picks the smaller gap,
+    backward on ties (smaller date wins the (gap, date, key) min),
+    with min-orderkey at the chosen date — exactly the nk tiebreak of
+    the join form.
+
+    Scale shape: one shuffle on user_id + two per-partition sorts;
+    per-row window state is O(1) (a running last, never a buffered
+    frame), intermediate size is |events| + |order dates| with NO
+    events x orders blow-up — survives per-key order multiplicity of
+    any depth, which the join form's fan-out (documented there) does
+    not."""
+    ev = _ev(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    od = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "t_us"
+            ),
+        )
+        .agg(
+            F.max("o_orderkey").alias("max_ok"),
+            F.min("o_orderkey").alias("min_ok"),
+        )
+        .select(
+            "user_id",
+            "t_us",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "max_ok",
+            "min_ok",
+        )
+    )
+    evu = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("max_ok"),
+        F.lit(None).cast("bigint").alias("min_ok"),
+    )
+    u = od.unionByName(evu)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").desc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_order = F.col("kind") == 0
+    e = (
+        u.withColumn(
+            "last_od",
+            F.last(F.when(is_order, F.col("t_us")), ignorenulls=True).over(
+                w_back
+            ),
+        )
+        .withColumn(
+            "last_max_ok",
+            F.last(F.when(is_order, F.col("max_ok")), ignorenulls=True).over(
+                w_back
+            ),
+        )
+        .withColumn(
+            "last_min_ok",
+            F.last(F.when(is_order, F.col("min_ok")), ignorenulls=True).over(
+                w_back
+            ),
+        )
+        .withColumn(
+            "next_od",
+            F.last(F.when(is_order, F.col("t_us")), ignorenulls=True).over(
+                w_fwd
+            ),
+        )
+        .withColumn(
+            "next_min_ok",
+            F.last(F.when(is_order, F.col("min_ok")), ignorenulls=True).over(
+                w_fwd
+            ),
+        )
+        .filter(
+            (F.col("kind") == 1)
+            & (F.col("last_od").isNotNull() | F.col("next_od").isNotNull())
+        )
+    )
+    back_gap = F.col("t_us") - F.col("last_od")
+    fwd_gap = F.col("next_od") - F.col("t_us")
+    backward_wins = F.col("next_od").isNull() | (
+        F.col("last_od").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_max_ok").alias("last_orderkey"),
+        F.col("next_min_ok").alias("next_orderkey"),
+        F.when(backward_wins, F.col("last_min_ok"))
+        .otherwise(F.col("next_min_ok"))
+        .alias("nearest_orderkey"),
+        F.least(back_gap, fwd_gap).cast("bigint").alias("nearest_gap_us"),
+    )
+
 
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: for each signup event, count the same user's
     events in the following hour (non-equi time predicate on top of the
-    user equi-join). At 100 TB the time side is bucketized (join on
-    (user, hour_bucket)) to bound fan-out; fixtures use the direct
-    range condition, which AQE handles at this size."""
+    user equi-join). The direct range condition rides the user
+    equi-join (SortMergeJoin, never a nested loop) and AQE handles it
+    at this size; q_events_range_join_bucketed below is the 100 TB
+    form (join on (user, hour_bucket)) with the same oracle,
+    parity-tested in tests/test_asof_skew.py."""
     ev = _ev(spark, sf_dir)
     signups = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
@@ -243,6 +393,69 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         signups.join(ev, cond, "left")
         .groupBy("signup_id", "s_user")
         .agg(F.count("event_id").alias("n_events_next_hour"))
+        .select(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            "n_events_next_hour",
+        )
+    )
+
+
+def q_events_range_join_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bucketized 100 TB form of q_events_range_join (same oracle):
+    the lookahead window (1 h) equals the bucket width, so each signup's
+    (s_ts, s_ts + 1h] window overlaps exactly TWO hour buckets —
+    explode the signup side to those two bucket keys and join events
+    on (user, bucket) EQUALITY, applying the residual time predicate
+    inside a conditional count. The per-signup row expansion is the
+    constant 2, and the join key now includes time, so no single user's
+    full history ever co-locates into one join group: fan-out is
+    bounded by events-per-user-per-hour, not events-per-user.
+
+    Plan shape (pinned in tests/test_plans.py): a pure equi-join —
+    SortMergeJoin / ShuffledHashJoin on (user, bucket), never
+    BroadcastNestedLoopJoin or a cartesian product. The left join +
+    conditional count keeps zero-activity signups at count 0, and the
+    final groupBy(signup_id) collapses the two bucket probes."""
+    ev = _ev(spark, sf_dir)
+    hour_us = 3_600_000_000
+    bkt = (F.unix_micros(F.col("ts")) / hour_us).cast("bigint")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            bkt.alias("s_bkt"),
+        )
+        .withColumn(
+            "bkt", F.explode(F.array(F.col("s_bkt"), F.col("s_bkt") + 1))
+        )
+    )
+    probes = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        bkt.alias("bkt"),
+    )
+    in_window = (F.col("e_ts") > F.col("s_ts")) & (
+        F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        signups.join(
+            probes,
+            (F.col("s_user") == F.col("e_user"))
+            & (signups["bkt"] == probes["bkt"]),
+            "left",
+        )
+        .groupBy("signup_id", "s_user")
+        .agg(
+            F.count(F.when(in_window, F.col("e_id"))).alias(
+                "n_events_next_hour"
+            )
+        )
         .select(
             "signup_id",
             F.col("s_user").alias("user_id"),
@@ -1897,11 +2110,16 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "asof_join_events_orders": q_asof_join_events_orders,
     "asof_join_directions": q_asof_join_directions,
+    "asof_join_directions_union": q_asof_join_directions_union,
     "events_range_join": q_events_range_join,
+    "events_range_join_bucketed": q_events_range_join_bucketed,
 }
 
 ORACLES = {
     "asof_join_directions": _ASOF_DIRECTIONS_ORACLE,
+    # the zero-fan-out union formulation answers the SAME question —
+    # one oracle, two physical plans (see q_asof_join_directions_union)
+    "asof_join_directions_union": _ASOF_DIRECTIONS_ORACLE,
     "events_holt_linear": _HOLT_LINEAR_ORACLE,
     "interarrival_dispersion": _DISPERSION_ORACLE,
     "ses_backtest_mase": _MASE_ORACLE,
@@ -2486,14 +2704,8 @@ SELECT event_id, user_id, ts,
   o_totalprice AS last_totalprice
 FROM j WHERE rn = 1
 """,
-    "events_range_join": """
-SELECT s.event_id AS signup_id, s.user_id,
-  count(e.event_id) AS n_events_next_hour
-FROM events s LEFT JOIN events e
-  ON e.user_id = s.user_id
- AND e.ts > s.ts
- AND e.ts <= s.ts + INTERVAL 1 HOUR
-WHERE s.event_type = 'signup'
-GROUP BY s.event_id, s.user_id
-""",
+    "events_range_join": _RANGE_JOIN_ORACLE,
+    # the bucketized (user, hour_bucket) equi-join form answers the
+    # SAME question — one oracle, two physical plans
+    "events_range_join_bucketed": _RANGE_JOIN_ORACLE,
 }

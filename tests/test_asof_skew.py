@@ -130,3 +130,33 @@ def test_skew_probe_builders_split_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_directions_union_matches_join_form(spark, sf_dir):
+    """The zero-fan-out merge-sorted union formulation must be
+    row-for-row identical to the equi-join + argmax form (same oracle
+    string backs both registry entries)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_asof_join_directions,
+        q_asof_join_directions_union,
+    )
+
+    a = q_asof_join_directions(spark, sf_dir)
+    b = q_asof_join_directions_union(spark, sf_dir).select(*a.columns)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_range_join_bucketed_matches_direct(spark, sf_dir):
+    """The (user, hour_bucket) equi-join form of the 1-hour lookahead
+    range join must be row-for-row identical to the direct range
+    condition, including zero-activity signups at count 0."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_events_range_join,
+        q_events_range_join_bucketed,
+    )
+
+    a = q_events_range_join(spark, sf_dir)
+    b = q_events_range_join_bucketed(spark, sf_dir).select(*a.columns)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

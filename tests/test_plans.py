@@ -629,3 +629,37 @@ def test_profiling_pass_prunes_columns_no_expand(spark, sf_dir):
     assert read_schemas, plan[:2000]
     for rs in read_schemas:
         assert rs.count(":") == 1, f"scan reads more than one column: {rs}"
+
+
+def test_range_join_bucketed_is_equi_join(spark, sf_dir):
+    """The bucketized range join exists precisely to turn a range
+    predicate into an equi-join: the physical plan must be a shuffle
+    equi-join on (user, hour_bucket) — never BroadcastNestedLoopJoin
+    or a cartesian product carrying the time predicate."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_events_range_join_bucketed,
+    )
+
+    plan = formatted_plan(q_events_range_join_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # any hash-keyed equi-join qualifies: BroadcastHashJoin at fixture
+    # sizes, SortMergeJoin/ShuffledHashJoin once both sides are large
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
+def test_asof_union_single_shuffle_two_sorts(spark, sf_dir):
+    """The union as-of form must contain NO join at all — one hash
+    partitioning on user_id feeding two Window sorts. Any Join node in
+    the plan means the fan-out the formulation exists to avoid has
+    crept back in."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_asof_join_directions_union,
+    )
+
+    plan = formatted_plan(q_asof_join_directions_union(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 2, plan
