@@ -69,11 +69,37 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# through CORRECTNESS_r05). A prefix-sampling gate should
+# through CORRECTNESS_r06). A prefix-sampling gate should
 # spend its slots on queries NOT in this set first; once a round
 # verifies more, extend it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r6 greens (CORRECTNESS_r06.json, 50/50) ---
+        "ab_experiment_report", "abc_classification_parts",
+        "asof_join_directions", "attribution_last_touch",
+        "attribution_linear", "business_days_to_ship",
+        "cdf_transform_price", "conversion_latency_histogram",
+        "dedup_detector_agreement", "denormalize_star",
+        "doc_length_histogram_by_source", "event_transition_matrix",
+        "event_type_lift", "events_bollinger_breach",
+        "events_clamped_balance", "events_cross_correlation",
+        "events_cusum_changepoints", "events_debounce",
+        "events_error_bursts", "events_holt_linear",
+        "events_hourly_anomaly", "events_linear_interpolate",
+        "events_longest_streak", "events_range_join",
+        "events_retention_cohorts", "events_running_distinct_types",
+        "events_seasonality_profile", "events_ses_forecast",
+        "events_session_window_native", "events_sliding_window",
+        "events_tumbling_window", "events_twap",
+        "grouped_linear_regression", "hll_rollup_merge",
+        "interarrival_dispersion", "item_item_similarity",
+        "join_explosion_estimate", "join_runtime_bloom_filter",
+        "parameterized_sql_segment_revenue", "quantile_bin_saved_model",
+        "ses_backtest_mase", "similarity_lsh_portable",
+        "span_corruption_plan", "sql_pipe_syntax_profile",
+        "sql_scripting_threshold_report", "statestore_reader_counts",
+        "streaming_hll_distinct", "theil_sen_trend",
+        "tz_conversion_funcs", "user_path_similarity",
         # --- r5 greens (CORRECTNESS_r05.json, 50/50) ---
         "auc_quality_screen", "bm25_search", "bootstrap_mean_ci",
         "burstiness_top_terms", "category_drift_report",
@@ -170,49 +196,61 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # The 13 round-5 additions — newest code, least external evidence
-    # (VERDICT r5 item 1 names these explicitly): prove them first.
-    "quantile_bin_saved_model", "asof_join_directions",
-    "sql_pipe_syntax_profile", "join_runtime_bloom_filter",
-    "hll_rollup_merge", "statestore_reader_counts",
-    "parameterized_sql_segment_revenue",
-    "sql_scripting_threshold_report", "span_corruption_plan",
-    "dedup_detector_agreement", "events_holt_linear",
-    "streaming_hll_distinct", "similarity_lsh_portable",
-    # timeseries backlog — the biggest never-sampled pocket (27 left)
-    "events_tumbling_window", "events_sliding_window",
-    "events_session_window_native", "events_range_join",
-    "events_linear_interpolate", "events_twap", "events_debounce",
-    "events_longest_streak", "events_running_distinct_types",
-    "events_clamped_balance", "events_bollinger_breach",
-    "events_cusum_changepoints", "events_hourly_anomaly",
-    "events_error_bursts", "events_seasonality_profile",
-    "events_ses_forecast", "ses_backtest_mase", "theil_sen_trend",
-    "events_cross_correlation", "interarrival_dispersion",
-    "attribution_last_touch", "attribution_linear",
-    "business_days_to_ship", "conversion_latency_histogram",
-    "event_transition_matrix", "tz_conversion_funcs",
-    "user_path_similarity",
-    # analytics backlog — the second pocket (first 10 of 21)
-    "ab_experiment_report", "abc_classification_parts",
-    "cdf_transform_price", "denormalize_star",
-    "doc_length_histogram_by_source", "event_type_lift",
-    "events_retention_cohorts", "grouped_linear_regression",
-    "item_item_similarity", "join_explosion_estimate",
-    # next tier (beyond the 50-slot prefix; covered if the gate widens):
-    # analytics remainder, then similarity / audit / llm_prep pockets
-    "key_skew_profile", "mad_outlier_flags", "orders_market_basket",
-    "revenue_share_by_nation", "skyline_parts", "snapshot_diff",
+    # The 2 round-7 additions — newest code, least external evidence
+    # (the r5/r6 precedent: prove new registry entries first). Both
+    # are scale twins sharing an already-r6-green oracle.
+    "asof_join_directions_union", "events_range_join_bucketed",
+    # The 48-slot cross-lane sweep of the 79-query never-sampled
+    # backlog (VERDICT r6 item 1): every remaining module pocket gets
+    # representation; the ~31 left over are the r8 closing window
+    # (listed as the next tier below, in order).
+    "dedup_char_shingle_jaccard", "dedup_transitivity_audit",
+    "graph_kcore", "label_propagation_communities", "lpa_modularity",
+    "ann_hubness_report", "similarity_pq_adc_topk",
+    "silhouette_by_label",
+    "text_readability", "text_sentiment_lexicon",
+    "bigram_lm_score",
+    "key_skew_profile", "orders_market_basket", "snapshot_diff",
+    "weekly_revenue_wow", "winsorize_clip",
+    "streaming_sprt_monitor",
+    "multimodal_phash_neardup", "multimodal_scene_cuts",
+    "partition_advisor", "target_encode_loo",
+    "ndcg_eval",
+    "interval_bucket_join_orders", "interval_merge_spans",
+    "disparate_impact_report", "l_diversity_audit",
+    "order_reconciliation",
+    "cdc_apply_tombstones", "cdc_point_in_time_lookup",
+    "embedding_quantize_int8", "html_strip_clean",
+    "source_mix_rebalance",
+    "dedup_incremental_bloom", "negative_sampling_pairs",
+    "content_defined_chunks", "minhash_lsh_planner",
+    "incremental_backfill_merge", "observe_metrics", "sample_hash",
+    "asof_join_pandas",
+    "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
+    "csv_dialect_roundtrip",
+    "error_safe_funcs",
+    "agg_bitmap_distinct", "lateral_join_topk",
+    "corpus_curation_report", "mart_region_brand_daily",
+    # next tier — the r8 CLOSING window (31 queries): after these,
+    # every oracle-backed query has been driver-sampled at least once.
+    "embedding_dim_profile", "matryoshka_dim_quality",
+    "triplet_margin_violations",
+    "text_kwic", "text_top_ngram_cover",
+    "bpe_fertility_by_source",
+    "mad_outlier_flags", "revenue_share_by_nation", "skyline_parts",
     "supplier_hhi_by_nation", "user_behavior_entropy",
-    "weekly_revenue_wow", "weekly_top_parts", "winsorize_clip",
-    "ann_hubness_report", "embedding_dim_profile",
-    "matryoshka_dim_quality", "silhouette_by_label",
-    "similarity_pq_adc_topk", "triplet_margin_violations",
-    "disparate_impact_report", "dp_noisy_counts_by_source",
-    "footer_stats_lineitem", "l_diversity_audit",
-    "order_reconciliation", "t_closeness_audit",
-    "embedding_quantize_int8", "group_sample_fixed_n",
-    "html_strip_clean", "length_bucket_batches",
+    "weekly_top_parts",
+    "multimodal_frame_dedup", "multimodal_resize",
+    "rare_level_collapse",
+    "dp_noisy_counts_by_source", "footer_stats_lineitem",
+    "t_closeness_audit",
+    "group_sample_fixed_n", "length_bucket_batches",
+    "top_p_source_selection",
+    "agg_salted_sum", "blocklist_screen", "embedding_quality_score",
+    "curriculum_stages", "truncation_loss_report",
+    "incremental_user_totals",
+    "udtf_trigram_positions",
+    "agg_listagg", "encoding_funcs", "url_funcs",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
