@@ -47,8 +47,11 @@ def q_quantile_bin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Recipe version of the persisted boundary artifact (see
-#: persisted_exact_boundaries). Encodes every knob that shapes the
-#: model's VALUES; bump on any change to _exact_rounded_boundaries.
+#: persisted_exact_boundaries). Encodes the knobs that shape the
+#: model's VALUES. Fit-LOGIC changes are caught automatically (the
+#: cache tag also hashes the fit functions' source); bump this only
+#: for recipe changes the source hash can't see (e.g. a data contract
+#: change in the fixture itself).
 _BOUNDARY_MODEL_SPEC = "exact-fit:bins=100:round=6dp:v1"
 
 
@@ -110,20 +113,38 @@ def persisted_exact_boundaries(
     so both serve from the same KB parquet artifact instead of paying
     the exact distributed fit per query."""
     import hashlib
+    import inspect
     import os
     import tempfile
 
-    from .quantile_bin import load_boundaries, save_boundaries
+    from .quantile_bin import (
+        fit_quantile_boundaries,
+        fit_quantile_boundaries_exact_distributed,
+        load_boundaries,
+        save_boundaries,
+    )
 
     src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
     stat = os.stat(src)
-    # _BOUNDARY_MODEL_SPEC salts the tag with the MODEL recipe, not just
-    # the fixture identity: five oracle lanes now serve this artifact,
-    # so a change to the fit/rounding logic must invalidate the cache —
-    # bump the spec string whenever _exact_rounded_boundaries changes.
+    # The tag salts the fixture identity with the MODEL recipe — five
+    # oracle lanes serve this artifact, so a change to the fit/rounding
+    # logic must invalidate /tmp caches. Two layers: the human-readable
+    # _BOUNDARY_MODEL_SPEC for knob changes, plus a hash of the actual
+    # fit-path SOURCE (this module's recipe fn and both quantile_bin
+    # fit fns it rides), so an edit to the fit logic invalidates even
+    # when nobody remembers to bump the spec string.
+    fit_src = "".join(
+        inspect.getsource(f)
+        for f in (
+            _exact_rounded_boundaries,
+            fit_quantile_boundaries,
+            fit_quantile_boundaries_exact_distributed,
+        )
+    )
+    recipe = hashlib.md5(fit_src.encode()).hexdigest()[:8]
     tag = hashlib.md5(
-        f"{_BOUNDARY_MODEL_SPEC}:{src}:{stat.st_size}:{int(stat.st_mtime)}"
-        .encode()
+        f"{_BOUNDARY_MODEL_SPEC}:{recipe}:{src}:{stat.st_size}:"
+        f"{int(stat.st_mtime)}".encode()
     ).hexdigest()[:12]
     model_dir = os.path.join(tempfile.gettempdir(), f"qbin_model_{tag}")
     if not os.path.exists(model_dir):

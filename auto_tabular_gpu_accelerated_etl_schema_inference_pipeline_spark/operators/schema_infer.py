@@ -68,22 +68,16 @@ _STRATEGY = {
 }
 
 
-def infer_column_classes(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
-    """One stats row per column -> class + tokenization strategy.
-
-    The stats pass is a UNION of per-column aggregates collected in one
-    action — each subtree scans exactly ITS column (Parquet prunes to
-    one column chunk, so the union's total I/O equals ONE full-width
-    scan) and computes the exact distinct + JSON-shape counts with an
-    ordinary two-phase agg. This replaced a single multi-countDistinct
-    aggregate, which Catalyst plans via Expand: every row is replicated
-    once per distinct-counted column (17x the rows through the first
-    agg), which phase-measured at 8.4 s vs ~1.5 s for the pruned union
-    on the same fixture — and at 100 TB an Expand over the full row
-    width is strictly worse than N pruned single-column scans of the
-    same total bytes. Independent subtrees also schedule concurrently
-    inside the one job. The per-column rows (a few ints each) are
-    collected driver-side — KB of state, same output frame."""
+def _column_stats_union(
+    df: DataFrame,
+) -> tuple[list[tuple[str, str, bool]], DataFrame]:
+    """The profiling pass pre-collect: per-column (name, type,
+    key-named) metadata plus the UNION of per-column pruned aggregates
+    infer_column_classes executes. Factored out so
+    tests/test_plans.py::test_profiling_pass_prunes_columns_no_expand
+    audits the exact plan object the real function runs — a regression
+    back to the Expand/multi-countDistinct shape fails the pin even if
+    a hand-rebuilt twin would not."""
     from functools import reduce
 
     meta: list[tuple[str, str, bool]] = []
@@ -116,10 +110,27 @@ def infer_column_classes(spark: SparkSession, df: DataFrame, table: str) -> Data
                 n_json.alias("__nj"),
             )
         )
-    per_col = {
-        r["__c"]: r
-        for r in reduce(lambda a, b: a.unionAll(b), parts).collect()
-    }
+    return meta, reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def infer_column_classes(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+    """One stats row per column -> class + tokenization strategy.
+
+    The stats pass is a UNION of per-column aggregates collected in one
+    action — each subtree scans exactly ITS column (Parquet prunes to
+    one column chunk, so the union's total I/O equals ONE full-width
+    scan) and computes the exact distinct + JSON-shape counts with an
+    ordinary two-phase agg. This replaced a single multi-countDistinct
+    aggregate, which Catalyst plans via Expand: every row is replicated
+    once per distinct-counted column (17x the rows through the first
+    agg), which phase-measured at 8.4 s vs ~1.5 s for the pruned union
+    on the same fixture — and at 100 TB an Expand over the full row
+    width is strictly worse than N pruned single-column scans of the
+    same total bytes. Independent subtrees also schedule concurrently
+    inside the one job. The per-column rows (a few ints each) are
+    collected driver-side — KB of state, same output frame."""
+    meta, union = _column_stats_union(df)
+    per_col = {r["__c"]: r for r in union.collect()}
     stats = df.sparkSession.createDataFrame(
         [
             (
@@ -229,7 +240,12 @@ def auto_tokenize(
     fit respectively — the production deployment shape, where both are
     fitted once on the training corpus and served to every later batch.
     A model covering less than the full continuous set is ignored and
-    everything is refit (a partial model is a stale model)."""
+    everything is refit (a partial model is a stale model) — the fit
+    knobs apply to THAT refit. When a full model is served, the fit
+    knobs are ignored by construction (the model already encodes its
+    recipe); passing non-default knobs alongside a full model warns
+    loudly, because it usually means the caller thinks they are
+    steering a fit that will never run."""
     from .quantile_bin import bucketize, fit_quantile_boundaries
 
     if classes_df is None:
@@ -284,6 +300,16 @@ def auto_tokenize(
     # for tables with no identifier column (the reference's canonical
     # all-numeric col_0..col_19 shape) and keeps the plan map-only.
     if boundaries is not None and all(c in boundaries for c in cont):
+        if relative_error != 0.001 or boundary_round is not None:
+            import warnings
+
+            warnings.warn(
+                "auto_tokenize: a full boundary model is being served, "
+                "so relative_error/boundary_round are ignored — the "
+                "model already encodes its fit recipe. Drop the knobs "
+                "or drop the model.",
+                stacklevel=2,
+            )
         bounds = {c: boundaries[c] for c in cont}  # serve path: no refit
     else:
         bounds = fit_quantile_boundaries(
@@ -333,8 +359,6 @@ def q_auto_tokenize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         df,
         "lineitem",
-        relative_error=0.0,
-        boundary_round=6,
         classes_df=stats,
         boundaries=persisted_exact_boundaries(spark, sf_dir),
     )

@@ -597,30 +597,21 @@ def test_profiling_pass_prunes_columns_no_expand(spark, sf_dir):
     Expand node (the multi-countDistinct shape that replicates every
     row once per counted column, measured 2x slower), and every leaf
     scan must read exactly one column. Collection is driver-side, so
-    audit the internal union the function builds by reproducing its
-    per-column subtree for a wide column mix."""
-    from pyspark.sql import functions as F
+    audit _column_stats_union — the EXACT pre-collect union object
+    infer_column_classes executes — over a numeric + string column
+    mix."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.schema_infer import (
+        _column_stats_union,
+    )
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
         load_table,
     )
 
-    df = load_table(spark, sf_dir, "lineitem")
-    parts = []
-    for c, is_str in (("l_orderkey", False), ("l_returnflag", True)):
-        nj = (
-            F.count(F.when(F.col(c).rlike(r"^\{.*\}$"), 1)).cast("bigint")
-            if is_str
-            else F.lit(0).cast("bigint")
-        )
-        parts.append(
-            df.select(F.col(c)).agg(
-                F.lit(c).alias("__c"),
-                F.count(F.lit(1)).alias("__n"),
-                F.countDistinct(F.col(c)).cast("bigint").alias("__nd"),
-                nj.alias("__nj"),
-            )
-        )
-    u = parts[0].unionAll(parts[1])
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    meta, u = _column_stats_union(df)
+    assert [m[0] for m in meta] == ["l_orderkey", "l_returnflag"]
     plan = u._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan[:2000]
     import re

@@ -431,10 +431,18 @@ def test_auto_tokenize_serve_mode_guards_partial_model(spark, sf_dir):
 
     df = load_table(spark, sf_dir, "lineitem")
     full = persisted_exact_boundaries(spark, sf_dir)
-    served = auto_tokenize(
-        spark, df, "lineitem", relative_error=0.0, boundary_round=6,
-        boundaries=full,
-    )
+    served = auto_tokenize(spark, df, "lineitem", boundaries=full)
+    # fit knobs alongside a FULL model are ignored — that must warn
+    # loudly (the caller thinks they're steering a fit that never runs)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto_tokenize(
+            spark, df, "lineitem", relative_error=0.0, boundary_round=6,
+            boundaries=full,
+        )
+    assert any("ignored" in str(w.message) for w in caught), caught
     refit = auto_tokenize(
         spark, df, "lineitem", relative_error=0.0, boundary_round=6,
     )
