@@ -125,9 +125,9 @@ def q_join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter's selectivity). Here: lineitem ⋈ orders restricted to
     1-URGENT, aggregated per priority.
 
-    The aggressive settings live on a forked session (`newSession()`:
-    shared context, PRIVATE conf) so they cannot leak into the caller's
-    session: broadcast is disabled to force the shuffle-join shape the
+    The aggressive settings live on a cached forked session
+    (forked_session: shared context, PRIVATE conf, one fork per lane)
+    so they cannot leak into the caller's session: broadcast is disabled to force the shuffle-join shape the
     rule targets (at fixture scale the dim would broadcast and no
     runtime filter would be needed), and the application-side size
     threshold is zeroed because the fixture scan is far below the 10 GB
@@ -137,9 +137,9 @@ def q_join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result-neutrality: the bloom filter only drops rows that cannot
     join (false positives pass through to the exact join) — the oracle
     is the PLAIN join's aggregate."""
-    s = spark.newSession()
-    from ..session import configure_for_oracle, load_table
+    from ..session import configure_for_oracle, forked_session, load_table
 
+    s = forked_session(spark, "skew.runtime_bloom")
     configure_for_oracle(s)
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set(

@@ -310,10 +310,12 @@ def q_sql_scripting_threshold_report(
     Scale shape: phase 1 is one percentile aggregate, phase 2 one
     pushed-filter aggregate; the variable is driver-free scalar
     state."""
-    # forked session: scripting stays scoped to this query instead of
-    # silently changing what SQL the caller's shared session accepts
+    # cached forked session: scripting stays scoped to this lane instead
+    # of silently changing what SQL the caller's shared session accepts
     # (the join_runtime_bloom_filter / statestore_reader discipline)
-    s = spark.newSession()
+    from ..session import forked_session
+
+    s = forked_session(spark, "sql_surface.scripting")
     configure_for_oracle(s)
     s.conf.set("spark.sql.scripting.enabled", "true")
     load_table(s, sf_dir, "orders").createOrReplaceTempView("ord_script")

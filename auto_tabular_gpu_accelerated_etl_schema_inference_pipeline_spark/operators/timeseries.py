@@ -2051,11 +2051,15 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bounded spine (one row per day) is checkpoint-materialized
     before the walk so the 30-level recursion joins 30 rows per level
     instead of re-aggregating the events table per level."""
-    # forked session: the spine temp view stays scoped to this query
-    # instead of persisting on (and potentially clobbering a name in)
-    # the caller's shared session — the bloom-filter/scripting/
-    # statestore hygiene applied to every view-registering lane
-    s = spark.newSession()
+    # cached forked session: the spine temp view stays scoped to this
+    # lane instead of persisting on (and potentially clobbering a name
+    # in) the caller's shared session — and reusing ONE fork per
+    # context (forked_session) means repeated bench/sweep runs replace
+    # the view (freeing the prior checkpointed spine) instead of
+    # accumulating a JVM SessionState per invocation
+    from ..session import forked_session
+
+    s = forked_session(spark, "timeseries.holt")
     configure_for_oracle(s)
     ev = load_events(s, sf_dir)
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(

@@ -10,6 +10,7 @@ transfer at etl_benchmark.py:53), UTC session timezone (oracle parity).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -101,7 +102,14 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
 #: is the production discipline at 100 TB: materialize a shared
 #: intermediate once per run, derive every consumer from the
 #: materialization instead of re-running the pipeline.
-_DF_MEMO: dict = {}
+_DF_MEMO: OrderedDict = OrderedDict()
+
+#: LRU bound for memo entries belonging to the LIVE context. Dead-
+#: context entries are always purged first; without this second bound a
+#: single long-lived context (e.g. many forked sessions hitting
+#: memoized lanes) would grow the dict unboundedly while holding
+#: checkpoint-pinned blocks.
+_MEMO_MAX_LIVE = 64
 
 
 def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame:
@@ -117,20 +125,55 @@ def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame
     slot (correct, merely un-shared). sessionUUID, not
     ``hashCode()``: identity hashes are ~31-bit and reusable after GC,
     so a later session could collide with a dead fork's entry; the
-    UUID is collision-free for the context's lifetime. Eviction drops
-    only entries from other (dead) contexts; live-context entries are
-    never purged."""
+    UUID is collision-free for the context's lifetime. Eviction is
+    two-tier: entries from other (dead) contexts go first, then LRU
+    within the live context once it exceeds _MEMO_MAX_LIVE entries —
+    dropping the reference lets the ContextCleaner reclaim the
+    checkpoint blocks, so one long-lived context (many forked
+    sessions) can't pin unbounded block-manager memory."""
     sc = spark.sparkContext
     ctx = (sc.applicationId, sc.startTime)
     k = (*ctx, spark._jsparkSession.sessionUUID(), key, sf_dir)
     df = _DF_MEMO.get(k)
     if df is None:
         df = build().localCheckpoint()
-        if len(_DF_MEMO) > 64:  # evict stale-context entries only
+        if len(_DF_MEMO) >= _MEMO_MAX_LIVE:
             for old in [ok for ok in _DF_MEMO if ok[:2] != ctx]:
                 del _DF_MEMO[old]
+            while len(_DF_MEMO) >= _MEMO_MAX_LIVE:  # LRU within live ctx
+                _DF_MEMO.popitem(last=False)
         _DF_MEMO[k] = df
+    else:
+        _DF_MEMO.move_to_end(k)
     return df
+
+
+#: one cached newSession() fork per (context, purpose) — see
+#: forked_session. Purposes are module-static strings, so the cache is
+#: bounded by the number of forking LANES, not invocations.
+_FORK_CACHE: dict = {}
+
+
+def forked_session(spark: SparkSession, purpose: str) -> SparkSession:
+    """A cached ``newSession()`` fork for lanes that need session-scoped
+    temp views or conf overrides (bloom-filter thresholds, scripting,
+    state-reader telemetry). Forking per INVOCATION leaks one JVM
+    SessionState (temp catalog, conf map) per call for the app's
+    lifetime (ADVICE r6); one fork per (context, purpose) gives the
+    same isolation — the caller's session never sees the views/confs,
+    and purposes never see each other's — at constant session count.
+    Lanes must (re)apply their confs and createOrReplaceTempView their
+    views on every call: the fork is reused, not reset."""
+    sc = spark.sparkContext
+    ctx = (sc.applicationId, sc.startTime)
+    key = (*ctx, purpose)
+    s = _FORK_CACHE.get(key)
+    if s is None:
+        for old in [k for k in _FORK_CACHE if k[:2] != ctx]:
+            del _FORK_CACHE[old]  # dead-context forks
+        s = spark.newSession()
+        _FORK_CACHE[key] = s
+    return s
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -73,13 +73,16 @@ def q_statestore_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch answer (unified-engine equivalence, checked at the
     storage layer rather than the sink)."""
     configure_for_oracle(spark)
-    # fork the session for the read: the HDFS-backed provider's
+    # cached forked session for the read: the HDFS-backed provider's
     # snapshot-lag telemetry phones a StateStoreCoordinator RPC endpoint
     # that only exists while a streaming query is RUNNING — a batch read
     # of a cold checkpoint (this query's whole point) would die on the
     # missing endpoint. The conf is read-path telemetry only; forking
-    # keeps it from leaking into the caller's streaming queries.
-    s = spark.newSession()
+    # keeps it from leaking into the caller's streaming queries, and
+    # the per-purpose cache keeps repeated runs from leaking sessions.
+    from ..session import forked_session
+
+    s = forked_session(spark, "streaming.state_reader")
     s.conf.set(
         "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
         "false",

@@ -181,3 +181,22 @@ def test_session_memo_identity_and_keying(spark, sf_dir):
     assert e is not a and calls["n"] == 4
     f = session_memo(forked, "memo_test_a", sf_dir, build_forked)
     assert f is e and calls["n"] == 4  # memoized within the fork
+
+
+def test_forked_session_cached_per_purpose(spark):
+    """ADVICE r6: view/conf-isolating lanes must reuse ONE fork per
+    (context, purpose) — not leak a JVM SessionState per invocation —
+    while different purposes stay conf-isolated from each other and
+    from the caller."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        forked_session,
+    )
+
+    a1 = forked_session(spark, "t.purpose_a")
+    a2 = forked_session(spark, "t.purpose_a")
+    b = forked_session(spark, "t.purpose_b")
+    assert a1 is a2
+    assert a1 is not b and a1 is not spark
+    a1.conf.set("spark.sql.cbo.enabled", "true")
+    assert b.conf.get("spark.sql.cbo.enabled") == "false"
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"

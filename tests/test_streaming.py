@@ -187,3 +187,89 @@ def test_streaming_hll_really_merges_across_batches(spark, sf_dir, tmp_path):
         if not f.startswith(".")
     ]
     assert len(commits) == 4, commits
+
+
+def test_publish_table_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery path (ADVICE r6): foreachBatch re-delivers a batch
+    if the process dies between our pointer flip and the stream's
+    checkpoint commit. On the re-run _publish_table must NOT rewrite
+    v{batch_id} (self-overwrite while lazily reading it) and the
+    additive merge must NOT double-apply."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.foreach_batch import (
+        _current_table,
+        _merge_batch,
+        _publish_table,
+    )
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    df1 = spark.range(3).select(F.col("id"), F.lit(1).alias("n"))
+    _publish_table(target, df1, 7)
+    v7 = os.path.join(target, "v7")
+    files_before = sorted(os.listdir(v7))
+    mtime_before = os.path.getmtime(v7)
+    with open(os.path.join(target, "CURRENT")) as fh:
+        assert fh.read().strip() == v7
+    # replay the SAME batch id with different (double-applied) content:
+    # the guard must skip — v7 untouched, CURRENT unchanged
+    df_doubled = spark.range(3).select(F.col("id"), F.lit(2).alias("n"))
+    _publish_table(target, df_doubled, 7)
+    assert sorted(os.listdir(v7)) == files_before
+    assert os.path.getmtime(v7) == mtime_before
+    got = {r["id"]: r["n"] for r in spark.read.parquet(v7).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    # end-to-end: the real merge callback replayed with the same
+    # batch_id must leave totals single-applied
+    target2 = str(tmp_path / "t2")
+    os.makedirs(target2)
+    batch = spark.range(4).select(
+        (F.col("id") % 2).alias("user_id"), F.lit(1.5).alias("value")
+    )
+    apply = _merge_batch(target2, spark)
+    apply(batch, 0)
+    once = {
+        r["user_id"]: (r["n_events"], float(r["sum_value"]))
+        for r in _current_table(target2, spark).collect()
+    }
+    apply(batch, 0)  # replay
+    again = {
+        r["user_id"]: (r["n_events"], float(r["sum_value"]))
+        for r in _current_table(target2, spark).collect()
+    }
+    assert once == again == {0: (2, 3.0), 1: (2, 3.0)}
+
+
+def test_session_memo_bounds_live_context_entries(spark, monkeypatch):
+    """ADVICE r6: one long-lived context filling the memo must evict
+    LRU within the live context (dead-context purge alone deletes
+    nothing), keeping the dict bounded while the hottest entry stays
+    memoized."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import session as sess
+
+    monkeypatch.setattr(sess, "_MEMO_MAX_LIVE", 6)
+    monkeypatch.setattr(sess, "_DF_MEMO", type(sess._DF_MEMO)())
+    builds = {"n": 0}
+
+    def make(i):
+        def build():
+            builds["n"] += 1
+            return spark.range(i + 1)
+
+        return build
+
+    sess.session_memo(spark, "hot", "/x", make(0))
+    for i in range(1, 12):
+        # touch the hot entry between inserts — LRU must keep it
+        sess.session_memo(spark, "hot", "/x", make(0))
+        sess.session_memo(spark, f"k{i}", "/x", make(i))
+    assert len(sess._DF_MEMO) <= 6, len(sess._DF_MEMO)
+    n_before = builds["n"]
+    sess.session_memo(spark, "hot", "/x", make(0))  # still cached
+    assert builds["n"] == n_before
+    # evicted cold key rebuilds (proof eviction actually dropped it)
+    sess.session_memo(spark, "k1", "/x", make(1))
+    assert builds["n"] == n_before + 1
