@@ -265,6 +265,82 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded hyperplane-LSH geometry shared by the near-dup lane and the
+#: scale probe (scripts/probe_lsh.py)
+N_LSH_BANDS = 8
+LSH_TARGET_BUCKET = 200
+
+
+def lsh_band_bits(
+    n_corpus: int,
+    n_bands: int = N_LSH_BANDS,
+    target_bucket: int = LSH_TARGET_BUCKET,
+) -> int:
+    """Corpus-adaptive bits per band: 2^bits signature buckets per band
+    sized so the EXPECTED bucket holds ~target_bucket rows. Candidate
+    work per band is sum(bucket^2)/2 ~= n * bucket / 2 — near-linear in
+    |corpus|. FIXED bits make bucket size O(n) and pair work O(n^2),
+    which is the difference between a 10 M-vector corpus costing ~8e9
+    candidate dots and ~2e13 (measured: scripts/probe_lsh.py)."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(n_corpus, 2) / target_bucket)))
+
+
+def lsh_tag_bands(
+    df: DataFrame, band_bits: int, n_bands: int = N_LSH_BANDS
+) -> DataFrame:
+    """Map-only band tagging over (vec_id bigint, embedding
+    array<float>(64)): ALL sig bits per vector come from ONE float64
+    matmul against the (n_bands*band_bits x 64) hyperplane matrix —
+    deterministic md5-seeded planes, a few KB shipped in the task
+    closure. Emits one (band, sig, vec_id, embedding) row per band.
+    Factored out of q_similarity_lsh_near_dup so the 10 M-vector scale
+    probe exercises the EXACT production tagging path."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"band-plane:{j}:{i}".encode()).digest()[0] & 1
+                else -1.0
+                for i in range(64)
+            ]
+            for j in range(n_bands * band_bits)
+        ]
+    )
+    weights = 1 << np.arange(band_bits, dtype=np.int64)  # bit-pack per band
+
+    def tag_bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = ((V @ planes.T) >= 0.0).astype(np.int64)
+            frames = []
+            for b in range(n_bands):
+                sig = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(len(pdf), b, dtype=np.int32),
+                            "sig": sig,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        tag_bands, "band int, sig bigint, vec_id bigint, embedding array<float>"
+    )
+
+
 def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-corpus embedding near-duplicate pairs via banded hyperplane
     LSH (the scale path q_similarity_cosine_dedup's blocked subset only
@@ -291,59 +367,20 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset+recall tested against the exact all-pairs path (numpy pairwise
     summation differs from the sequential fold by < 1e-12 abs on 64 dims).
     """
-    import hashlib
-    import math
-
     import numpy as np
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
 
     # Bits per band scale with corpus size so the expected bucket stays
-    # ~200 rows: candidate work per band is n_buckets * bucket^2 / 2 =
-    # n * bucket / 2 — near-linear in |corpus|. Fixed bits make bucket
-    # size O(n) and pair work O(n^2). The count() is the cheap fit-like
-    # action that sizes the plan (parquet row-count metadata only).
-    n_bands = 8
-    band_bits = max(2, math.ceil(math.log2(max(emb.count(), 2) / 200)))
-    planes = np.array(
-        [
-            [
-                1.0
-                if hashlib.md5(f"band-plane:{j}:{i}".encode()).digest()[0] & 1
-                else -1.0
-                for i in range(64)
-            ]
-            for j in range(n_bands * band_bits)
-        ]
-    )  # (n_bands*band_bits, 64); a few KB — ships inside the task closure
-    weights = 1 << np.arange(band_bits, dtype=np.int64)  # bit-pack per band
+    # ~LSH_TARGET_BUCKET rows (lsh_band_bits; scale behavior measured by
+    # scripts/probe_lsh.py at 10 M vectors). The count() is the cheap
+    # fit-like action that sizes the plan (parquet row-count metadata
+    # only).
+    n_bands = N_LSH_BANDS
+    band_bits = lsh_band_bits(emb.count())
     threshold = COSINE_DUP_THRESHOLD
-
-    def tag_bands(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = ((V @ planes.T) >= 0.0).astype(np.int64)
-            frames = []
-            for b in range(n_bands):
-                sig = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "band": np.full(len(pdf), b, dtype=np.int32),
-                            "sig": sig,
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "embedding": pdf["embedding"],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    tagged = emb.select("vec_id", "embedding").mapInPandas(
-        tag_bands, "band int, sig bigint, vec_id bigint, embedding array<float>"
-    )
+    tagged = lsh_tag_bands(emb, band_bits)
 
     def bucket_pairs(pdf):
         n = len(pdf)
