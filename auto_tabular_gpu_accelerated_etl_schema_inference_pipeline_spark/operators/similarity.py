@@ -377,7 +377,6 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scripts/probe_lsh.py at 10 M vectors). The count() is the cheap
     # fit-like action that sizes the plan (parquet row-count metadata
     # only).
-    n_bands = N_LSH_BANDS
     band_bits = lsh_band_bits(emb.count())
     threshold = COSINE_DUP_THRESHOLD
     tagged = lsh_tag_bands(emb, band_bits)

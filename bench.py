@@ -116,6 +116,9 @@ HEADLINE = [
     "sql_scripting_threshold_report",
     "asof_join_directions",
     "quantile_bin_saved_model",
+    # round-7 scale twins
+    "asof_join_directions_union",
+    "events_range_join_bucketed",
     # round-4 batch-6 additions
     "max_cover_selection",
     "sprt_sequential_test",
