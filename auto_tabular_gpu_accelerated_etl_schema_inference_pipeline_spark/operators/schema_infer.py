@@ -355,12 +355,32 @@ def q_auto_tokenize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: infer_column_classes(spark, df, "lineitem"),
     )
+    bounds = persisted_exact_boundaries(spark, sf_dir)
+    # This lane's oracle is written against the SERVED exact model —
+    # auto_tokenize's partial-model fallback would silently refit with
+    # the (sketch) production defaults and stop matching it. Fail loud
+    # instead: a partial artifact here means the classifier and the
+    # artifact recipe have drifted apart and the artifact must be
+    # re-fit, not papered over in-query.
+    cont = [
+        r["column_name"]
+        for r in stats.collect()
+        if r["inferred_class"] == "numeric_continuous"
+    ]
+    missing = [c for c in cont if c not in bounds]
+    if missing:
+        raise ValueError(
+            "persisted boundary model does not cover inferred-continuous "
+            f"columns {missing}; rebuild the artifact (see "
+            "persisted_exact_boundaries) instead of falling back to an "
+            "in-query sketch refit"
+        )
     return auto_tokenize(
         spark,
         df,
         "lineitem",
         classes_df=stats,
-        boundaries=persisted_exact_boundaries(spark, sf_dir),
+        boundaries=bounds,
     )
 
 

@@ -272,9 +272,7 @@ LSH_TARGET_BUCKET = 200
 
 
 def lsh_band_bits(
-    n_corpus: int,
-    n_bands: int = N_LSH_BANDS,
-    target_bucket: int = LSH_TARGET_BUCKET,
+    n_corpus: int, target_bucket: int = LSH_TARGET_BUCKET
 ) -> int:
     """Corpus-adaptive bits per band: 2^bits signature buckets per band
     sized so the EXPECTED bucket holds ~target_bucket rows. Candidate

@@ -154,25 +154,46 @@ def session_memo(spark: SparkSession, key: str, sf_dir: str, build) -> DataFrame
 _FORK_CACHE: dict = {}
 
 
+#: runtime confs re-synced from the parent on EVERY forked_session call
+#: — the plan-shaping ones a reused fork must track rather than freeze
+#: at whatever the parent held when the fork was first created (a
+#: harness that tunes these mid-process would otherwise bake its
+#: transient value into every later lane run).
+_FORK_SYNCED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.ansi.enabled",
+)
+
+
 def forked_session(spark: SparkSession, purpose: str) -> SparkSession:
     """A cached ``newSession()`` fork for lanes that need session-scoped
     temp views or conf overrides (bloom-filter thresholds, scripting,
     state-reader telemetry). Forking per INVOCATION leaks one JVM
     SessionState (temp catalog, conf map) per call for the app's
-    lifetime (ADVICE r6); one fork per (context, purpose) gives the
-    same isolation — the caller's session never sees the views/confs,
-    and purposes never see each other's — at constant session count.
-    Lanes must (re)apply their confs and createOrReplaceTempView their
-    views on every call: the fork is reused, not reset."""
+    lifetime (ADVICE r6); one fork per (context, parent session,
+    purpose) gives the same isolation — the caller's session never
+    sees the views/confs, purposes never see each other's, and two
+    parent sessions sharing a context never share a fork — at a
+    session count bounded by lanes x parents, not invocations.
+    The fork inherits the parent's conf snapshot at creation; the
+    plan-shaping confs (_FORK_SYNCED_CONFS) are re-synced from the
+    parent on every call so a reused fork tracks the caller instead of
+    freezing first-call state. Lanes must (re)apply their OWN confs
+    and createOrReplaceTempView their views on every call: the fork is
+    reused, not reset."""
     sc = spark.sparkContext
     ctx = (sc.applicationId, sc.startTime)
-    key = (*ctx, purpose)
+    key = (*ctx, spark._jsparkSession.sessionUUID(), purpose)
     s = _FORK_CACHE.get(key)
     if s is None:
         for old in [k for k in _FORK_CACHE if k[:2] != ctx]:
             del _FORK_CACHE[old]  # dead-context forks
         s = spark.newSession()
         _FORK_CACHE[key] = s
+    else:
+        for c in _FORK_SYNCED_CONFS:
+            s.conf.set(c, spark.conf.get(c))
     return s
 
 

@@ -173,10 +173,13 @@ def run(n: int) -> dict:
         results[name] = prof
         print(f"{name} (bits={bits}): {prof}", flush=True)
 
+    adaptive_pairs = results["adaptive"]["candidate_pairs"]
+    assert adaptive_pairs > 0, (
+        "adaptive arm produced ZERO candidate pairs — n_vectors is too "
+        "small for the probe to mean anything (every bucket a singleton)"
+    )
     results["adaptive_vs_fixed_candidate_ratio"] = round(
-        results["fixed_sf01"]["candidate_pairs"]
-        / results["adaptive"]["candidate_pairs"],
-        1,
+        results["fixed_sf01"]["candidate_pairs"] / adaptive_pairs, 1
     )
     # The probe's contract, enforced — a silently-degenerate run must
     # fail, not print pass-shaped numbers (probe_skew discipline):

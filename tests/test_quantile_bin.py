@@ -457,3 +457,26 @@ def test_auto_tokenize_serve_mode_guards_partial_model(spark, sf_dir):
         boundaries=partial,
     )
     assert refit2.exceptAll(refit).count() == 0
+
+
+def test_auto_tokenize_lane_rejects_partial_artifact(spark, sf_dir, monkeypatch):
+    """The oracle-backed auto-tokenize lane must fail LOUDLY if the
+    persisted artifact stops covering every inferred-continuous column
+    (classifier/artifact drift) instead of silently falling back to the
+    sketch refit and diverging from its oracle."""
+    import pytest
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators import (
+        quantile_bin_queries as qbq,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.schema_infer import (
+        q_auto_tokenize_lineitem,
+    )
+
+    full = qbq.persisted_exact_boundaries(spark, sf_dir)
+    partial = {k: v for k, v in full.items() if k != "l_tax"}
+    monkeypatch.setattr(
+        qbq, "persisted_exact_boundaries", lambda *a, **k: partial
+    )
+    with pytest.raises(ValueError, match="does not cover"):
+        q_auto_tokenize_lineitem(spark, sf_dir)
