@@ -173,10 +173,20 @@ def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and every per-user slice is KB-scale. For a schema where
     the build side is NOT multiplicity-bounded, use
     q_asof_join_directions_union below: same answer, zero fan-out
-    (merge-sorted union instead of a join)."""
+    (merge-sorted union instead of a join) — the crossover is
+    measured, not asserted: scripts/probe_asof_range.py drives BOTH
+    core formulations (below) over a synthetic hot-customer corpus."""
     ev = _ev(spark, sf_dir)
     configure_for_oracle(spark)
     orders = load_table(spark, sf_dir, "orders")
+    return asof_directions_join_form(ev, orders)
+
+
+def asof_directions_join_form(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Core of q_asof_join_directions over caller-supplied frames
+    (events: event_id/user_id/ts; orders: o_orderkey/o_custkey/
+    o_orderdate) — factored out so the hot-key scale probe exercises
+    the EXACT production plan."""
     od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     j = (
         ev.join(orders, F.col("user_id") == F.col("o_custkey"), "inner")
@@ -271,9 +281,17 @@ def q_asof_join_directions_union(
     frame), intermediate size is |events| + |order dates| with NO
     events x orders blow-up — survives per-key order multiplicity of
     any depth, which the join form's fan-out (documented there) does
-    not."""
+    not. Measured: scripts/probe_asof_range.py drives both core
+    formulations over a synthetic hot-customer corpus."""
     ev = _ev(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
+    return asof_directions_union_form(ev, orders)
+
+
+def asof_directions_union_form(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Core of q_asof_join_directions_union over caller-supplied frames
+    — factored out so the hot-key scale probe exercises the EXACT
+    production plan."""
     od = (
         orders.groupBy(
             F.col("o_custkey").alias("user_id"),
@@ -377,8 +395,15 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (SortMergeJoin, never a nested loop) and AQE handles it
     at this size; q_events_range_join_bucketed below is the 100 TB
     form (join on (user, hour_bucket)) with the same oracle,
-    parity-tested in tests/test_asof_skew.py."""
-    ev = _ev(spark, sf_dir)
+    parity-tested in tests/test_asof_skew.py and hot-user
+    scale-probed by scripts/probe_asof_range.py."""
+    return range_join_direct_form(_ev(spark, sf_dir))
+
+
+def range_join_direct_form(ev: DataFrame) -> DataFrame:
+    """Core of q_events_range_join over a caller-supplied events frame
+    — factored out so the hot-user scale probe exercises the EXACT
+    production plan."""
     signups = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
         F.col("user_id").alias("s_user"),
@@ -419,7 +444,13 @@ def q_events_range_join_bucketed(
     BroadcastNestedLoopJoin or a cartesian product. The left join +
     conditional count keeps zero-activity signups at count 0, and the
     final groupBy(signup_id) collapses the two bucket probes."""
-    ev = _ev(spark, sf_dir)
+    return range_join_bucketed_form(_ev(spark, sf_dir))
+
+
+def range_join_bucketed_form(ev: DataFrame) -> DataFrame:
+    """Core of q_events_range_join_bucketed over a caller-supplied
+    events frame — factored out so the hot-user scale probe exercises
+    the EXACT production plan."""
     hour_us = 3_600_000_000
     bkt = (F.unix_micros(F.col("ts")) / hour_us).cast("bigint")
     signups = (
