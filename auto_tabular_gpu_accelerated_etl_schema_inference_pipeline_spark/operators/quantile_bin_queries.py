@@ -133,15 +133,21 @@ def persisted_exact_boundaries(
     # fit-path SOURCE (this module's recipe fn and both quantile_bin
     # fit fns it rides), so an edit to the fit logic invalidates even
     # when nobody remembers to bump the spec string.
-    fit_src = "".join(
-        inspect.getsource(f)
-        for f in (
-            _exact_rounded_boundaries,
-            fit_quantile_boundaries,
-            fit_quantile_boundaries_exact_distributed,
-        )
+    # getsource needs the .py on disk; in a pyc-only / zipapp / frozen
+    # deployment it raises OSError (ADVICE r7) — fall back to the
+    # compiled bytecode, which still changes whenever the fit logic does
+    # (only comment/docstring edits stop invalidating, an acceptable
+    # loss vs five lanes failing outright).
+    _fit_fns = (
+        _exact_rounded_boundaries,
+        fit_quantile_boundaries,
+        fit_quantile_boundaries_exact_distributed,
     )
-    recipe = hashlib.md5(fit_src.encode()).hexdigest()[:8]
+    try:
+        fit_src = "".join(inspect.getsource(f) for f in _fit_fns).encode()
+    except OSError:
+        fit_src = b"".join(f.__code__.co_code for f in _fit_fns)
+    recipe = hashlib.md5(fit_src).hexdigest()[:8]
     tag = hashlib.md5(
         f"{_BOUNDARY_MODEL_SPEC}:{recipe}:{src}:{stat.st_size}:"
         f"{int(stat.st_mtime)}".encode()

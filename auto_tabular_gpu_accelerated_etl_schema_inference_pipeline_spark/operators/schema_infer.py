@@ -219,7 +219,7 @@ def auto_tokenize(
     spark: SparkSession,
     df: DataFrame,
     table: str,
-    relative_error: float = 0.001,
+    relative_error: float | None = None,
     boundary_round: int | None = None,
     classes_df: DataFrame | None = None,
     boundaries: dict[str, list[float]] | None = None,
@@ -229,8 +229,9 @@ def auto_tokenize(
     quantile codes, categorical/discrete -> dict codes, timestamp ->
     epoch-day bucket, text -> md5 fingerprint, identifier -> passthrough.
 
-    ``relative_error``: quantile-fit accuracy — the default sketch fit is
-    the 100 TB setting; 0.0 switches to exact SQL ``percentile``, which
+    ``relative_error``: quantile-fit accuracy — None (the default)
+    resolves to the 0.001 sketch fit, the 100 TB setting; 0.0 switches
+    to exact SQL ``percentile``, which
     (with ``boundary_round``, see q_quantile_bin_exact_boundaries for the
     ulp rationale) makes the whole routed output oracle-matchable.
 
@@ -243,9 +244,9 @@ def auto_tokenize(
     everything is refit (a partial model is a stale model) — the fit
     knobs apply to THAT refit. When a full model is served, the fit
     knobs are ignored by construction (the model already encodes its
-    recipe); passing non-default knobs alongside a full model warns
-    loudly, because it usually means the caller thinks they are
-    steering a fit that will never run."""
+    recipe); passing ANY fit knob alongside a full model — even one
+    spelled as the default value — warns loudly, because it means the
+    caller thinks they are steering a fit that will never run."""
     from .quantile_bin import bucketize, fit_quantile_boundaries
 
     if classes_df is None:
@@ -300,7 +301,11 @@ def auto_tokenize(
     # for tables with no identifier column (the reference's canonical
     # all-numeric col_0..col_19 shape) and keeps the plan map-only.
     if boundaries is not None and all(c in boundaries for c in cont):
-        if relative_error != 0.001 or boundary_round is not None:
+        # None-default sentinel (ADVICE r7): ANY explicitly passed fit
+        # knob — including an explicit 0.001 — means the caller thinks
+        # a fit will run; `!= 0.001` couldn't distinguish that intent
+        # from an unset default.
+        if relative_error is not None or boundary_round is not None:
             import warnings
 
             warnings.warn(
@@ -313,7 +318,8 @@ def auto_tokenize(
         bounds = {c: boundaries[c] for c in cont}  # serve path: no refit
     else:
         bounds = fit_quantile_boundaries(
-            df, cont, bins=100, relative_error=relative_error
+            df, cont, bins=100,
+            relative_error=0.001 if relative_error is None else relative_error,
         )
         if boundary_round is not None:
             bounds = {

@@ -176,12 +176,14 @@ def forked_session(spark: SparkSession, purpose: str) -> SparkSession:
     sees the views/confs, purposes never see each other's, and two
     parent sessions sharing a context never share a fork — at a
     session count bounded by lanes x parents, not invocations.
-    The fork inherits the parent's conf snapshot at creation; the
-    plan-shaping confs (_FORK_SYNCED_CONFS) are re-synced from the
-    parent on every call so a reused fork tracks the caller instead of
-    freezing first-call state. Lanes must (re)apply their OWN confs
-    and createOrReplaceTempView their views on every call: the fork is
-    reused, not reset."""
+    ``newSession()`` starts from SparkContext defaults, NOT the
+    parent's runtime conf changes, so the plan-shaping confs
+    (_FORK_SYNCED_CONFS) are synced from the parent on EVERY call —
+    create and reuse alike (ADVICE r7: syncing only on reuse let a
+    lane's first invocation run under different shuffle/AQE/ANSI
+    settings than every later one). Lanes must (re)apply their OWN
+    confs and createOrReplaceTempView their views on every call: the
+    fork is reused, not reset."""
     sc = spark.sparkContext
     ctx = (sc.applicationId, sc.startTime)
     key = (*ctx, spark._jsparkSession.sessionUUID(), purpose)
@@ -191,9 +193,8 @@ def forked_session(spark: SparkSession, purpose: str) -> SparkSession:
             del _FORK_CACHE[old]  # dead-context forks
         s = spark.newSession()
         _FORK_CACHE[key] = s
-    else:
-        for c in _FORK_SYNCED_CONFS:
-            s.conf.set(c, spark.conf.get(c))
+    for c in _FORK_SYNCED_CONFS:
+        s.conf.set(c, spark.conf.get(c))
     return s
 
 

@@ -202,17 +202,24 @@ def run(scale: int) -> dict:
         range_join_direct_form(ev_hot_range),
         range_join_bucketed_form(ev_hot_range),
     )
-    results["asof_union_flatness"] = round(
-        results["asof_union_hot"] / results["asof_union_uniform"], 2
+    # denominators come from timed_noop (rounded to 2dp) — a sub-10ms
+    # arm (tiny --scale on a fast box) rounds to 0.0, and a clean
+    # assertion message beats a ZeroDivisionError (ADVICE r7); the
+    # floor biases the ratios CONSERVATIVELY (flatness up, speedup down)
+    def ratio(num: float, den: float) -> float:
+        return round(num / max(den, 0.01), 2)
+
+    results["asof_union_flatness"] = ratio(
+        results["asof_union_hot"], results["asof_union_uniform"]
     )
-    results["range_bucketed_flatness"] = round(
-        results["range_bucketed_hot"] / results["range_bucketed_uniform"], 2
+    results["range_bucketed_flatness"] = ratio(
+        results["range_bucketed_hot"], results["range_bucketed_uniform"]
     )
-    results["asof_twin_speedup_hot"] = round(
-        results["asof_join_hot"] / results["asof_union_hot"], 2
+    results["asof_twin_speedup_hot"] = ratio(
+        results["asof_join_hot"], results["asof_union_hot"]
     )
-    results["range_twin_speedup_hot"] = round(
-        results["range_direct_hot"] / results["range_bucketed_hot"], 2
+    results["range_twin_speedup_hot"] = ratio(
+        results["range_direct_hot"], results["range_bucketed_hot"]
     )
     # the probe's contract, enforced (probe_skew discipline):
     assert results["asof_hot_parity"], "as-of twins DISAGREE on the hot corpus"

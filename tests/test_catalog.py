@@ -200,3 +200,26 @@ def test_forked_session_cached_per_purpose(spark):
     a1.conf.set("spark.sql.cbo.enabled", "true")
     assert b.conf.get("spark.sql.cbo.enabled") == "false"
     assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+
+def test_forked_session_syncs_confs_on_first_creation(spark):
+    """ADVICE r7: newSession() starts from SparkContext defaults, not
+    the parent's runtime conf — the plan-shaping confs must be synced
+    on the CREATE path too, or a lane's first invocation runs under
+    different shuffle/AQE/ANSI settings than every later one."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        forked_session,
+    )
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        fresh = forked_session(spark, "t.purpose_first_sync")
+        assert fresh.conf.get("spark.sql.shuffle.partitions") == "7"
+        # ...and the reuse path keeps tracking the parent
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        again = forked_session(spark, "t.purpose_first_sync")
+        assert again is fresh
+        assert again.conf.get("spark.sql.shuffle.partitions") == "11"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
