@@ -79,6 +79,120 @@ GROUP BY 1, 2
 
 MIN_PAIR_SUPPORT = 2
 
+#: guarded-form routing: orders with more distinct items than this go
+#: through the block-decomposed pair generator instead of the direct
+#: self-join. 512 items -> ~131 k pairs, comfortably one task's work;
+#: the fixture maxes out at ~7 items/order, so on polite data every
+#: order routes direct and the guard costs one window count.
+BASKET_BLOCK_THRESHOLD = 512
+#: block count for the mega-order path: replication is ~(n_blocks + 1)x
+#: per mega-order item, parallelism is n_blocks*(n_blocks+1)/2 tasks
+#: per mega-order (16 -> 136 tasks for work that was ONE task direct).
+BASKET_N_BLOCKS = 16
+
+
+def basket_pair_stream_direct(items: DataFrame) -> DataFrame:
+    """(okey, part) -> one row per co-occurrence pair, p1 < p2.
+
+    The classic pair self-join: correct and cheap while items-per-order
+    is a small data invariant, but a mega-order with d distinct items
+    emits d(d-1)/2 pairs inside ONE sort-merge group — single-task
+    quadratic output AQE cannot split (the skew is in what the task
+    EMITS, not in the shuffled input sizes; same limitation
+    PROBE_ASOF_RANGE_r07 measured for the as-of join form)."""
+    a = items.toDF("okey", "p1")
+    b = items.toDF("okey", "p2")
+    return a.join(b, (a.okey == b.okey) & (a.p1 < b.p2)).select("p1", "p2")
+
+
+def basket_pair_stream_guarded(
+    items: DataFrame,
+    threshold: int = BASKET_BLOCK_THRESHOLD,
+    n_blocks: int = BASKET_N_BLOCKS,
+) -> DataFrame:
+    """Size-routed pair stream, EXACTLY equal to the direct stream.
+
+    Orders at or under ``threshold`` distinct items take the direct
+    self-join. Mega-orders are block-decomposed: each item lands in
+    block ``pmod(xxhash64(part), n_blocks)`` and is replicated onto
+    every block-pair key it can participate in — left side (okey, u=own
+    block, v=u..n-1), right side (okey, u=0..own block, v=own block) —
+    so the equi-join on (okey, u, v) enumerates each unordered pair
+    exactly once: cross-block pairs meet only at (u, v) = (smaller
+    block, larger block) because the left explode never goes below the
+    left item's own block; same-block pairs meet at (b, b) twice and
+    are halved by the p1 < p2 filter, which also drops self-pairs.
+    least/greatest canonicalizes cross-block pairs whose block order
+    disagrees with their key order.
+
+    Cost shape: the ~(n_blocks+1)x replication is paid ONLY by
+    mega-order rows; the d^2/2 pair work still exists (it is the
+    answer) but spreads over n_blocks*(n_blocks+1)/2 shuffle keys
+    instead of one — the single-emitter-task bottleneck the direct form
+    has is gone. Measured: scripts/probe_market_basket.py."""
+    d = F.count(F.lit(1)).over(Window.partitionBy("okey"))
+    tagged = items.toDF("okey", "p").select("okey", "p", d.alias("_d"))
+    small = tagged.filter(F.col("_d") <= threshold).select("okey", "p")
+    large = (
+        tagged.filter(F.col("_d") > threshold)
+        .select(
+            "okey",
+            "p",
+            F.pmod(F.xxhash64("p"), F.lit(n_blocks)).cast("int").alias("_b"),
+        )
+    )
+    left = large.select(
+        "okey",
+        F.col("_b").alias("u"),
+        F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("v"),
+        F.col("p").alias("pa"),
+    )
+    right = large.select(
+        "okey",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("u"),
+        F.col("_b").alias("v"),
+        F.col("p").alias("pb"),
+    )
+    large_pairs = (
+        left.join(right, ["okey", "u", "v"])
+        .filter((F.col("u") < F.col("v")) | (F.col("pa") < F.col("pb")))
+        .select(
+            F.least("pa", "pb").alias("p1"),
+            F.greatest("pa", "pb").alias("p2"),
+        )
+    )
+    return basket_pair_stream_direct(small).unionByName(large_pairs)
+
+
+def _basket_support(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+
+
+def basket_support_direct_form(items: DataFrame) -> DataFrame:
+    """(okey, part) -> (p1, p2, support >= MIN_PAIR_SUPPORT), direct."""
+    return _basket_support(basket_pair_stream_direct(items))
+
+
+def basket_support_guarded_form(
+    items: DataFrame,
+    threshold: int = BASKET_BLOCK_THRESHOLD,
+    n_blocks: int = BASKET_N_BLOCKS,
+) -> DataFrame:
+    """(okey, part) -> (p1, p2, support), size-routed mega-order-safe."""
+    return _basket_support(basket_pair_stream_guarded(items, threshold, n_blocks))
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
 
 def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-pair co-occurrence (association-rule support counts): pairs
@@ -86,19 +200,19 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join runs on the deduplicated (order, part) relation and the
     canonical p1 < p2 ordering halves the pair space."""
     configure_for_oracle(spark)
-    it = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = it.toDF("okey", "p1")
-    b = it.toDF("okey", "p2")
-    return (
-        a.join(b, (a.okey == b.okey) & (a.p1 < b.p2))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
-    )
+    return basket_support_direct_form(_basket_items(spark, sf_dir))
+
+
+def q_orders_market_basket_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r8 scale twin of orders_market_basket (same oracle, same
+    rows): size-routed pair generation that block-decomposes any order
+    over BASKET_BLOCK_THRESHOLD distinct items so a single mega-order
+    cannot concentrate d^2/2 pair emission in one task. Probed under a
+    pathological 5 k-item order in PROBE_MARKET_BASKET_r08.json."""
+    configure_for_oracle(spark)
+    return basket_support_guarded_form(_basket_items(spark, sf_dir))
 
 
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1943,7 @@ QUERIES = {
     "weighted_median_by_flag": q_weighted_median_by_flag,
     "events_retention_cohorts": q_events_retention_cohorts,
     "orders_market_basket": market_basket_pairs,  # memoized edge list
+    "orders_market_basket_guarded": q_orders_market_basket_guarded,
     "key_skew_profile": q_key_skew_profile,
     "histogram_equal_width": q_histogram_equal_width,
     "profile_numeric": q_profile_numeric,
@@ -1862,6 +1977,7 @@ ORACLES = {
     "weighted_median_by_flag": _WMEDIAN_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "orders_market_basket": _BASKET_ORACLE,
+    "orders_market_basket_guarded": _BASKET_ORACLE,  # exact scale twin
     "key_skew_profile": _SKEW_ORACLE,
     "histogram_equal_width": _HIST_ORACLE,
     "profile_numeric": _PROFILE_ORACLE,

@@ -69,11 +69,35 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# through CORRECTNESS_r06). A prefix-sampling gate should
+# through CORRECTNESS_r07). A prefix-sampling gate should
 # spend its slots on queries NOT in this set first; once a round
 # verifies more, extend it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r7 greens (CORRECTNESS_r07.json, 50/50) ---
+        "agg_bitmap_distinct", "ann_hubness_report",
+        "asof_join_directions_union", "asof_join_pandas",
+        "bigram_lm_score", "cdc_apply_tombstones",
+        "cdc_point_in_time_lookup", "content_defined_chunks",
+        "corpus_curation_report", "csv_dialect_roundtrip",
+        "dedup_char_shingle_jaccard", "dedup_incremental_bloom",
+        "dedup_transitivity_audit", "disparate_impact_report",
+        "embedding_quantize_int8", "error_safe_funcs",
+        "events_range_join_bucketed", "graph_kcore",
+        "grouped_stats_apply_in_arrow", "html_strip_clean",
+        "incremental_backfill_merge", "interval_bucket_join_orders",
+        "interval_merge_spans", "key_skew_profile", "l_diversity_audit",
+        "label_propagation_communities", "lateral_join_topk",
+        "lpa_modularity", "mart_region_brand_daily",
+        "minhash_lsh_planner", "multimodal_phash_neardup",
+        "multimodal_scene_cuts", "ndcg_eval", "negative_sampling_pairs",
+        "observe_metrics", "order_reconciliation",
+        "orders_market_basket", "partition_advisor", "sample_hash",
+        "silhouette_by_label", "similarity_pq_adc_topk",
+        "snapshot_diff", "source_mix_rebalance",
+        "streaming_sprt_monitor", "target_encode_loo",
+        "text_readability", "text_sentiment_lexicon",
+        "udtf_bigram_vocab", "weekly_revenue_wow", "winsorize_clip",
         # --- r6 greens (CORRECTNESS_r06.json, 50/50) ---
         "ab_experiment_report", "abc_classification_parts",
         "asof_join_directions", "attribution_last_touch",
@@ -196,43 +220,13 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # The 2 round-7 additions — newest code, least external evidence
-    # (the r5/r6 precedent: prove new registry entries first). Both
-    # are scale twins sharing an already-r6-green oracle.
-    "asof_join_directions_union", "events_range_join_bucketed",
-    # The 48-slot cross-lane sweep of the 79-query never-sampled
-    # backlog (VERDICT r6 item 1): every remaining module pocket gets
-    # representation; the ~31 left over are the r8 closing window
-    # (listed as the next tier below, in order).
-    "dedup_char_shingle_jaccard", "dedup_transitivity_audit",
-    "graph_kcore", "label_propagation_communities", "lpa_modularity",
-    "ann_hubness_report", "similarity_pq_adc_topk",
-    "silhouette_by_label",
-    "text_readability", "text_sentiment_lexicon",
-    "bigram_lm_score",
-    "key_skew_profile", "orders_market_basket", "snapshot_diff",
-    "weekly_revenue_wow", "winsorize_clip",
-    "streaming_sprt_monitor",
-    "multimodal_phash_neardup", "multimodal_scene_cuts",
-    "partition_advisor", "target_encode_loo",
-    "ndcg_eval",
-    "interval_bucket_join_orders", "interval_merge_spans",
-    "disparate_impact_report", "l_diversity_audit",
-    "order_reconciliation",
-    "cdc_apply_tombstones", "cdc_point_in_time_lookup",
-    "embedding_quantize_int8", "html_strip_clean",
-    "source_mix_rebalance",
-    "dedup_incremental_bloom", "negative_sampling_pairs",
-    "content_defined_chunks", "minhash_lsh_planner",
-    "incremental_backfill_merge", "observe_metrics", "sample_hash",
-    "asof_join_pandas",
-    "udtf_bigram_vocab", "grouped_stats_apply_in_arrow",
-    "csv_dialect_roundtrip",
-    "error_safe_funcs",
-    "agg_bitmap_distinct", "lateral_join_topk",
-    "corpus_curation_report", "mart_region_brand_daily",
-    # next tier — the r8 CLOSING window (31 queries): after these,
-    # every oracle-backed query has been driver-sampled at least once.
+    # The single round-8 addition — newest code, least external
+    # evidence (the r5-r7 precedent: prove new registry entries
+    # first). A scale twin sharing the r7-green basket oracle.
+    "orders_market_basket_guarded",
+    # The r8 CLOSING window (31 queries, laid out in r7's rotation):
+    # after these, every oracle-backed query has been driver-sampled
+    # at least once — 334/334.
     "embedding_dim_profile", "matryoshka_dim_quality",
     "triplet_margin_violations",
     "text_kwic", "text_top_ngram_cover",
@@ -251,6 +245,17 @@ _PRIORITY_WINDOW = [
     "incremental_user_totals",
     "udtf_trigram_positions",
     "agg_listagg", "encoding_funcs", "url_funcs",
+    # Drift re-samples (18 slots, filling the 50-slot prefix exactly):
+    # the OLDEST greens — the r1 relational/TPC-H core, last externally
+    # verified six rounds of commits ago — re-checked under the current
+    # driver session (the VERDICT r7 item 7 plan, started early since
+    # the closing window leaves the slots free).
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "string_funcs", "date_funcs", "math_funcs", "array_funcs",
+    "map_funcs", "null_funcs",
+    "set_ops", "grouping_sets", "agg_rollup", "agg_cube",
+    "window_funcs_suite", "pivot_orders", "join_semi_anti",
+    "global_topn",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]

@@ -89,3 +89,41 @@ def test_registry_imports_every_module():
     )
 
     assert len(qr._modules()) == len(qr._MODULES)
+
+
+def test_registry_rotation_invariants():
+    """The rotation bookkeeping the external gate rides on, machine-
+    checked (VERDICT r7 item 4): the curated window must be exactly the
+    oracle-backed 50-slot prefix a prefix-sampling driver sees — no
+    typo'd name can silently burn a slot — and _DRIVER_VERIFIED must be
+    exactly the union of fully-green rows across every committed
+    CORRECTNESS_r*.json (no wishful folding, no forgotten greens)."""
+    import glob
+    import json
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+        queries_registry as qr,
+    )
+
+    window, dv = qr._PRIORITY_WINDOW, qr._DRIVER_VERIFIED
+    assert len(window) == len(set(window)), "duplicate window entries"
+    missing = [n for n in window if n not in QUERIES]
+    assert not missing, f"window names absent from registry: {missing}"
+    not_oracle = [n for n in window if n not in ORACLES]
+    assert not not_oracle, f"window names without an oracle: {not_oracle}"
+    assert dv <= set(QUERIES), sorted(dv - set(QUERIES))
+    prefix = [n for n in QUERIES if n in ORACLES][: len(window)]
+    assert prefix == list(window), "window != sampled oracle-backed prefix"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, v in json.load(open(f)).items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+                and not v.get("err")
+            ):
+                greens.add(name)
+    assert dv == greens, (sorted(dv - greens), sorted(greens - dv))
