@@ -326,3 +326,39 @@ def test_kappa_degenerate_marginals_null(spark):
     row = q_cohens_kappa_raters(spark, d).collect()[0]
     assert row["n"] == 3 and row["agree"] == 3
     assert row["kappa_ppm"] is None
+
+
+def test_basket_guarded_equals_direct_with_mega_order(spark):
+    """The r8 market-basket scale twin's exactness contract, at unit
+    scale: block decomposition must enumerate every unordered pair
+    exactly once across all three regimes — cross-block pairs whose
+    part-value order DISAGREES with their block order (the case a
+    naive p1 < p2 join condition on block keys silently drops),
+    same-block pairs (emitted twice by the block cross product, halved
+    by the value filter), and self-pairs (dropped). A tiny threshold
+    forces several orders down the blocked path; a mega order mixes
+    both paths in one frame."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.analytics import (
+        basket_support_direct_form,
+        basket_support_guarded_form,
+    )
+
+    items = (
+        spark.range(4000)
+        .select(
+            F.when(F.col("id") < 1200, F.pmod(F.col("id"), F.lit(150)))
+            .otherwise(F.lit(9999))
+            .alias("okey"),
+            F.pmod(F.xxhash64("id"), F.lit(700)).alias("part"),
+        )
+        .distinct()
+    )
+    direct = basket_support_direct_form(items)
+    for n_blocks in (1, 3, 16):  # 1 = degenerate single block
+        guarded = basket_support_guarded_form(
+            items, threshold=6, n_blocks=n_blocks
+        ).select(*direct.columns)
+        assert direct.exceptAll(guarded).count() == 0, n_blocks
+        assert guarded.exceptAll(direct).count() == 0, n_blocks
