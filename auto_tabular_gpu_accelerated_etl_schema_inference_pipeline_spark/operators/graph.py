@@ -27,7 +27,10 @@ from .dedup import FUZZY_MAX_DIST, JACCARD_THRESHOLD, near_dup_pairs
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    escalate: bool = True,
 ) -> DataFrame:
     """Hash-min label propagation. ``vertices``: one column ``id``;
     ``edges``: columns ``src``/``dst``, undirected (one direction given).
@@ -38,6 +41,21 @@ def connected_components(
     lineage so plan size stays constant across rounds (without it each
     iteration's plan embeds all previous ones and analysis time blows up
     — the classic iterative-DataFrame pitfall).
+
+    Hash-min converges in O(component diameter) rounds — the right cost
+    for near-dup graphs (diameters usually <= 3, loop exits in 2-4
+    rounds with cheaper rounds than the star algorithm's 5 shuffles).
+    But a chain-shaped component deeper than ``max_iter`` — the shape a
+    boilerplate series produces in a crawl corpus — does NOT converge,
+    and the pre-round-8 behavior was to silently return the partial
+    labels. Now: with ``escalate=True`` (default) the non-converged
+    label graph is CONTRACTED (one edge per (label(src), label(dst))
+    pair — hash-min's k completed rounds have already collapsed every
+    <= k-radius neighborhood, so the contraction is much smaller than
+    the input) and finished by ``connected_components_star``, whose
+    round count is O(log^2 n) INDEPENDENT of diameter; with
+    ``escalate=False`` it raises RuntimeError. Silent wrongness is no
+    longer a reachable outcome. Measured: scripts/probe_cc_chain.py.
 
     Two materialization rules make this viable when ``edges`` is itself
     an expensive pipeline (here: the n-gram Jaccard similarity join):
@@ -56,6 +74,7 @@ def connected_components(
     )
     active = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
     labels = active.select(F.col("id"), F.col("id").alias("label"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -85,11 +104,174 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        if not escalate:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"hash-min rounds ({changed} labels still changing): a "
+                "component's diameter exceeds max_iter. Pass "
+                "escalate=True (the default) to finish via the "
+                "diameter-independent star algorithm, or call "
+                "connected_components_star directly."
+            )
+        # contract the label graph and finish with the star algorithm:
+        # vertices = current labels, edges = (label(src), label(dst)).
+        # label values ARE ids (each label is the min id seen so far),
+        # so composing star's (id=label -> component_id) over our
+        # (id -> label) yields min-id components exactly.
+        lsrc = labels.select(
+            F.col("id").alias("src"), F.col("label").alias("lsrc")
+        )
+        ldst = labels.select(
+            F.col("id").alias("dst"), F.col("label").alias("ldst")
+        )
+        contracted = (
+            sym.join(lsrc, "src")
+            .join(ldst, "dst")
+            .filter(F.col("lsrc") != F.col("ldst"))
+            .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        )
+        cverts = labels.select(F.col("label").alias("id")).distinct()
+        roots = connected_components_star(cverts, contracted).select(
+            F.col("id").alias("label"), "component_id"
+        )
+        labels = labels.join(roots, "label").select(
+            "id", F.col("component_id").alias("label")
+        )
     # isolated vertices: component of themselves
     return (
         vertices.select("id")
         .join(labels, "id", "left")
         .select("id", F.coalesce("label", "id").alias("component_id"))
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    diameter-INDEPENDENT formulation (Kiveris/Lattanzi/Mirrokni/Rastogi/
+    Vassilvitskii, "Connected Components in MapReduce and Beyond", SoCC
+    2014; the same algorithm GraphFrames ships as its default CC).
+    Same contract as connected_components: vertices(id),
+    edges(src, dst) one direction given; returns (id, component_id =
+    min id in component).
+
+    Why it exists here: hash-min needs O(diameter) rounds, and a
+    100 TB near-dup graph can hide a deep chain (doc_1 ~ doc_2 ~ ... —
+    boilerplate series, templated pages). Star rounds restructure the
+    graph itself instead of flooding labels through it:
+
+      large-star: every node u attaches its STRICTLY-LARGER neighbors
+        to m = min(N(u) ∪ {u}) — emitted edge (v, m) for v > u;
+      small-star: orient edges toward the larger endpoint; every node
+        v attaches its smaller neighbors AND itself to m = min of that
+        in-neighborhood — edges (x, m) for x ∈ N⁻(v) ∪ {v}.
+
+    Both preserve connectivity and only ever re-wire toward smaller
+    ids; alternation converges to star forests centered at each
+    component's min in O(log^2 n) rounds (O(log n) in practice),
+    regardless of diameter. Every round is groupBy-min + equi-join —
+    partial-aggregatable, no per-key quadratic emission, hub joins are
+    1:1 per edge row — so each round is one bounded shuffle pair on a
+    1000-executor cluster.
+
+    Convergence is detected by edge-set fixpoint (round output ==
+    round input; both sides canonical-distinct, so count equality plus
+    one anti-join suffices), then the star postcondition is ASSERTED
+    (every non-root has exactly one root; no node is both root and
+    leaf) — if either ever failed the function raises rather than
+    returning mislabeled components.
+
+    ``stats``: optional dict; on return, ``stats["rounds"]`` records
+    the converged round count (scripts/probe_cc_chain.py asserts the
+    diameter-independence bound off it)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))  # m <= u < v: canonical (m, v)
+            .select(F.col("m").alias("u"), "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonical (u, v) is already oriented toward the
+        # larger endpoint v; group by v, m = min in-neighbor (< v)
+        mins2 = large.groupBy("v").agg(F.min("u").alias("m"))
+        rewired = (
+            large.join(mins2, "v")
+            .select(F.col("m").alias("nu"), F.col("u").alias("nv"))
+            .filter(F.col("nu") < F.col("nv"))  # drop (m, m) self-pair
+        )
+        centers = mins2.select(
+            F.col("m").alias("nu"), F.col("v").alias("nv")
+        )
+        e2 = (
+            rewired.union(centers)
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same_count = e2.count() == e.count()
+        if same_count and e2.join(e, ["u", "v"], "left_anti").count() == 0:
+            e = e2
+            converged = True
+            break
+        e = e2
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge-set "
+            f"fixpoint in {max_iter} rounds — raise max_iter (expected "
+            "O(log^2 n); 40 covers any graph that fits in storage)."
+        )
+    # star postcondition, asserted loudly: each leaf has ONE root and
+    # roots never appear as leaves (two cheap aggregates on the final
+    # star forest, paid once).
+    multi = (
+        e.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    both = (
+        e.select("u")
+        .join(e.select(F.col("v").alias("u")), "u", "left_semi")
+        .count()
+    )
+    if multi or both:
+        raise RuntimeError(
+            "star fixpoint is not a star forest "
+            f"(multi-root leaves: {multi}, root-and-leaf nodes: {both})"
+        )
+    labels = e.select(F.col("v").alias("id"), F.col("u").alias("component_id"))
+    return (
+        vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component_id", F.col("id")).alias("component_id"))
     )
 
 

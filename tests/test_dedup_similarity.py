@@ -166,3 +166,112 @@ def test_arrow_cosine_lane_matches_builtin(spark, sf_dir):
         acid, acos = arrow[k]
         assert acid == cid, (k, cid, acid)
         assert abs(acos - cos) < 1e-9
+
+
+def _random_graph(rng, n_nodes, n_edges):
+    import random as _r
+    nodes = list(range(0, n_nodes * 3, 3))  # non-contiguous ids
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        edges.add((a, b))
+    return nodes, sorted(edges)
+
+
+def _driver_components(nodes, edges):
+    """Ground-truth union-find on the driver (test oracle only)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in nodes:
+        r = find(n)
+        out.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in out.items() for n in members}
+
+
+def test_star_cc_matches_hash_min_and_ground_truth(spark):
+    """large-star/small-star parity: on a random 150-node graph both CC
+    formulations must equal the driver union-find exactly."""
+    import random
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(8)
+    nodes, edges = _random_graph(rng, 150, 170)
+    truth = _driver_components(nodes, edges)
+    verts = spark.createDataFrame([(n,) for n in nodes], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    star = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(verts, edf).collect()
+    }
+    hashmin = {
+        r["id"]: r["component_id"]
+        for r in connected_components(verts, edf).collect()
+    }
+    assert star == truth
+    assert hashmin == truth
+
+
+def test_hash_min_escalates_on_deep_chain(spark):
+    """A 120-deep chain exceeds any small hash-min round budget; the
+    pre-r8 code silently returned PARTIAL labels. Now: escalate=False
+    raises, and the default contracts + finishes via the star algorithm
+    to the exact min label."""
+    import pytest as _pytest
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 120
+    # permuted ids so convergence can't ride on id order
+    ids = [(i * 67) % n for i in range(n)]
+    chain = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    verts = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    edf = spark.createDataFrame(chain, "src bigint, dst bigint")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edf, max_iter=5, escalate=False).collect()
+
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(verts, edf, max_iter=5).collect()
+    }
+    assert got == {i: 0 for i in ids}
+
+    star = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(verts, edf).collect()
+    }
+    assert star == {i: 0 for i in ids}
+
+
+def test_star_cc_isolates_and_empty_edges(spark):
+    """Isolated vertices label themselves; an empty edge set is a valid
+    (all-isolate) graph for both formulations."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    verts = spark.createDataFrame([(5,), (9,), (12,)], "id bigint")
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(verts, empty).collect()
+    }
+    assert got == {5: 5, 9: 9, 12: 12}
