@@ -86,9 +86,13 @@ MIN_PAIR_SUPPORT = 2
 #: order routes direct and the guard costs one window count.
 BASKET_BLOCK_THRESHOLD = 512
 #: block count for the mega-order path: replication is ~(n_blocks + 1)x
-#: per mega-order item, parallelism is n_blocks*(n_blocks+1)/2 tasks
-#: per mega-order (16 -> 136 tasks for work that was ONE task direct).
-BASKET_N_BLOCKS = 16
+#: per mega-order item, parallelism is n_blocks*(n_blocks+1)/2 shuffle
+#: keys per mega-order (32 -> 528 keys for work that was ONE task
+#: direct; 528 keys hash evenly over a 64-partition shuffle, where 16
+#: blocks' 136 keys left ~3x balls-in-bins skew — measured in
+#: PROBE_MARKET_BASKET_r08: 16 blocks 8.3 s, 32 blocks 3.7 s on a
+#: 4.5e8-pair mega-order stream).
+BASKET_N_BLOCKS = 32
 
 
 def basket_pair_stream_direct(items: DataFrame) -> DataFrame:
@@ -129,7 +133,18 @@ def basket_pair_stream_guarded(
     mega-order rows; the d^2/2 pair work still exists (it is the
     answer) but spreads over n_blocks*(n_blocks+1)/2 shuffle keys
     instead of one — the single-emitter-task bottleneck the direct form
-    has is gone. Measured: scripts/probe_market_basket.py."""
+    has is gone. Measured: scripts/probe_market_basket.py.
+
+    The explicit ``repartition(N, keys)`` on both join sides is
+    load-bearing, not a tuning nicety: the block-join's shuffle INPUT
+    is tiny (d x ~(n_blocks+1)/2 replicated rows, a few MB for a 30 k-
+    item order), so AQE's coalescePartitions folds the exchange down to
+    1-2 partitions and re-serializes the d^2/2 emission the block
+    decomposition exists to spread — the same map-output-boundary
+    blindness PROBE_ASOF_RANGE_r07 documented, this time ON the twin.
+    A user-specified partition count is exempt from AQE coalescing.
+    Measured at d=30k (PROBE_MARKET_BASKET_r08): 23.8 s coalesced ->
+    3.7 s repartitioned, vs 28.6 s direct."""
     d = F.count(F.lit(1)).over(Window.partitionBy("okey"))
     tagged = items.toDF("okey", "p").select("okey", "p", d.alias("_d"))
     small = tagged.filter(F.col("_d") <= threshold).select("okey", "p")
@@ -141,18 +156,24 @@ def basket_pair_stream_guarded(
             F.pmod(F.xxhash64("p"), F.lit(n_blocks)).cast("int").alias("_b"),
         )
     )
+    try:  # "auto" under some AQE configs
+        n_parts = int(
+            items.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        n_parts = 200
     left = large.select(
         "okey",
         F.col("_b").alias("u"),
         F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("v"),
         F.col("p").alias("pa"),
-    )
+    ).repartition(n_parts, "okey", "u", "v")
     right = large.select(
         "okey",
         F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("u"),
         F.col("_b").alias("v"),
         F.col("p").alias("pb"),
-    )
+    ).repartition(n_parts, "okey", "u", "v")
     large_pairs = (
         left.join(right, ["okey", "u", "v"])
         .filter((F.col("u") < F.col("v")) | (F.col("pa") < F.col("pb")))
