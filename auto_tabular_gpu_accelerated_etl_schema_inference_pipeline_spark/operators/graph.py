@@ -438,6 +438,33 @@ q_dedup_components.__doc__ = q_dedup_components.__doc__.format(
 )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of dedup_components (same clusters, same oracle),
+    computed on the DOC-LEVEL pair graph via the diameter-independent
+    large-star/small-star CC — i.e., the general-case fallback path the
+    mask fast path routes to at scale, driven end-to-end so the star
+    algorithm carries its own external oracle evidence rather than only
+    unit parity. The pair generator is the session-memoized PPJoin
+    edge list (shared with pagerank/transitivity consumers), so the
+    twin adds one star run, not a second similarity join.
+
+    Why this twin exists (round-8 hardening, measured in
+    PROBE_CC_CHAIN_r08.json): hash-min CC converges in O(diameter)
+    rounds and used to SILENTLY return partial labels past its round
+    cap — a 500 k-deep boilerplate chain mislabeled 99.99% of its docs.
+    The star formulation converges in O(log^2 n) rounds regardless of
+    diameter (measured: 17 rounds on a diameter-499,999 chain) and
+    asserts its star-forest postcondition before returning."""
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(spark, sf_dir)  # session-memoized
+    verts = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components_star(verts, edges)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 3
 
@@ -1122,6 +1149,7 @@ QUERIES = {
     "entity_resolution_clusters": q_entity_resolution_clusters,
     "eigencentrality_parts": q_eigencentrality_parts,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "graph_pagerank": q_graph_pagerank,
     "recursive_cte_order_chain": q_recursive_cte_order_chain,
     "graph_triangle_count": q_graph_triangle_count,
@@ -1259,3 +1287,7 @@ r3 AS MATERIALIZED (
 SELECT id AS doc_id, round(rank, 9) AS pagerank FROM r3
 """,
 }
+
+# exact scale twin: same clusters, star CC over the general pair-graph
+# path instead of the mask fast path — byte-identical oracle
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]

@@ -220,10 +220,13 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # The single round-8 addition — newest code, least external
+    # The two round-8 additions — newest code, least external
     # evidence (the r5-r7 precedent: prove new registry entries
-    # first). A scale twin sharing the r7-green basket oracle.
+    # first). Scale twins sharing r7-green oracles: the block-routed
+    # basket pair generator, and the diameter-independent star-CC
+    # clustering over the general pair-graph path.
     "orders_market_basket_guarded",
+    "dedup_components_star",
     # The r8 CLOSING window (31 queries, laid out in r7's rotation):
     # after these, every oracle-backed query has been driver-sampled
     # at least once — 334/334.
@@ -245,7 +248,9 @@ _PRIORITY_WINDOW = [
     "incremental_user_totals",
     "udtf_trigram_positions",
     "agg_listagg", "encoding_funcs", "url_funcs",
-    # Drift re-samples (18 slots, filling the 50-slot prefix exactly):
+    # Drift re-samples (17 slots, filling the 50-slot prefix exactly;
+    # global_topn yielded its slot to the second r8 addition — it
+    # stays driver-verified and rotates back in r9):
     # the OLDEST greens — the r1 relational/TPC-H core, last externally
     # verified six rounds of commits ago — re-checked under the current
     # driver session (the VERDICT r7 item 7 plan, started early since
@@ -255,7 +260,6 @@ _PRIORITY_WINDOW = [
     "map_funcs", "null_funcs",
     "set_ops", "grouping_sets", "agg_rollup", "agg_cube",
     "window_funcs_suite", "pivot_orders", "join_semi_anti",
-    "global_topn",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
