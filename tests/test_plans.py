@@ -654,3 +654,22 @@ def test_asof_union_single_shuffle_two_sorts(spark, sf_dir):
     plan = formatted_plan(q_asof_join_directions_union(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_basket_guarded_repartition_survives(spark):
+    """The explicit repartition(N, okey, u, v) in the guarded basket
+    pair stream is load-bearing: AQE coalesces the block join's tiny
+    shuffle INPUT down to 1-2 partitions otherwise, re-serializing the
+    d^2/2 emission the decomposition exists to spread (measured 6.4x on
+    the full query, PROBE_MARKET_BASKET_r08). Pin the user-specified
+    repartition in the plan so a cleanup can't silently drop it."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.analytics import (
+        basket_pair_stream_guarded,
+    )
+
+    items = spark.createDataFrame(
+        [(1, i) for i in range(8)] + [(2, 1), (2, 2)],
+        "okey bigint, part bigint",
+    )
+    plan = formatted_plan(basket_pair_stream_guarded(items, threshold=4))
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
