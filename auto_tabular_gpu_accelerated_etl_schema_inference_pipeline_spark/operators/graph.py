@@ -4,15 +4,19 @@ training-data dedup pipeline runs AFTER pair generation (pairs say "a~b",
 requires the transitive closure, not the pair list).
 
 Absent from the reference (batch tokenizer only — SURVEY.md §2.2 north
-star). Spark-first design: hash-min label propagation — every vertex
-starts labeled with its own id; each round takes the min label over its
-neighborhood; converges to min(id in component) in O(component diameter)
-rounds. This is the standard scale-out CC formulation (GraphX/GraphFrames
-use the same idea with the large-star/small-star optimization to cut
-round count); each round is ONE edge-join shuffle keyed by vertex id, so
-a 1000-executor cluster runs it with bounded state per round and no
-driver materialization. Near-dup clusters have tiny diameters (usually
-<= 3), so the loop exits after 2-4 rounds.
+star). Spark-first design, two formulations:
+- hash-min label propagation: each round takes the min label over the
+  neighborhood; converges to min(id in component) in O(component
+  diameter) rounds — ONE edge-join shuffle per round, bounded state,
+  no driver materialization. Near-dup clusters have tiny diameters
+  (usually <= 3), so the loop exits after 2-4 rounds; past its round
+  cap it ESCALATES (contract the label graph, finish via star) rather
+  than silently returning partial labels (round-8 hardening, measured
+  in PROBE_CC_CHAIN_r08.json).
+- alternating large-star/small-star (the GraphX/GraphFrames default):
+  diameter-INDEPENDENT O(log^2 n) rounds — the right form when a crawl
+  corpus hides a deep boilerplate chain (measured: 17 rounds at
+  diameter 499,999, where hash-min@25 mislabels 99.99% of the chain).
 
 Oracle: DuckDB ``WITH RECURSIVE`` transitive closure over the same edge
 set — min reachable id == the fixpoint label.
@@ -359,11 +363,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle on the 8-byte mask, the closure over the D-row table is
     exact driver union-find (_cluster_masks_driver — bounded fitted
     state, like collecting quantile boundaries), and docs inherit their
-    group's label via a broadcast join + explode. Docs sharing a mask
-    are jaccard-1 pairs, so group-mates are one component by
-    construction. Replaces a 5-10 round iterative shuffle job with one
-    aggregation; measured at sf0.1: 14.8 s (doc-level edges + hash-min
-    rounds) → ~2.5 s warm.
+    group's label via a map-only broadcast join ON THE MASK — no
+    per-mask doc-id array is ever materialized (a collect_list here
+    would put a boilerplate text's every copy into one row: 100 M
+    copies at corpus scale = one OOM row; the r8 revision re-derives
+    the mask expression instead, trading a second documents scan for
+    bounded row width). Docs sharing a mask are jaccard-1 pairs, so
+    group-mates are one component by construction. Replaces a 5-10
+    round iterative shuffle job with one aggregation; measured at
+    sf0.1: 14.8 s (doc-level edges + hash-min rounds) → ~2.5 s warm.
 
     Fallbacks keep the path honest at scale: vocabulary > 62 bits or
     D > {lim} distinct sets routes to the doc-level PPJoin pair
@@ -400,30 +408,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, t: acc.bitwiseOR(tok_bit[t]),
         )
-        groups = (
+        reps = (
             toks_df.select("doc_id", mask.alias("m"))
             .groupBy("m")
-            .agg(
-                F.min("doc_id").alias("rep"),
-                F.collect_list("doc_id").alias("ids"),
-            )
-            .localCheckpoint()
+            .agg(F.min("doc_id").alias("rep"))
         )
-        head = groups.select("m", "rep").limit(
-            _CC_MAX_DISTINCT_SETS + 1
-        ).collect()
+        head = reps.limit(_CC_MAX_DISTINCT_SETS + 1).collect()
         if len(head) <= _CC_MAX_DISTINCT_SETS:
             frac = Fraction(JACCARD_THRESHOLD).limit_denominator(10_000)
             tp, tq = frac.numerator, frac.denominator
             labels = _cluster_masks_driver(
                 [(r["m"], r["rep"]) for r in head], tp, tq
             )
+            # keyed by MASK, not rep: the map-back join then needs no
+            # per-mask doc list — one broadcast lookup per doc row.
+            # (_cluster_masks_driver output is index-aligned with its
+            # input, so zip recovers each mask's component.)
             lab_df = spark.createDataFrame(
-                labels, "rep bigint, component_id bigint"
+                [(r["m"], comp) for r, (_rep, comp) in zip(head, labels)],
+                "m bigint, component_id bigint",
             )
             return (
-                groups.join(F.broadcast(lab_df), "rep")
-                .select(F.explode("ids").alias("doc_id"), "component_id")
+                toks_df.select("doc_id", mask.alias("m"))
+                .join(F.broadcast(lab_df), "m")
+                .select("doc_id", "component_id")
             )
     # general case: doc-level prefix-filtered pair join + hash-min CC
     # (session-memoized — shared with pagerank/transitivity consumers)
