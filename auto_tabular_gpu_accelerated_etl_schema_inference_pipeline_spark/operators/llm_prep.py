@@ -597,12 +597,16 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest: every doc deterministically assigned to
     one of 8 shards by md5(doc_id) (partition-layout-invariant — the
     same doc lands in the same shard on any cluster), with per-shard
-    row/token/char totals AND a content fingerprint = md5 of the
-    comma-joined SORTED doc-id list. The manifest is what makes a
-    training run reproducible and auditable: re-run the query, compare
-    fingerprints, know nothing moved. Shuffle keys are the shard id
-    (8 groups); the fingerprint sorts ids inside the aggregated array,
-    never globally."""
+    row/token/char totals AND a content fingerprint = the SUM of each
+    doc id's folded md5 (first 15 hex digits mod 2^31-1). The manifest
+    is what makes a training run reproducible and auditable: re-run the
+    query, compare fingerprints, know nothing moved. The multiset-sum
+    form is the scale-correct fingerprint: it is order-independent by
+    algebra (commutative sum), partial-aggregatable map-side, and holds
+    O(1) state per shard — the previous md5-of-sorted-id-list form
+    collected EVERY doc id in the shard into one aggregation-buffer
+    array (corpus/8 ids in a single row at 100 TB). Shuffle keys are
+    the shard id (8 groups)."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     shard = F.expr(
@@ -620,8 +624,11 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.md5(
-            F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+        F.sum(
+            F.expr(
+                "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+                " 1, 15), 16, 10) AS BIGINT), 2147483647)"
+            )
         ).alias("content_fingerprint"),
     )
 
@@ -639,7 +646,8 @@ WITH per_doc AS (
 SELECT shard_id, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  md5(array_to_string(list_sort(list(doc_id)), ',')) AS content_fingerprint
+  CAST(sum((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+    % 2147483647) AS BIGINT) AS content_fingerprint
 FROM per_doc GROUP BY 1
 """
 

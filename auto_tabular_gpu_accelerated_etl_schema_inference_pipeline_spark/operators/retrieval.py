@@ -30,7 +30,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure_for_oracle, load_table
@@ -53,11 +53,25 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id", F.explode(_tokens()).alias("token")
     )
-    pairs = occ.distinct()
+    # rank BEFORE collect: slice(array_sort(collect_list(...)), 1, cap)
+    # materializes the token's FULL posting list in one row first — a
+    # stopword token at corpus scale is billions of doc ids in a single
+    # aggregation buffer. row_number over the same (token, doc_id)
+    # ordering bounds the collected array at POSTING_CAP; the groupBy
+    # count still sees every row for the exact doc_freq.
+    pairs = occ.distinct().withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("token").orderBy("doc_id")),
+    )
     postings = pairs.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP), ","
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id"))
+                )
+            ),
+            ",",
         ).alias("posting_sample"),
     )
     totals = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -689,7 +689,11 @@ def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     == the window's total order, so the path string is deterministic.
     Shuffles: one on user_id (windows), one on the session groupBy, one
     tiny top-k. Paths are capped at the first 8 events so a pathological
-    session can't blow up the row."""
+    session can't blow up the row — and the cap is applied BEFORE the
+    collect (row_number within the session, reusing the user window's
+    sort since session_idx is monotone in it), so a bot session's
+    million events never materialize as one aggregation-buffer array;
+    slice-after-collect would bound only the output, not the buffer."""
     ev = _ev(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -708,20 +712,24 @@ def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_user.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    paths = with_gap.groupBy("user_id", "session_idx").agg(
+    head8 = with_gap.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_idx").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        ),
+    ).filter(F.col("rn") <= 8)
+    paths = head8.groupBy("user_id", "session_idx").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("ts", "event_id", "event_type")
-                        )
-                    ),
-                    lambda s: s.event_type,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
                 ),
-                1,
-                8,
+                lambda s: s.event_type,
             ),
         ).alias("path")
     )
