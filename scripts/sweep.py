@@ -7,7 +7,9 @@ same normalize-and-compare the test suite uses.
 
 Usage:
     python scripts/sweep.py                 # the 50-slot priority prefix
-    python scripts/sweep.py --all           # every oracle-backed query
+    python scripts/sweep.py --all           # every oracle-backed query,
+                                            # then smoke the rows-only
+                                            # tail (execute + count)
     python scripts/sweep.py name1 name2 ... # specific queries
 """
 
@@ -31,8 +33,14 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 def main(argv: list[str]) -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    smoke: list[str] = []
     if argv and argv[0] == "--all":
         names = [n for n in queries if n in oracles]
+        # rows-only queries (approx sketches, list columns the compare
+        # can't canonicalize) have no oracle to diff against, but they
+        # must still RUN under the hostile session — smoke them
+        # (execute + row count) so --all covers the whole registry
+        smoke = [n for n in queries if n not in oracles]
     elif argv:
         names = argv
     else:
@@ -65,6 +73,19 @@ def main(argv: list[str]) -> int:
         finally:
             con.close()
     print(f"\n{len(names)-len(failed)}/{len(names)} green in {time.time()-t0:.0f}s")
+    for i, name in enumerate(smoke, 1):
+        t1 = time.time()
+        try:
+            n_rows = queries[name](spark, SF).count()
+            print(
+                f"[smoke {i}/{len(smoke)}] PASS {name} "
+                f"({n_rows} rows, {time.time()-t1:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"[smoke {i}/{len(smoke)}] FAIL {name}: {exc}", flush=True)
+            traceback.print_exc()
     if failed:
         print("FAILED:", failed)
     return 1 if failed else 0
