@@ -563,14 +563,22 @@ def main() -> None:
     # The driver captures only a 2000-char tail of stdout, which drops
     # ref_total/flagship numbers off the round artifact (VERDICT r3
     # item 5) — persist the full result in-repo so each round's headline
-    # numbers are self-contained.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"bench: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+    # numbers are self-contained. Only at the DEFAULT sf0.1: a smoke run
+    # at another SF must not clobber the committed sf0.1 disclosure
+    # (r8 incident: an sf0.001 smoke overwrote it and a broad `git add`
+    # committed the wrong numbers).
+    if "sf0.1" in SF_DIR:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_LOCAL.json"), "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"bench: BENCH_LOCAL.json write failed: {exc}",
+                  file=sys.stderr)
+    else:
+        print(f"bench: non-default SF {SF_DIR}; BENCH_LOCAL.json not written",
+              file=sys.stderr)
     print(json.dumps(result))
 
 
