@@ -230,8 +230,10 @@ def q_orders_market_basket_guarded(
     """The r8 scale twin of orders_market_basket (same oracle, same
     rows): size-routed pair generation that block-decomposes any order
     over BASKET_BLOCK_THRESHOLD distinct items so a single mega-order
-    cannot concentrate d^2/2 pair emission in one task. Probed under a
-    pathological 5 k-item order in PROBE_MARKET_BASKET_r08.json."""
+    cannot concentrate d^2/2 pair emission in one task. Probed under
+    pathological 10 k / 30 k-item orders in
+    PROBE_MARKET_BASKET_r08.json: stream twin 9.17x, full query 6.36x,
+    polite-data overhead 0.99x."""
     configure_for_oracle(spark)
     return basket_support_guarded_form(_basket_items(spark, sf_dir))
 
