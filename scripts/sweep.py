@@ -49,14 +49,21 @@ def main(argv: list[str]) -> int:
         # the registry's first 50 slots
         names = [n for n in queries if n in oracles][:50]
 
+    # session hostility is parameterized so the same sweep can run under
+    # SEVERAL adversarial variants (half-hour-offset timezones, ANSI
+    # off) — a query whose greenness depends on one particular hostile
+    # conf is still a bug
+    tz = os.environ.get("SWEEP_TZ", "America/New_York")
+    ansi = os.environ.get("SWEEP_ANSI", "true")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.ansi.enabled", ansi)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
+    print(f"session: tz={tz} ansi={ansi} sf={SF}", flush=True)
     failed = []
     t0 = time.time()
     for i, name in enumerate(names, 1):
