@@ -642,7 +642,18 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines avoid row-level O(n^2); a row-level variant of this query
     measured 42 s at sf0.1 for a quadratically-exploding pair table.
     levenshtein() is the textbook DP in both engines -> exact integer
-    oracle."""
+    oracle.
+
+    Mega-block exposure: a hot head noun at catalog scale concentrates
+    b^2 comparisons in one sort-merge group — the same single-emitter
+    shape PROBE_MARKET_BASKET_r08 measured for basket mega-orders. The
+    size-routed block decomposition built for that twin is generic over
+    any (key, value) relation, so the scale remedy here is
+    analytics.basket_pair_stream_guarded over (block, p_name) —
+    pair-for-pair parity with this join's stream is pinned in
+    tests/test_properties.py. Not routed by default: the TPC-H name
+    vocabulary (~100 names over ~92 color blocks) never approaches the
+    threshold."""
     configure_for_oracle(spark)
     parts = load_table(spark, sf_dir, "part")
     names = (

@@ -362,3 +362,38 @@ def test_basket_guarded_equals_direct_with_mega_order(spark):
         ).select(*direct.columns)
         assert direct.exceptAll(guarded).count() == 0, n_blocks
         assert guarded.exceptAll(direct).count() == 0, n_blocks
+
+
+def test_fuzzy_block_join_can_route_through_guarded_pairs(spark):
+    """The size-routed pair generator is generic over any (key, value)
+    relation — the fuzzy name join's per-block quadratic comparison has
+    the same mega-group exposure as the basket's mega-order (a hot head
+    noun concentrates b^2 levenshtein pairs in one task at catalog
+    scale). Pin that basket_pair_stream_guarded over (block, name)
+    enumerates EXACTLY the pairs the production equi-join form builds,
+    on a corpus with one pathological block forced down the block
+    path."""
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.analytics import (
+        basket_pair_stream_guarded,
+    )
+
+    names = spark.range(300).select(
+        F.when(F.col("id") < 260, F.lit("tomato"))
+        .otherwise(F.concat(F.lit("b"), (F.col("id") % 5).cast("string")))
+        .alias("block"),
+        F.concat(F.lit("name_"), F.col("id").cast("string")).alias("p_name"),
+    ).distinct()
+    a = names.select(F.col("p_name").alias("a_name"), "block")
+    b = names.select(F.col("p_name").alias("b_name"), "block")
+    direct = (
+        a.join(b, "block")
+        .filter(F.col("a_name") < F.col("b_name"))
+        .select(F.col("a_name").alias("p1"), F.col("b_name").alias("p2"))
+    )
+    guarded = basket_pair_stream_guarded(
+        names.select("block", "p_name"), threshold=20, n_blocks=8
+    )
+    assert direct.exceptAll(guarded).count() == 0
+    assert guarded.exceptAll(direct).count() == 0
