@@ -536,7 +536,12 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id and is quadratic only per cluster — with a real KMeans
     fit (pyspark.ml, ~100k centroids at web scale) expected cluster
     size stays bounded, which is the whole point of SemDeDup vs
-    all-pairs cosine (q_similarity_cosine_dedup's blocked subset)."""
+    all-pairs cosine (q_similarity_cosine_dedup's blocked subset). If a
+    degenerate fit ever yields a mega-cluster, the single-task pair
+    emission has the same shape PROBE_MARKET_BASKET_r08 measured, and
+    the same generic remedy applies: route (cluster_id, vec_id) through
+    analytics.basket_pair_stream_guarded and join vectors back by id
+    (parity of that generator pinned in tests/test_properties.py)."""
     emb = _emb(spark, sf_dir)
     vm = F.transform(
         "embedding",
