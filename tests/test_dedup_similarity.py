@@ -296,3 +296,31 @@ def test_cc_escalation_handles_string_ids(spark):
         for r in connected_components(verts, edges, max_iter=3).collect()
     }
     assert got == {n: "n000" for n in names}
+
+
+def test_star_cc_hub_bridge_topology(spark):
+    """Two 400-leaf hubs joined by one bridge edge — the high-degree
+    shape (a boilerplate template with hundreds of near-identical
+    variants) where large-star's groupBy-min per hub does the heavy
+    lifting. One component, min id 0; plus an untouched third hub."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    h1 = [(0, i) for i in range(2, 402)]          # hub 0
+    h2 = [(1, i) for i in range(402, 802)]        # hub 1
+    bridge = [(401, 402)]                          # leaf-to-leaf bridge
+    h3 = [(1000, i) for i in range(1001, 1101)]   # separate hub 1000
+    edges = spark.createDataFrame(
+        h1 + h2 + bridge + h3, "src bigint, dst bigint"
+    )
+    verts = edges.selectExpr("src AS id").union(
+        edges.selectExpr("dst AS id")
+    ).distinct()
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(verts, edges).collect()
+    }
+    big = {i for i in range(0, 802)}
+    assert all(got[i] == 0 for i in big if i in got)
+    assert all(got[i] == 1000 for i in [1000] + list(range(1001, 1101)))
