@@ -56,27 +56,48 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank BEFORE collect: slice(array_sort(collect_list(...)), 1, cap)
     # materializes the token's FULL posting list in one row first — a
     # stopword token at corpus scale is billions of doc ids in a single
-    # aggregation buffer. row_number over the same (token, doc_id)
-    # ordering bounds the collected array at POSTING_CAP; the groupBy
-    # count still sees every row for the exact doc_freq.
-    pairs = occ.distinct().withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("token").orderBy("doc_id")),
-    )
-    postings = pairs.groupBy("token").agg(
-        F.count(F.lit(1)).alias("doc_freq"),
-        F.array_join(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id"))
-                )
+    # aggregation buffer. And a single row_number over
+    # Window.partitionBy("token") would still route that stopword's
+    # entire distinct posting stream through ONE task's window sort
+    # before the cap applies (spillable, but a straggler — ADVICE r8).
+    # Two-stage cap instead: stage 1 ranks within
+    # (token, pmod(xxhash64(doc_id), B)) — B tasks share the hot token,
+    # each sorting ~1/B of its postings — and keeps each bucket's
+    # smallest POSTING_CAP doc_ids. The global smallest POSTING_CAP are
+    # all contained in that union (each survives its own bucket's cut),
+    # so stage 2's per-token row_number sees ≤ B·POSTING_CAP rows and
+    # selects the identical deterministic prefix.
+    pairs = occ.distinct()
+    n_buckets = 32
+    pre = pairs.withColumn(
+        "rn_b",
+        F.row_number().over(
+            Window.partitionBy(
+                "token", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+            ).orderBy("doc_id")
+        ),
+    ).filter(F.col("rn_b") <= POSTING_CAP)
+    capped = (
+        pre.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("token").orderBy("doc_id")
             ),
-            ",",
-        ).alias("posting_sample"),
+        )
+        .filter(F.col("rn") <= POSTING_CAP)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "posting_sample"
+            )
+        )
     )
+    doc_freq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     totals = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    return postings.join(totals, "token").select(
-        "token", "doc_freq", "n_occurrences", "posting_sample"
+    return (
+        doc_freq.join(capped, "token")
+        .join(totals, "token")
+        .select("token", "doc_freq", "n_occurrences", "posting_sample")
     )
 
 

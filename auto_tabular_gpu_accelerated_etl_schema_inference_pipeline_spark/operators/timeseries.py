@@ -712,11 +712,17 @@ def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_user.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # event_type is the final tiebreak so the kept first-8 set is
+    # deterministic even if (ts, event_id) were ever non-unique —
+    # matching the struct(ts, event_id, event_type) ordering the
+    # pre-cap array_sort used (ADVICE r8).
     head8 = with_gap.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("user_id", "session_idx").orderBy(
-                F.col("ts").asc(), F.col("event_id").asc()
+                F.col("ts").asc(),
+                F.col("event_id").asc(),
+                F.col("event_type").asc(),
             )
         ),
     ).filter(F.col("rn") <= 8)

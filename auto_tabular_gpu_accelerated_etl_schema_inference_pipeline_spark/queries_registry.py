@@ -69,11 +69,29 @@ _MODULES = [
 ]
 
 # Queries already green in an external correctness round (CORRECTNESS_r01
-# through CORRECTNESS_r07). A prefix-sampling gate should
+# through CORRECTNESS_r08). A prefix-sampling gate should
 # spend its slots on queries NOT in this set first; once a round
-# verifies more, extend it.
+# verifies more, extend it. As of the r9 fold this is 336 = every
+# oracle-backed query in the registry, verified at least once; the
+# window below is now a pure drift-re-sampling rotation.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r8 greens (CORRECTNESS_r08.json, 50/50; 33 first-time) ---
+        "agg_listagg", "agg_salted_sum", "blocklist_screen",
+        "bpe_fertility_by_source", "curriculum_stages",
+        "dedup_components_star", "dp_noisy_counts_by_source",
+        "embedding_dim_profile", "embedding_quality_score",
+        "encoding_funcs", "footer_stats_lineitem", "group_sample_fixed_n",
+        "incremental_user_totals", "length_bucket_batches",
+        "mad_outlier_flags", "matryoshka_dim_quality",
+        "multimodal_frame_dedup", "multimodal_resize",
+        "orders_market_basket_guarded", "rare_level_collapse",
+        "revenue_share_by_nation", "skyline_parts",
+        "supplier_hhi_by_nation", "t_closeness_audit", "text_kwic",
+        "text_top_ngram_cover", "top_p_source_selection",
+        "triplet_margin_violations", "truncation_loss_report",
+        "udtf_trigram_positions", "url_funcs", "user_behavior_entropy",
+        "weekly_top_parts",
         # --- r7 greens (CORRECTNESS_r07.json, 50/50) ---
         "agg_bitmap_distinct", "ann_hubness_report",
         "asof_join_directions_union", "asof_join_pandas",
@@ -220,46 +238,42 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # The two round-8 additions — newest code, least external
-    # evidence (the r5-r7 precedent: prove new registry entries
-    # first). Scale twins sharing r7-green oracles: the block-routed
-    # basket pair generator, and the diameter-independent star-CC
-    # clustering over the general pair-graph path.
-    "orders_market_basket_guarded",
-    "dedup_components_star",
-    # The r8 CLOSING window (31 queries, laid out in r7's rotation):
-    # after these, every oracle-backed query has been driver-sampled
-    # at least once — 334/334.
-    "embedding_dim_profile", "matryoshka_dim_quality",
-    "triplet_margin_violations",
-    "text_kwic", "text_top_ngram_cover",
-    "bpe_fertility_by_source",
-    "mad_outlier_flags", "revenue_share_by_nation", "skyline_parts",
-    "supplier_hhi_by_nation", "user_behavior_entropy",
-    "weekly_top_parts",
-    "multimodal_frame_dedup", "multimodal_resize",
-    "rare_level_collapse",
-    "dp_noisy_counts_by_source", "footer_stats_lineitem",
-    "t_closeness_audit",
-    "group_sample_fixed_n", "length_bucket_batches",
-    "top_p_source_selection",
-    "agg_salted_sum", "blocklist_screen", "embedding_quality_score",
-    "curriculum_stages", "truncation_loss_report",
-    "incremental_user_totals",
-    "udtf_trigram_positions",
-    "agg_listagg", "encoding_funcs", "url_funcs",
-    # Drift re-samples (17 slots, filling the 50-slot prefix exactly;
-    # global_topn yielded its slot to the second r8 addition — it
-    # stays driver-verified and rotates back in r9):
-    # the OLDEST greens — the r1 relational/TPC-H core, last externally
-    # verified six rounds of commits ago — re-checked under the current
-    # driver session (the VERDICT r7 item 7 plan, started early since
-    # the closing window leaves the slots free).
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "string_funcs", "date_funcs", "math_funcs", "array_funcs",
-    "map_funcs", "null_funcs",
-    "set_ops", "grouping_sets", "agg_rollup", "agg_cube",
-    "window_funcs_suite", "pivot_orders", "join_semi_anti",
+    # r9 drift rotation (VERDICT r8 item 1): coverage closed at 336/336
+    # in r8, so every slot is a drift re-sample. Composition follows the
+    # judge's directive — the stalest greens first (the r1 TPC-H
+    # remainder and the r2 relational core not re-checked since their
+    # first green), then the r2/r3 north-star cores (dedup / similarity
+    # / graph / streaming / bpe / multimodal / schema-infer), all under
+    # the driver's hostile session. scripts/rotate_window.py recomputes
+    # the staleness table each round.
+    # --- r1 TPC-H remainder, last green r1 (11) ---
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q13_custdist",
+    "tpch_q14_promo_revenue", "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    # --- stalest r2 relational core (12) ---
+    "agg_correlation", "agg_grouped_quantiles", "agg_stats",
+    "collect_agg", "exists_subquery", "filter_project_pushdown",
+    "global_topn", "json_extract_events",
+    "quantile_bin_exact_boundaries", "quantile_bin_lineitem",
+    "stat_crosstab", "top_k_per_group",
+    # --- r2/r3/r4 north-star cores (27): dedup, similarity, graph,
+    # streaming, text-LM, multimodal, schema-infer, time-series ---
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_components",
+    "dedup_incremental_vs_history", "chunk_dedup", "decontaminate",
+    "doc_fingerprint", "fuzzy_join_parts",
+    "similarity_topk_cosine", "similarity_cosine_dedup",
+    "semdedup_embedding",
+    "graph_pagerank", "graph_triangle_count",
+    "bpe_encode_docs", "unigram_lm_score",
+    "text_lang_id", "text_quality_score",
+    "multimodal_featurize", "schema_infer", "auto_tokenize_lineitem",
+    "events_hypertable_rollup", "events_sessionize",
+    "asof_join_events_orders",
+    "streaming_sliding_window", "streaming_session_window",
+    "streaming_dedup_keys", "streaming_stateful_user_totals",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]

@@ -567,7 +567,7 @@ def main() -> None:
     # at another SF must not clobber the committed sf0.1 disclosure
     # (r8 incident: an sf0.001 smoke overwrote it and a broad `git add`
     # committed the wrong numbers).
-    if "sf0.1" in SF_DIR:
+    if os.path.basename(os.path.normpath(SF_DIR)) == "sf0.1":
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_LOCAL.json"), "w") as fh:

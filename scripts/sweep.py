@@ -79,7 +79,7 @@ def main(argv: list[str]) -> int:
             traceback.print_exc()
         finally:
             con.close()
-    print(f"\n{len(names)-len(failed)}/{len(names)} green in {time.time()-t0:.0f}s")
+    oracle_green = len(names) - len(failed)
     for i, name in enumerate(smoke, 1):
         t1 = time.time()
         try:
@@ -93,6 +93,13 @@ def main(argv: list[str]) -> int:
             failed.append(name)
             print(f"[smoke {i}/{len(smoke)}] FAIL {name}: {exc}", flush=True)
             traceback.print_exc()
+    # Summary AFTER the smoke loop (ADVICE r8): printing it before let a
+    # smoke-tail failure appear below a line that already claimed green.
+    smoke_green = len(names) + len(smoke) - len(failed) - oracle_green
+    print(
+        f"\n{oracle_green}/{len(names)} oracle green, "
+        f"{smoke_green}/{len(smoke)} smoke green in {time.time()-t0:.0f}s"
+    )
     if failed:
         print("FAILED:", failed)
     return 1 if failed else 0
