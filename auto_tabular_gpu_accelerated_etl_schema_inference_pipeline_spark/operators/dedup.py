@@ -209,7 +209,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         tb = F.broadcast(
             toks_df.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("toks_b"))
         )
-        verified = cand.join(ta, "a_id").join(tb, "b_id")
+        # Parallelism pin (PROBE_TOP5_LINEARITY_r09): the candidate
+        # relation's BYTES are tiny (ids + prefix token), so AQE's
+        # byte-based coalescing hands the whole verify fan-out — two
+        # broadcast probes + array_intersect per candidate, the most
+        # CPU-expensive rows in the plan — to a handful of tasks
+        # (measured: 7 tasks, 345 s for a 50k-doc corpus; bytes are the
+        # wrong proxy for verify CPU). Since breaking the stage costs an
+        # exchange anyway, spend it twice over the NARROW id pairs:
+        # dedup the multi-prefix candidate collisions first (map-side
+        # partial agg, so the shuffle carries unique pairs), then a
+        # fixed-width repartition (exempt from AQE coalescing) so
+        # verification runs at full cluster width. The mask branch
+        # stays exchange-free — its verify is inline bit ops.
+        par = spark.sparkContext.defaultParallelism
+        verified = (
+            cand.select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+            .repartition(par, "a_id", "b_id")
+            .join(ta, "a_id")
+            .join(tb, "b_id")
+        )
     # A pair can collide on up to prefix-length (~2 at t=0.95) shared
     # tokens, so candidates carry duplicates. Deduplicating BEFORE
     # verification would shuffle the widest relation in the plan;

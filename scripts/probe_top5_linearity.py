@@ -1,0 +1,228 @@
+"""Scale-linearity probe for the TOP-5 most expensive registry entries
+(VERDICT r8 item 6) — the lanes whose 100x behavior was least evidenced:
+the session-memo payers (training_data_prep, dedup_minhash_portable),
+the recursion-bounded lanes (events_holt_linear,
+recursive_cte_order_chain), the transpose collect bound
+(transpose_flag_profile), and the general pair-graph CC twin
+(dedup_components_star).
+
+Extends the r5 flagship linearity probe (SURVEY: 600k -> 60M rows,
+~9-10M rows/s/node) from the flagship map/agg/join shapes to whole
+registry queries: each target's input tables are replicated 10x and
+100x from sf0.1 into a temp dir and the UNCHANGED registry callable is
+timed against each scale.
+
+Replication preserves each query's workload SHAPE, so the ratio is
+meaningful at 100 TB:
+
+- documents: every token gets a replica-unique prefix (a bijection on
+  the token vocabulary per replica), so within-replica dup/similarity
+  structure is EXACTLY the base corpus's and cross-replica Jaccard is 0
+  — corpus grows, dup-rate and cluster-size distribution stay constant
+  (the honest 100 TB shape; a naive copy would make every doc a
+  100-member near-dup cluster and measure a workload that cannot occur
+  after the first dedup pass). doc_id is remapped replica-unique.
+- events: user_id remapped per replica — 100x the SERIES with the same
+  per-series history (holt's daily spine stays bounded; the day-count
+  aggregate is what must scale).
+- orders: o_custkey remapped per replica — 100x the chains at constant
+  chain length (the recursion DEPTH the 18-level bound covers must not
+  grow with volume).
+- lineitem: l_orderkey remapped; l_partkey kept (part catalogs don't
+  scale with order volume), so countDistinct(part) stays fixed while
+  row volume scales.
+
+Contract (self-asserted, probe_skew discipline): per-replica cost at
+100x <= FLATNESS_BOUND x per-replica cost at 10x for every target —
+sub-quadratic growth with n log n + fixed-overhead slack. Violation
+exits 1.
+
+The probe's first run (pre-fix) caught a real scale defect: on any
+corpus whose vocabulary exceeds the 62-bit mask (i.e. every real
+corpus), dedup_ngram_jaccard's general verify branch inherited AQE's
+byte-coalesced partitioning — the candidate relation is bytes-tiny
+(ids + prefix token) but fans out into the plan's most CPU-expensive
+rows (two broadcast probes + array_intersect each), so a 50k-doc build
+ran 345 s on 7 tasks. Fixed in operators/dedup.py (candidate dedup +
+fixed-width repartition ahead of the verify joins): 43 s at 32
+partitions, identical 1,909,250 pairs. The committed artifact is the
+post-fix run; the pre-fix numbers live in this docstring and SURVEY §9.
+
+Usage: python scripts/probe_top5_linearity.py PROBE_TOP5_LINEARITY_r09.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = (10, 100)
+FLATNESS_BOUND = 2.0
+
+#: query -> the tables its lane reads (only these are replicated)
+TARGETS = {
+    "training_data_prep": ["documents"],
+    "dedup_minhash_portable": ["documents"],
+    "dedup_components_star": ["documents"],
+    "events_holt_linear": ["events"],
+    "recursive_cte_order_chain": ["orders"],
+    "transpose_flag_profile": ["lineitem"],
+}
+
+#: keep ALL base tables visible at every scale dir (symlink the ones a
+#: target doesn't scale) so load_table never misses a fixture.
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _rep(base: DataFrame, reps: int) -> DataFrame:
+    # one narrow map stage, fanned to 32 mappers first (probe_skew
+    # lesson: a single row-group fixture is one map task otherwise)
+    return base.repartition(32).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    )
+
+
+def replicate(spark: SparkSession, table: str, reps: int, out: str) -> int:
+    base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+    r = _rep(base, reps)
+    key = (F.col("rep").cast("bigint") * 1_000_000_000_000).alias("_off")
+    if table == "documents":
+        df = r.select(
+            (F.col("doc_id") + key).alias("doc_id"),
+            # replica-unique token prefix: ' ' -> ' p{rep}_' after
+            # anchoring a leading space, then strip it — a bijection on
+            # tokens per replica, so cross-replica token sets are
+            # disjoint while within-replica similarity is unchanged
+            F.expr(
+                "substring(regexp_replace(' ' || text, ' ', "
+                "' p' || cast(rep as string) || '_'), 2)"
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        df = df.withColumn("n_chars", F.length("text"))
+    elif table == "events":
+        df = r.select(
+            (F.col("event_id") + key).alias("event_id"),
+            "ts",
+            (F.col("user_id") + key).alias("user_id"),
+            "event_type", "value", "props",
+        )
+    elif table == "orders":
+        df = r.select(
+            (F.col("o_orderkey") + key).alias("o_orderkey"),
+            (F.col("o_custkey") + key).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+    elif table == "lineitem":
+        df = r.select(
+            (F.col("l_orderkey") + key).alias("l_orderkey"),
+            *[c for c in base.columns if c != "l_orderkey"],
+        ).drop("rep")
+    else:
+        raise ValueError(table)
+    df = df.drop("rep") if "rep" in df.columns else df
+    path = os.path.join(out, f"{table}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def main() -> int:
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+        get_spark,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="probe_top5_linearity")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    out: dict = {"sf": SF_DIR, "reps": list(REPS),
+                 "flatness_bound": FLATNESS_BOUND}
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr("max(xxhash64(id))").collect()
+    out["calib_cpu_parallel"] = round(time.perf_counter() - t0, 4)
+
+    scaled_tables = sorted({t for ts in TARGETS.values() for t in ts})
+    root = tempfile.mkdtemp(prefix="probe_lin_")
+    dirs: dict[int, str] = {}
+    build: dict[str, dict] = {}
+    try:
+        for reps in REPS:
+            d = os.path.join(root, f"x{reps}")
+            os.makedirs(d, exist_ok=True)
+            for t in ALL_TABLES:
+                if t in scaled_tables:
+                    tb = time.perf_counter()
+                    n = replicate(spark, t, reps, d)
+                    build.setdefault(t, {})[f"x{reps}"] = {
+                        "rows": n,
+                        "build_s": round(time.perf_counter() - tb, 2),
+                    }
+                else:
+                    os.symlink(
+                        os.path.join(SF_DIR, f"{t}.parquet"),
+                        os.path.join(d, f"{t}.parquet"),
+                    )
+            dirs[reps] = d
+        out["build"] = build
+
+        queries = entrymod.queries()
+        results: dict[str, dict] = {}
+        violations: list[str] = []
+        for name in TARGETS:
+            rec: dict = {}
+            # 1x reference from the unmodified fixture dir
+            t1 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            rec["t_x1"] = round(time.perf_counter() - t1, 3)
+            for reps in REPS:
+                t1 = time.perf_counter()
+                queries[name](spark, dirs[reps]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rec[f"t_x{reps}"] = round(time.perf_counter() - t1, 3)
+            per10 = rec["t_x10"] / 10.0
+            per100 = rec["t_x100"] / 100.0
+            rec["per_replica_x10"] = round(per10, 4)
+            rec["per_replica_x100"] = round(per100, 4)
+            rec["flatness_x100_vs_x10"] = round(per100 / per10, 3)
+            rec["flat"] = per100 <= FLATNESS_BOUND * per10
+            if not rec["flat"]:
+                violations.append(name)
+            results[name] = rec
+            print(f"# {name}: {rec}", file=sys.stderr, flush=True)
+        out["queries"] = results
+        out["violations"] = violations
+        out["pass"] = not violations
+        # write the artifact directly: JVM gc,alloc warnings share this
+        # process's stdout and can interleave with a printed JSON blob
+        dest = sys.argv[1] if len(sys.argv) > 1 else None
+        if dest:
+            with open(dest, "w") as fh:
+                json.dump(out, fh, indent=1)
+                fh.write("\n")
+        else:
+            print(json.dumps(out, indent=1))
+        return 1 if violations else 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

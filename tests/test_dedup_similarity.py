@@ -324,3 +324,35 @@ def test_star_cc_hub_bridge_topology(spark):
     big = {i for i in range(0, 802)}
     assert all(got[i] == 0 for i in big if i in got)
     assert all(got[i] == 1000 for i in [1000] + list(range(1001, 1101)))
+
+
+def test_ngram_jaccard_wide_vocab_general_branch(spark, tmp_path):
+    """The >62-token vocabulary forces the GENERAL verify branch (the
+    fixture corpus's 31-token vocab always takes the bitmask fast path,
+    so this branch — the one real corpora hit, and the one
+    PROBE_TOP5_LINEARITY_r09 found parallelism-starved — needs its own
+    exactness pin). Output must equal brute-force exact Jaccard."""
+    from itertools import combinations
+
+    vocab = [f"tok{i:03d}" for i in range(80)]  # > 62 -> general branch
+    docs, sets = [], {}
+    for i in range(10):
+        a = vocab[(7 * i) % 40 : (7 * i) % 40 + 40]
+        b = a[:-1]  # jaccard 39/40 = 0.975 >= 0.95
+        docs.append((2 * i, " ".join(a)))
+        docs.append((2 * i + 1, " ".join(b)))
+        sets[2 * i], sets[2 * i + 1] = set(a), set(b)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    want = {
+        (x, y)
+        for x, y in combinations(sorted(sets), 2)
+        if len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+        >= dedup.JACCARD_THRESHOLD
+    }
+    assert got == want and len(want) > 0

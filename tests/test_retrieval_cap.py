@@ -1,0 +1,51 @@
+"""Pin the inverted-index two-stage posting cap (ADVICE r8).
+
+A single row_number over Window.partitionBy(token) routes a stopword
+token's entire distinct posting stream through one task's window sort
+before the cap applies; the two-stage form (per hash-bucket pre-cap,
+then the per-token cap over <= buckets*CAP survivors) bounds every
+task's input. The refinement must be invisible in the output: the
+union of per-bucket smallest-CAP doc_ids always contains the global
+smallest CAP, so stage 2 selects the identical deterministic prefix.
+This test forces the hot-token shape the fixture corpus doesn't have
+(one token in EVERY doc, far more postings than buckets*CAP) and
+checks the output against the independently computed exact answer.
+"""
+
+import pytest
+
+from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.retrieval import (
+    POSTING_CAP,
+    q_inverted_index,
+)
+
+N_DOCS = 3000  # >> 32 buckets * POSTING_CAP survivors for the hot token
+
+
+@pytest.fixture(scope="module")
+def hot_corpus_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hot_corpus")
+    rows = [(i, f"hot uniq{i}") for i in range(N_DOCS)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_hot_token_cap_matches_exact_prefix(spark, hot_corpus_dir):
+    out = {
+        r["token"]: r
+        for r in q_inverted_index(spark, hot_corpus_dir).collect()
+    }
+    hot = out["hot"]
+    assert hot["doc_freq"] == N_DOCS
+    assert hot["n_occurrences"] == N_DOCS
+    # global smallest POSTING_CAP doc_ids, sorted — regardless of which
+    # hash buckets they landed in
+    assert hot["posting_sample"] == ",".join(
+        str(i) for i in range(POSTING_CAP)
+    )
+    # singleton tokens pass through both stages untouched
+    assert out["uniq7"]["doc_freq"] == 1
+    assert out["uniq7"]["posting_sample"] == "7"
+    assert len(out) == N_DOCS + 1
