@@ -32,10 +32,18 @@ meaningful at 100 TB:
   scale with order volume), so countDistinct(part) stays fixed while
   row volume scales.
 
-Contract (self-asserted, probe_skew discipline): per-replica cost at
-100x <= FLATNESS_BOUND x per-replica cost at 10x for every target —
-sub-quadratic growth with n log n + fixed-overhead slack. Violation
-exits 1.
+Contracts (self-asserted, probe_skew discipline), BOTH must hold:
+1. per-replica cost at 100x <= FLATNESS_BOUND x per-replica cost at
+   10x — sub-quadratic growth with n log n slack;
+2. t_x10 <= FLATNESS_BOUND * 10 * t_x1 — the 1x->10x ramp. Contract 1
+   alone is blind to a blowup that happens BETWEEN 1x and 10x: the
+   probe's first run measured dedup_components_star at 6.2 s -> 338 s
+   -> 610 s, which PASSES x100-vs-x10 flatness (0.18, the starved
+   stage got more partitions at 100x) while hiding a 54x cost for 10x
+   data. Contract 2 would have tripped (338 > 2*10*6.2 = 124).
+Violation of either exits 1. t_x1 includes fixed overhead, so
+contract 2 is generous by construction — it exists to catch
+order-of-magnitude cliffs, not 20% drift.
 
 The probe's first run (pre-fix) caught a real scale defect: on any
 corpus whose vocabulary exceeds the 62-bit mask (i.e. every real
@@ -202,7 +210,11 @@ def main() -> int:
             rec["per_replica_x10"] = round(per10, 4)
             rec["per_replica_x100"] = round(per100, 4)
             rec["flatness_x100_vs_x10"] = round(per100 / per10, 3)
-            rec["flat"] = per100 <= FLATNESS_BOUND * per10
+            rec["ramp_x10_vs_x1"] = round(rec["t_x10"] / rec["t_x1"], 3)
+            rec["flat"] = (
+                per100 <= FLATNESS_BOUND * per10
+                and rec["t_x10"] <= FLATNESS_BOUND * 10 * rec["t_x1"]
+            )
             if not rec["flat"]:
                 violations.append(name)
             results[name] = rec
