@@ -67,37 +67,32 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all contained in that union (each survives its own bucket's cut),
     # so stage 2's per-token row_number sees ≤ B·POSTING_CAP rows and
     # selects the identical deterministic prefix.
-    pairs = occ.distinct()
     n_buckets = 32
-    pre = pairs.withColumn(
-        "rn_b",
-        F.row_number().over(
-            Window.partitionBy(
-                "token", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
-            ).orderBy("doc_id")
-        ),
-    ).filter(F.col("rn_b") <= POSTING_CAP)
-    capped = (
-        pre.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("token").orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("rn") <= POSTING_CAP)
-        .groupBy("token")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
-                "posting_sample"
-            )
-        )
+    w_bucket = Window.partitionBy(
+        "token", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
     )
-    doc_freq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    pre = (
+        occ.distinct()
+        .withColumn("rn_b", F.row_number().over(w_bucket.orderBy("doc_id")))
+        .withColumn("cnt_b", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("rn_b") <= POSTING_CAP)
+    )
+    # one aggregate finishes both outputs from the ≤ B·CAP survivors:
+    # doc_freq = Σ per-bucket counts (each bucket's rn_b==1 row carries
+    # its bucket's full count and always survives the cut), and the
+    # posting sample = the CAP smallest of the ≤ B·CAP survivors — the
+    # collect_list buffer is bounded by construction, no second window
+    # pass needed.
+    postings = pre.groupBy("token").agg(
+        F.sum(F.when(F.col("rn_b") == 1, F.col("cnt_b"))).alias("doc_freq"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP),
+            ",",
+        ).alias("posting_sample"),
+    )
     totals = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    return (
-        doc_freq.join(capped, "token")
-        .join(totals, "token")
-        .select("token", "doc_freq", "n_occurrences", "posting_sample")
+    return postings.join(totals, "token").select(
+        "token", "doc_freq", "n_occurrences", "posting_sample"
     )
 
 
