@@ -67,6 +67,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all contained in that union (each survives its own bucket's cut),
     # so stage 2's per-token row_number sees ≤ B·POSTING_CAP rows and
     # selects the identical deterministic prefix.
+    # B bounds the per-task slice of a hot token's posting stream at
+    # ~1/B; 32 matches this fixture's parallelism. At 100 TB, size B so
+    # stream/B fits a task (B ~ max_token_df / target_task_rows) — the
+    # cap algebra is B-invariant (union of per-bucket minima ⊇ global
+    # minima for ANY B), so raising it is a config change, not a
+    # correctness change.
     n_buckets = 32
     w_bucket = Window.partitionBy(
         "token", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
