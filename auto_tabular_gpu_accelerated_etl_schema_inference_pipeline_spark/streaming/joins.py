@@ -28,13 +28,12 @@ from ..session import configure_for_oracle
 from .windows import _events_stream
 
 
-def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clicks joined to the same user's purchases that happen within
-    [click.ts, click.ts + 2 hours] — both sides streams, both
-    watermarked 1 hour. Output is ids + user (timestamps omitted: the
-    ns->us truncation is engine-side, ids are the stable identity)."""
-    configure_for_oracle(spark)
-    ev = _events_stream(spark, sf_dir)
+def click_purchase_joined(ev: DataFrame) -> DataFrame:
+    """The production join plan, factored so tests can drive it from
+    their own (multi-batch, time-advancing) stream: clicks ⋈ same-user
+    purchases within [click.ts, click.ts + 2 h], both sides watermarked
+    1 h. State-eviction bound pinned by
+    tests/test_streaming.py::test_stream_join_state_is_evicted."""
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -53,13 +52,22 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .withWatermark("p_ts", "1 hour")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
         "inner",
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to the same user's purchases that happen within
+    [click.ts, click.ts + 2 hours] — both sides streams, both
+    watermarked 1 hour. Output is ids + user (timestamps omitted: the
+    ns->us truncation is engine-side, ids are the stable identity)."""
+    configure_for_oracle(spark)
+    joined = click_purchase_joined(_events_stream(spark, sf_dir))
     name = "stream_click_purchase_out"
     q = (
         joined.writeStream.outputMode("append")

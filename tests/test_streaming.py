@@ -273,3 +273,68 @@ def test_session_memo_bounds_live_context_entries(spark, monkeypatch):
     # evicted cold key rebuilds (proof eviction actually dropped it)
     sess.session_memo(spark, "k1", "/x", make(1))
     assert builds["n"] == n_before + 1
+
+
+def test_stream_join_state_is_evicted(spark, tmp_path):
+    """Pin the interval join's state-eviction claim (streaming/joins.py
+    docstring): with both sides watermarked 1 h and a 2 h interval
+    condition, join state must stay O(rate x window) — a click older
+    than watermark - 2 h is dropped — NOT O(history). Drives the
+    PRODUCTION join plan over 24 hour-advancing micro-batches and reads
+    the state operator's numRowsTotal from the query progress: it must
+    plateau, not grow with batch count."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.joins import (
+        click_purchase_joined,
+    )
+
+    n_chunks, users = 24, 20
+    base = datetime.datetime(2024, 1, 1)
+    src = tmp_path / "chunks"
+    for k in range(n_chunks):  # chunk k = hour k: 20 clicks + 20 buys
+        rows = []
+        for u in range(users):
+            t = base + datetime.timedelta(hours=k, minutes=u)
+            rows.append((k * 1000 + u, t, u, "click"))
+            rows.append(
+                (k * 1000 + 500 + u, t + datetime.timedelta(minutes=30), u, "purchase")
+            )
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).coalesce(1).write.parquet(str(src / f"part_{k:02d}"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        click_purchase_joined(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_evict_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    q.stop()
+    n_out = spark.table("state_evict_probe").count()
+    assert n_out >= n_chunks * users  # every same-hour pair joins
+    assert len(totals) >= n_chunks - 1
+    total_ingested = n_chunks * users * 2
+    # eviction bound: watermark 1 h + interval 2 h + batch slack ->
+    # state holds a few hours of rows, never the full history
+    assert max(totals) <= total_ingested // 2, totals
+    # plateau: the second half of the drain must not keep growing
+    mid, last = totals[len(totals) // 2], totals[-1]
+    assert last <= 1.5 * mid, totals
