@@ -338,3 +338,66 @@ def test_stream_join_state_is_evicted(spark, tmp_path):
     # plateau: the second half of the drain must not keep growing
     mid, last = totals[len(totals) // 2], totals[-1]
     assert last <= 1.5 * mid, totals
+
+
+def test_stream_dedup_state_is_evicted(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's bounded-state claim
+    (streaming/windows.py docstring): a key's state is evicted once the
+    watermark passes its event time, so dedup state is bounded by the
+    KEYS SEEN WITHIN THE DELAY, not by all keys ever (the forever-keys
+    leak). Drives 24 hour-advancing chunks where every chunk introduces
+    20 NEW keys and repeats the previous chunk's 20 (the repeats must
+    dedup); state numRowsTotal must plateau near delay-window key
+    cardinality while the no-eviction shape would grow to 480+."""
+    import datetime
+
+    src = tmp_path / "chunks"
+    n_chunks, per_chunk = 24, 20
+    base = datetime.datetime(2024, 1, 1)
+    for k in range(n_chunks):
+        rows = []
+        t = base + datetime.timedelta(hours=k)
+        for u in range(per_chunk):
+            rows.append((k * 100 + u, t, k * 100 + u, "click"))
+            if k > 0:  # duplicate of a key first seen one hour ago
+                rows.append(((k - 1) * 100 + u, t, (k - 1) * 100 + u, "click"))
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).coalesce(1).write.parquet(str(src / f"part_{k:02d}"))
+    ev = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_evict_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    q.stop()
+    n_out = spark.table("dedup_evict_probe").count()
+    n_keys = n_chunks * per_chunk
+    # every key emits at least once; the 1-hour-later repeats (well
+    # inside the 2 h delay) must NOT re-emit
+    assert n_out == n_keys, n_out
+    # bounded state: keys within the delay window, never all keys ever
+    assert max(totals) <= n_keys // 2, totals
+    mid, last = totals[len(totals) // 2], totals[-1]
+    assert last <= 1.5 * mid, totals
