@@ -59,6 +59,26 @@ def main(argv: list[str]) -> int:
         print(f"new entries: {only_new}")
     for name, o, n, r in sorted(regressions, key=lambda t: -t[3]):
         print(f"  REGRESSED {r:.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
+    # Weather-normalized ADVISORY view (r9: three same-HEAD runs flagged
+    # 30/28/10 DIFFERENT entries on a host whose gauges drifted 10-44%):
+    # the median new/old ratio across all shared queries is a robust
+    # global host factor; a flag that survives dividing it out is a
+    # code-shaped regression worth solo adjudication, the rest are
+    # weather. Advisory only — the exit code stays on the raw flags.
+    if regressions:
+        ratios = sorted(new[n] / max(old[n], 1e-9) for n in shared)
+        w = ratios[len(ratios) // 2]
+        survive = [
+            (name, o, n, r / w)
+            for name, o, n, r in regressions
+            if r / w > threshold and (n - o * w) > ABS_FLOOR
+        ]
+        print(
+            f"weather factor (median ratio): {w:.2f}x | "
+            f"{len(survive)} flags survive normalization:"
+        )
+        for name, o, n, r in sorted(survive, key=lambda t: -t[3]):
+            print(f"  CODE-SHAPED {r:.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
     return 1 if regressions else 0
 
 
