@@ -77,7 +77,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = (10, 100)
 FLATNESS_BOUND = 2.0
 
-#: query -> the tables its lane reads (only these are replicated)
+#: query -> the tables its lane reads (only these are replicated).
+#: r9 second pass adds the two heaviest not-yet-probed shapes: the
+#: reference family's distributed-exact fit at 60M rows, and the as-of
+#: direction matrix (events.user_id and orders.o_custkey share the
+#: per-replica offset, so the join structure is replica-consistent).
 TARGETS = {
     "training_data_prep": ["documents"],
     "dedup_minhash_portable": ["documents"],
@@ -85,6 +89,8 @@ TARGETS = {
     "events_holt_linear": ["events"],
     "recursive_cte_order_chain": ["orders"],
     "transpose_flag_profile": ["lineitem"],
+    "quantile_bin_scalable": ["lineitem"],
+    "asof_join_directions": ["events", "orders"],
 }
 
 #: keep ALL base tables visible at every scale dir (symlink the ones a
@@ -219,6 +225,13 @@ def main() -> int:
                 violations.append(name)
             results[name] = rec
             print(f"# {name}: {rec}", file=sys.stderr, flush=True)
+            # free the target's cached/localCheckpoint blocks before the
+            # next lane: 8 targets x 3 scales of retained checkpoint RDDs
+            # overflow the 6g default heap (measured OOM on the 4th lane)
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
         out["queries"] = results
         out["violations"] = violations
         out["pass"] = not violations
