@@ -231,18 +231,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(tb, "b_id")
         )
     # A pair can collide on up to prefix-length (~2 at t=0.95) shared
-    # tokens, so candidates carry duplicates. Deduplicating BEFORE
-    # verification would shuffle the widest relation in the plan;
-    # verification is map-side (mask AND, or broadcast array intersect),
-    # so the dropDuplicates runs AFTER the jaccard filter where only
-    # survivors (output-sized, not candidate-sized) hit the exchange.
-    # Measured at sf0.1: 3.4M raw candidates vs 0.3M post-verify rows.
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", "jaccard")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    # tokens, so candidates carry duplicates. Where the dedup happens
+    # differs by branch, deliberately: the MASK branch verifies inline
+    # (bit ops riding the candidate join — zero extra exchange), so its
+    # dropDuplicates runs AFTER the jaccard filter where only survivors
+    # (output-sized: 0.3M vs 3.4M raw at sf0.1) hit an exchange. The
+    # GENERAL branch already deduplicates the narrow id pairs BEFORE its
+    # expensive verify (the exchange exists anyway for the parallelism
+    # pin above), so its output is unique by construction and needs no
+    # second pass.
+    out = verified.withColumn("jaccard", inter / union).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("a_id", "b_id", "jaccard")
+    if len(vocab) <= 62:
+        out = out.dropDuplicates(["a_id", "b_id"])
+    return out
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

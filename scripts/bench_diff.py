@@ -68,10 +68,14 @@ def main(argv: list[str]) -> int:
     if regressions:
         ratios = sorted(new[n] / max(old[n], 1e-9) for n in shared)
         w = ratios[len(ratios) // 2]
+        # floor applies to NORMALIZED growth (n/w - o): using raw
+        # (n - o*w) would shrink the effective floor by 1/w on a slow
+        # host — re-flagging exactly the weather noise this view exists
+        # to suppress
         survive = [
             (name, o, n, r / w)
             for name, o, n, r in regressions
-            if r / w > threshold and (n - o * w) > ABS_FLOOR
+            if r / w > threshold and (n / w - o) > ABS_FLOOR
         ]
         print(
             f"weather factor (median ratio): {w:.2f}x | "

@@ -225,12 +225,23 @@ def main() -> int:
                 violations.append(name)
             results[name] = rec
             print(f"# {name}: {rec}", file=sys.stderr, flush=True)
-            # free the target's cached/localCheckpoint blocks before the
-            # next lane: 8 targets x 3 scales of retained checkpoint RDDs
-            # overflow the 6g default heap (measured OOM on the 4th lane)
+            # free the target's retained blocks before the next lane:
+            # 8 targets x 3 scales of checkpoint RDDs overflow the 6g
+            # default heap (measured OOM on the 4th lane). clearCache()
+            # only empties the SQL CacheManager — the session-memo
+            # lanes (near_dup_pairs et al.) pin localCheckpoint blocks
+            # through the module-level _DF_MEMO dict, so drop those
+            # references too; the ContextCleaner reclaims the blocks
+            # once nothing references the RDDs. Probes still run with
+            # SPARK_DRIVER_MEMORY=16g for headroom.
             import gc
 
+            from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+                session as _sess,
+            )
+
             spark.catalog.clearCache()
+            _sess._DF_MEMO.clear()
             gc.collect()
         out["queries"] = results
         out["violations"] = violations

@@ -285,8 +285,6 @@ def test_stream_join_state_is_evicted(spark, tmp_path):
     plateau, not grow with batch count."""
     import datetime
 
-    from pyspark.sql import functions as F
-
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.streaming.joins import (
         click_purchase_joined,
     )
