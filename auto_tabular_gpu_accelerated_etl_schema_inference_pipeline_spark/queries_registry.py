@@ -238,42 +238,39 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # r9 drift rotation (VERDICT r8 item 1): coverage closed at 336/336
-    # in r8, so every slot is a drift re-sample. Composition follows the
-    # judge's directive — the stalest greens first (the r1 TPC-H
-    # remainder and the r2 relational core not re-checked since their
-    # first green), then the r2/r3 north-star cores (dedup / similarity
-    # / graph / streaming / bpe / multimodal / schema-infer), all under
-    # the driver's hostile session. scripts/rotate_window.py recomputes
-    # the staleness table each round.
-    # --- r1 TPC-H remainder, last green r1 (11) ---
-    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q13_custdist",
-    "tpch_q14_promo_revenue", "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    # --- stalest r2 relational core (12) ---
-    "agg_correlation", "agg_grouped_quantiles", "agg_stats",
-    "collect_agg", "exists_subquery", "filter_project_pushdown",
-    "global_topn", "json_extract_events",
-    "quantile_bin_exact_boundaries", "quantile_bin_lineitem",
-    "stat_crosstab", "top_k_per_group",
-    # --- r2/r3/r4 north-star cores (27): dedup, similarity, graph,
-    # streaming, text-LM, multimodal, schema-infer, time-series ---
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_components",
-    "dedup_incremental_vs_history", "chunk_dedup", "decontaminate",
-    "doc_fingerprint", "fuzzy_join_parts",
-    "similarity_topk_cosine", "similarity_cosine_dedup",
-    "semdedup_embedding",
-    "graph_pagerank", "graph_triangle_count",
-    "bpe_encode_docs", "unigram_lm_score",
-    "text_lang_id", "text_quality_score",
-    "multimodal_featurize", "schema_infer", "auto_tokenize_lineitem",
-    "events_hypertable_rollup", "events_sessionize",
-    "asof_join_events_orders",
-    "streaming_sliding_window", "streaming_session_window",
-    "streaming_dedup_keys", "streaming_stateful_user_totals",
+    # r10 drift rotation (VERDICT r9 item 1): pure re-sample round —
+    # coverage closed at 336/336 since r8. Composition per
+    # scripts/rotate_window.py staleness table: the full last-green-r2
+    # cohort (14) + the full last-green-r3 cohort (25) — the actual
+    # stalest greens, untouched since their first external green — then
+    # the judge-named r4 lanes (geo quartet, inverted_index to
+    # externally re-certify the r9 two-stage-cap rewrite, the two r4
+    # streaming lanes, tpch_q15/q21, variant_extract_events), and
+    # asof_join_directions, this round's rewrite target (VERDICT r9
+    # item 2), so the driver re-certifies the bucketed as-of externally.
+    # --- last green r2 (14) ---
+    "agg_bitwise_bool", "events_gap_fill", "higher_order_funcs",
+    "lateral_posexplode", "struct_funcs", "text_word_freq",
+    "tpch_q4_order_priority", "tpch_q10_returned_items",
+    "tpch_q12_priority_by_status", "udaf_geo_mean", "unpivot_lineitem",
+    "window_range_frame", "window_running_sum", "zorder_layout",
+    # --- last green r3 (25) ---
+    "categorical_encode", "cdc_latest_snapshot", "cdc_scd2_history",
+    "doc_chunk_overlap", "embedding_centroids", "embedding_stats",
+    "events_funnel", "events_rolling_1h", "multimodal_audio_energy",
+    "multimodal_frame_sample", "pii_redact", "quality_gate_verdict",
+    "recursive_cte_order_chain", "sample_stratified", "sequence_packing",
+    "streaming_click_purchase_join", "streaming_click_purchase_left_join",
+    "streaming_foreach_batch_upsert", "streaming_static_enrich",
+    "streaming_tokenize_lineitem", "text_repetition", "text_token_count",
+    "text_word_entropy", "tfidf_top_terms", "zscore_normalize",
+    # --- judge-named r4 cohort (10) ---
+    "geo_cell_rollup", "geo_grid_distance_join", "geo_hilbert_layout",
+    "geo_zone_stats", "inverted_index", "streaming_cdc_latest",
+    "streaming_dedup_within_watermark", "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers", "variant_extract_events",
+    # --- r10 rewrite target: external re-cert of the bucketed as-of ---
+    "asof_join_directions",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
