@@ -153,7 +153,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OOM; limit(63) keeps the decision O(1) and, when it does return <=62
     # rows, that IS the complete vocabulary, so the bitmask below is exact.
     vocab = [r["tok"] for r in dfreq.select("tok").limit(63).collect()]
-    if len(vocab) <= 62:
+    # Single branch decision reused at every mask/general fork below
+    # (ADVICE r10): a threshold tweak that updated only some of the three
+    # sites would silently mix the paths — e.g. drop the mask branch's
+    # required post-filter dropDuplicates.
+    use_mask = len(vocab) <= 62
+    if use_mask:
         # token -> single-bit BIGINT via literal-column create_map: no SQL
         # string interpolation, so quotes/backslashes in tokens can't be
         # mangled by the parser. Lookup misses are impossible (vocab is
@@ -200,7 +205,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(tp) * F.greatest("sz_a", "sz_b")
         )
     )
-    if len(vocab) <= 62:
+    if use_mask:
         verified = cand
     else:
         ta = F.broadcast(
@@ -243,7 +248,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = verified.withColumn("jaccard", inter / union).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     ).select("a_id", "b_id", "jaccard")
-    if len(vocab) <= 62:
+    if use_mask:
         out = out.dropDuplicates(["a_id", "b_id"])
     return out
 

@@ -68,19 +68,33 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so stage 2's per-token row_number sees ≤ B·POSTING_CAP rows and
     # selects the identical deterministic prefix.
     # B bounds the per-task slice of a hot token's posting stream at
-    # ~1/B; 32 matches this fixture's parallelism. At 100 TB, size B so
-    # stream/B fits a task (B ~ max_token_df / target_task_rows) — the
-    # cap algebra is B-invariant (union of per-bucket minima ⊇ global
-    # minima for ANY B), so raising it is a config change, not a
-    # correctness change.
-    n_buckets = 32
-    w_bucket = Window.partitionBy(
-        "token", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
-    )
+    # ~1/B; derived from the session's parallelism (ADVICE r10 — a wider
+    # cluster gets proportionally more buckets without a code edit),
+    # floored at 32 so the straggler bound never loosens below the
+    # fixture-validated width. At 100 TB, size B so stream/B fits a task
+    # (B ~ max_token_df / target_task_rows) — the cap algebra is
+    # B-invariant (union of per-bucket minima ⊇ global minima for ANY
+    # B), so raising it is a config change, not a correctness change.
+    n_buckets = max(32, spark.sparkContext.defaultParallelism)
+    # The bucket is a NAMED column (not an inline pmod expression): each
+    # inline use would be a distinct internal attribute, splitting the
+    # two window functions into two WindowExec passes over two sorts.
+    # With one shared attribute and one (partition, order) spec, cnt_b
+    # rides rn_b's sort in a single WindowExec — frames may differ
+    # within a node, order specs may not.
+    w_ordered = Window.partitionBy("token", "bkt").orderBy("doc_id")
     pre = (
         occ.distinct()
-        .withColumn("rn_b", F.row_number().over(w_bucket.orderBy("doc_id")))
-        .withColumn("cnt_b", F.count(F.lit(1)).over(w_bucket))
+        .withColumn("bkt", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+        .withColumn("rn_b", F.row_number().over(w_ordered))
+        .withColumn(
+            "cnt_b",
+            F.count(F.lit(1)).over(
+                w_ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .filter(F.col("rn_b") <= POSTING_CAP)
     )
     # one aggregate finishes both outputs from the ≤ B·CAP survivors:

@@ -66,8 +66,17 @@ def main(argv: list[str]) -> int:
     # code-shaped regression worth solo adjudication, the rest are
     # weather. Advisory only — the exit code stays on the raw flags.
     if regressions:
-        ratios = sorted(new[n] / max(old[n], 1e-9) for n in shared)
-        w = ratios[len(ratios) // 2]
+        # Median over NON-regressed shared queries only: if a code change
+        # regresses a large fraction of entries, including them would fold
+        # the regression into the "host factor" and the advisory view
+        # would launder it as weather. True median (mean of the two middle
+        # elements) for even counts.
+        flagged = {name for name, *_ in regressions}
+        ratios = sorted(
+            new[n] / max(old[n], 1e-9) for n in shared if n not in flagged
+        ) or sorted(new[n] / max(old[n], 1e-9) for n in shared)
+        mid = len(ratios) // 2
+        w = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
         # floor applies to NORMALIZED growth (n/w - o): using raw
         # (n - o*w) would shrink the effective floor by 1/w on a slow
         # host — re-flagging exactly the weather noise this view exists

@@ -49,3 +49,20 @@ def test_hot_token_cap_matches_exact_prefix(spark, hot_corpus_dir):
     assert out["uniq7"]["doc_freq"] == 1
     assert out["uniq7"]["posting_sample"] == "7"
     assert len(out) == N_DOCS + 1
+
+
+def test_bucket_stage_is_one_window_pass(spark, hot_corpus_dir):
+    """rn_b and cnt_b must share one WindowExec over one sort (ADVICE
+    r10 / VERDICT r9 item 8): partitioning by an inline pmod expression
+    instead of the named bucket column silently splits them into two
+    passes — same output, one extra whole-relation sort."""
+    plan = (
+        q_inverted_index(spark, hot_corpus_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [l for l in plan.splitlines() if "+- Window " in l]
+    sorts = [l for l in plan.splitlines() if "+- Sort " in l]
+    assert len(windows) == 1, windows
+    assert len(sorts) == 1, sorts
