@@ -82,6 +82,15 @@ FLATNESS_BOUND = 2.0
 #: reference family's distributed-exact fit at 60M rows, and the as-of
 #: direction matrix (events.user_id and orders.o_custkey share the
 #: per-replica offset, so the join structure is replica-consistent).
+#: r10 (VERDICT r9 item 3) adds the three sibling verify lanes the r9
+#: audit measured at 10x ONLY — the PPJoin AQE-starvation shape was
+#: invisible at 10x too, so 10x-only evidence is not evidence:
+#: duplicate_ngram_spans (explode + countDistinct agg),
+#: url_canonicalize_dedup (map-only regex chain + digest groupBy), and
+#: dedup_char_shingle_jaccard (bounded all-pairs demo lane: its
+#: doc_id < 100 filter keeps only replica 0 under the probe's id
+#: remapping, so what scales — and what this probes — is the pushed
+#: scan+filter path, the pair join being constant by construction).
 TARGETS = {
     "training_data_prep": ["documents"],
     "dedup_minhash_portable": ["documents"],
@@ -91,7 +100,16 @@ TARGETS = {
     "transpose_flag_profile": ["lineitem"],
     "quantile_bin_scalable": ["lineitem"],
     "asof_join_directions": ["events", "orders"],
+    "duplicate_ngram_spans": ["documents"],
+    "url_canonicalize_dedup": ["documents"],
+    "dedup_char_shingle_jaccard": ["documents"],
 }
+
+#: per-target flatness overrides tighter than the global bound.
+#: asof_join_directions carries the VERDICT r9 item-2 closure bar: the
+#: r9 run measured 1.72 (single-node spill of the padded-string argmax
+#: keys); the struct-key rewrite must hold <= 1.2 from now on.
+TIGHT_BOUNDS = {"asof_join_directions": 1.2}
 
 #: keep ALL base tables visible at every scale dir (symlink the ones a
 #: target doesn't scale) so load_table never misses a fixture.
@@ -217,8 +235,10 @@ def main() -> int:
             rec["per_replica_x100"] = round(per100, 4)
             rec["flatness_x100_vs_x10"] = round(per100 / per10, 3)
             rec["ramp_x10_vs_x1"] = round(rec["t_x10"] / rec["t_x1"], 3)
+            bound = TIGHT_BOUNDS.get(name, FLATNESS_BOUND)
+            rec["bound"] = bound
             rec["flat"] = (
-                per100 <= FLATNESS_BOUND * per10
+                per100 <= bound * per10
                 and rec["t_x10"] <= FLATNESS_BOUND * 10 * rec["t_x1"]
             )
             if not rec["flat"]:
