@@ -64,9 +64,19 @@ def get_spark(
         # hygiene (executors are sized to their containers and pre-touch
         # to avoid NUMA/fault jitter), so this is not a bench-only hack.
         .config("spark.driver.memory", _DRIVER_MEM)
+        # GCLockerRetryAllocationCount: G1's default of 2 retries turns
+        # transient JNI-critical-section contention (32 executor threads
+        # in compression/Arrow native calls) into a SPURIOUS
+        # OutOfMemoryError with free heap remaining — "Retried waiting
+        # for GCLocker too often allocating N words" killed a 16 GB-heap
+        # probe run allocating 4 words. Raising the retry budget is the
+        # documented mitigation (JDK-8192647); diagnostic flag, so it
+        # must follow UnlockDiagnosticVMOptions.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
+            f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch "
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=64",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
