@@ -192,7 +192,36 @@ def asof_directions_join_form(ev: DataFrame, orders: DataFrame) -> DataFrame:
     """Core of q_asof_join_directions over caller-supplied frames
     (events: event_id/user_id/ts; orders: o_orderkey/o_custkey/
     o_orderdate) — factored out so the hot-key scale probe exercises
-    the EXACT production plan."""
+    the EXACT production plan.
+
+    Plan shape is PINNED, not left to cost estimates (r10): both inputs
+    take an explicit fixed-width repartition on the customer key, so
+    the join is a sort-merge at full cluster width whose output
+    partitioning (user_id ⊆ the group keys) lets the direction
+    aggregate run with ZERO further exchanges. Left to Catalyst/AQE,
+    this borderline plan flapped between three physicals across
+    sessions — a broadcast hash join of a multi-million-row side whose
+    missing output partitioning forced the ~10x row fan-out through an
+    extra (event_id, user_id, ts) exchange, and byte-coalesced SMJs
+    that starved the fan-out's 4-accumulator update stage (the rows
+    are bytes-tiny; the cost is downstream compute — the PPJoin
+    coalescing lesson, PLANS.md r9) — measured 22 s / 26.5 s / 70 s at
+    the probe's 100x scale for the SAME query. Pinned: 10.8-14.5 s, and
+    the explicit-width exchange is AQE-coalescing-exempt by contract."""
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    # hint("merge") closes the remaining degree of freedom: without it
+    # AQE still flips the pre-partitioned join to a broadcast hash join
+    # when runtime stats dip under the threshold — broadcasting the
+    # EVENTS side (the big side of any real deployment) and re-deciding
+    # per session.
+    ev = (
+        ev.select("event_id", "user_id", "ts")
+        .repartition(par, "user_id")
+        .hint("merge")
+    )
+    orders = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).repartition(par, "o_custkey")
     od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     j = (
         ev.join(orders, F.col("user_id") == F.col("o_custkey"), "inner")

@@ -56,7 +56,21 @@ fixed-width repartition ahead of the verify joins): 43 s at 32
 partitions, identical 1,909,250 pairs. The committed artifact is the
 post-fix run; the pre-fix numbers live in this docstring and SURVEY §9.
 
-Usage: python scripts/probe_top5_linearity.py PROBE_TOP5_LINEARITY_r09.json
+r10 methodology note — warm reads: every timed run is preceded by an
+UNTIMED full-column scan of the lane's scaled tables in the dir being
+timed. Without it the flatness ratio measured page-cache STATE, not the
+plan: this box's hypervisor-throttled faults make a cold x100 re-read
+cost tens of seconds, and whether the x100 replicas are still cached
+depends on which earlier lane's shuffle evicted them (measured:
+asof_join_directions x100 = 22 s warm/steady across a 6g-vs-16g heap
+sweep, but 77 s when timed right after the 208 s dedup_components_star
+lane — flat100 2.90 from cache asymmetry alone, with x10 still cached).
+At the 100 TB design point reads scale linearly and are equally cold
+for every replica, so equalizing cache state is what makes per-replica
+flatness measure the plan. Warm costs are disclosed per lane/scale as
+warm_x* in the artifact.
+
+Usage: python scripts/probe_top5_linearity.py PROBE_TOP5_LINEARITY_r10.json
 """
 
 from __future__ import annotations
@@ -213,17 +227,32 @@ def main() -> int:
         out["build"] = build
 
         queries = entrymod.queries()
+
+        def warm(d: str, tables: list[str]) -> float:
+            # untimed full-column scan: xxhash64 over every column
+            # faults in all data pages (a bare count() is metadata-only
+            # on parquet and warms nothing)
+            tw = time.perf_counter()
+            for t in tables:
+                df = spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+                df.select(
+                    F.count(F.xxhash64(*df.columns))
+                ).collect()
+            return round(time.perf_counter() - tw, 3)
+
         results: dict[str, dict] = {}
         violations: list[str] = []
         for name in TARGETS:
             rec: dict = {}
             # 1x reference from the unmodified fixture dir
+            rec["warm_x1"] = warm(SF_DIR, TARGETS[name])
             t1 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
             rec["t_x1"] = round(time.perf_counter() - t1, 3)
             for reps in REPS:
+                rec[f"warm_x{reps}"] = warm(dirs[reps], TARGETS[name])
                 t1 = time.perf_counter()
                 queries[name](spark, dirs[reps]).write.format("noop").mode(
                     "overwrite"

@@ -673,3 +673,27 @@ def test_basket_guarded_repartition_survives(spark):
     )
     plan = formatted_plan(basket_pair_stream_guarded(items, threshold=4))
     assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+
+
+def test_asof_directions_pinned_smj_single_agg_exchange(spark, sf_dir):
+    """The as-of direction matrix's plan is pinned against cost-model
+    flapping (r10): left to Catalyst/AQE the borderline join chose
+    three different physicals across sessions — including a broadcast
+    of the EVENTS side whose missing output partitioning forced the
+    ~10x fan-out through an extra (event_id, user_id, ts) exchange
+    (measured 22/26.5/70 s at 100x for the same query). Pinned shape:
+    exactly two user-specified fixed-width exchanges feeding a
+    sort-merge join, no broadcast, and the direction aggregate reuses
+    the join partitioning (user_id is a subset of the group keys) — so
+    the executed plan carries NO ENSURE_REQUIREMENTS exchange at all."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_asof_join_directions,
+    )
+
+    df = q_asof_join_directions(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("REPARTITION_BY_NUM") == 2, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
