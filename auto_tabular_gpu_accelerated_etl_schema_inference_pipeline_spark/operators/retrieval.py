@@ -71,11 +71,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1/B; derived from the session's parallelism (ADVICE r10 — a wider
     # cluster gets proportionally more buckets without a code edit),
     # floored at 32 so the straggler bound never loosens below the
-    # fixture-validated width. At 100 TB, size B so stream/B fits a task
+    # fixture-validated width, and CAPPED at 1024 because stage 2's
+    # per-token aggregation buffer is B·POSTING_CAP survivors — B-linear,
+    # so an uncapped derivation on a 10k-core cluster would quietly
+    # trade the stage-1 straggler bound for a 200k-row stage-2 group
+    # (closing review). At 100 TB, size B so stream/B fits a task
     # (B ~ max_token_df / target_task_rows) — the cap algebra is
     # B-invariant (union of per-bucket minima ⊇ global minima for ANY
     # B), so raising it is a config change, not a correctness change.
-    n_buckets = max(32, spark.sparkContext.defaultParallelism)
+    n_buckets = min(max(32, spark.sparkContext.defaultParallelism), 1024)
     # The bucket is a NAMED column (not an inline pmod expression): each
     # inline use would be a distinct internal attribute, splitting the
     # two window functions into two WindowExec passes over two sorts.
@@ -101,8 +105,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_freq = Σ per-bucket counts (each bucket's rn_b==1 row carries
     # its bucket's full count and always survives the cut), and the
     # posting sample = the CAP smallest of the ≤ B·CAP survivors — the
-    # collect_list buffer is bounded by construction, no second window
-    # pass needed.
+    # collect_list buffer is bounded by B·CAP (≤ 1024·20 under the
+    # derivation cap above; B-linear, which is why B is capped), no
+    # second window pass needed.
     postings = pre.groupBy("token").agg(
         F.sum(F.when(F.col("rn_b") == 1, F.col("cnt_b"))).alias("doc_freq"),
         F.array_join(

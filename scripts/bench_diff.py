@@ -15,6 +15,7 @@ Usage: python scripts/bench_diff.py OLD.json NEW.json [threshold]
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 THRESHOLD = 1.2
@@ -69,14 +70,21 @@ def main(argv: list[str]) -> int:
         # Median over NON-regressed shared queries only: if a code change
         # regresses a large fraction of entries, including them would fold
         # the regression into the "host factor" and the advisory view
-        # would launder it as weather. True median (mean of the two middle
-        # elements) for even counts.
+        # would launder it as weather.
         flagged = {name for name, *_ in regressions}
-        ratios = sorted(
+        clean = [
             new[n] / max(old[n], 1e-9) for n in shared if n not in flagged
-        ) or sorted(new[n] / max(old[n], 1e-9) for n in shared)
-        mid = len(ratios) // 2
-        w = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+        ]
+        if clean:
+            w = statistics.median(clean)
+        else:
+            # every shared query tripped the raw flag: no unbiased anchor
+            # exists, so attribute only the SMALLEST ratio to weather — a
+            # full-set median would land inside the regressed mass and
+            # launder a broad code regression as weather (closing-review
+            # fix; a truly uniform slowdown still normalizes away, which
+            # is the irreducible ambiguity of a single-host diff)
+            w = min(new[n] / max(old[n], 1e-9) for n in shared)
         # floor applies to NORMALIZED growth (n/w - o): using raw
         # (n - o*w) would shrink the effective floor by 1/w on a slow
         # host — re-flagging exactly the weather noise this view exists

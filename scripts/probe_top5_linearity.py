@@ -114,6 +114,14 @@ TARGETS = {
     "transpose_flag_profile": ["lineitem"],
     "quantile_bin_scalable": ["lineitem"],
     "asof_join_directions": ["events", "orders"],
+    # the rest of the as-of family (r10): the backward-only window
+    # formulation (full fan-out through a row_number window — flat
+    # because event_id is high-cardinality and skew-free) and the
+    # merge-sorted union twin (the unbounded-multiplicity plan of
+    # record). Probed so a future edit to ANY as-of lane re-certifies
+    # the whole family's 100x behavior, not just the matrix lane's.
+    "asof_join_events_orders": ["events", "orders"],
+    "asof_join_directions_union": ["events", "orders"],
     "duplicate_ngram_spans": ["documents"],
     "url_canonicalize_dedup": ["documents"],
     "dedup_char_shingle_jaccard": ["documents"],

@@ -691,9 +691,18 @@ def test_asof_directions_pinned_smj_single_agg_exchange(spark, sf_dir):
     )
 
     df = q_asof_join_directions(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # finalize AQE
+    # collect() — NOT a noop write — finalizes THIS dataframe's own
+    # AdaptiveSparkPlan; a write creates a separate QueryExecution and
+    # leaves df's plan at isFinalPlan=false, so the assertions would
+    # run against the never-executed initial plan and miss a runtime
+    # broadcast flip (r10 closing review).
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, plan
-    assert "BroadcastExchange" not in plan, plan
-    assert plan.count("REPARTITION_BY_NUM") == 2, plan
-    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert "isFinalPlan=true" in plan, plan[:500]
+    # AdaptiveSparkPlan.toString prints the final plan followed by the
+    # initial plan — assert on the FINAL section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert "BroadcastExchange" not in final, final
+    assert final.count("REPARTITION_BY_NUM") == 2, final
+    assert "ENSURE_REQUIREMENTS" not in final, final

@@ -58,15 +58,18 @@ def test_even_count_uses_true_median(tmp_path, capsys):
     assert "weather factor (median ratio): 1.10x" in out
 
 
-def test_all_regressed_falls_back_to_full_median(tmp_path, capsys):
-    # Degenerate case: every shared query regressed. The non-regressed
-    # set is empty; the factor falls back to the full-set median rather
-    # than crashing.
+def test_all_regressed_falls_back_to_min_ratio(tmp_path, capsys):
+    # Degenerate case: every shared query tripped the raw flag (host
+    # 2.5x slower AND one lane regressed further). The fallback must
+    # anchor on the SMALLEST ratio — a full-set median would land
+    # inside the regressed mass and erase the real flag.
     old = {"a": 2.0, "b": 2.0}
-    new = {"a": 6.0, "b": 6.0}
+    new = {"a": 5.0, "b": 6.4}
     rc, out = _run(tmp_path, old, new, capsys)
     assert rc == 1
-    assert "weather factor" in out
+    assert "weather factor (median ratio): 2.50x" in out
+    assert "1 flags survive normalization" in out
+    assert "CODE-SHAPED 1.28x  b" in out
 
 
 if __name__ == "__main__":
