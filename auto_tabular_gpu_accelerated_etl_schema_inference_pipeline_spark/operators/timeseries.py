@@ -123,6 +123,21 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     configure_for_oracle(spark)
     orders = load_table(spark, sf_dir, "orders")
+    # Same plan pin as asof_directions_join_form (r10): the borderline
+    # customer-key join flaps between physicals on cost estimates
+    # (probe measured 15 s vs 37 s at 100x across sessions); explicit
+    # fixed-width repartitions + merge hint make it a deterministic SMJ
+    # at cluster width and keep AQE's byte-coalescing off the ~10x
+    # fan-out feeding the per-event ranking window.
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        ev.select("event_id", "user_id", "ts")
+        .repartition(par, "user_id")
+        .hint("merge")
+    )
+    orders = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).repartition(par, "o_custkey")
     joined = ev.join(
         orders,
         (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),

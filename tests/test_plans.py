@@ -706,3 +706,26 @@ def test_asof_directions_pinned_smj_single_agg_exchange(spark, sf_dir):
     assert "BroadcastExchange" not in final, final
     assert final.count("REPARTITION_BY_NUM") == 2, final
     assert "ENSURE_REQUIREMENTS" not in final, final
+
+
+def test_asof_events_orders_pinned_smj_window_exchange(spark, sf_dir):
+    """The backward-only WINDOW formulation gets the same join pin as
+    the direction matrix (its 100x time flapped 15 s vs 37 s across
+    sessions): deterministic SMJ over two fixed-width exchanges, no
+    broadcast. Unlike the aggregate form, the per-event ranking window
+    NEEDS one ENSURE_REQUIREMENTS exchange on event_id — assert exactly
+    one, so a regression that re-partitions the fan-out twice (the
+    broadcast-flip symptom) still trips."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_asof_join_events_orders,
+    )
+
+    df = q_asof_join_events_orders(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert "BroadcastExchange" not in final, final
+    assert final.count("REPARTITION_BY_NUM") == 2, final
+    assert final.count("ENSURE_REQUIREMENTS") == 1, final
