@@ -238,39 +238,43 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # r10 drift rotation (VERDICT r9 item 1): pure re-sample round —
-    # coverage closed at 336/336 since r8. Composition per
-    # scripts/rotate_window.py staleness table: the full last-green-r2
-    # cohort (14) + the full last-green-r3 cohort (25) — the actual
-    # stalest greens, untouched since their first external green — then
-    # the judge-named r4 lanes (geo quartet, inverted_index to
-    # externally re-certify the r9 two-stage-cap rewrite, the two r4
-    # streaming lanes, tpch_q15/q21, variant_extract_events), and
-    # asof_join_directions, this round's rewrite target (VERDICT r9
-    # item 2), so the driver re-certifies the bucketed as-of externally.
-    # --- last green r2 (14) ---
-    "agg_bitwise_bool", "events_gap_fill", "higher_order_funcs",
-    "lateral_posexplode", "struct_funcs", "text_word_freq",
-    "tpch_q4_order_priority", "tpch_q10_returned_items",
-    "tpch_q12_priority_by_status", "udaf_geo_mean", "unpivot_lineitem",
-    "window_range_frame", "window_running_sum", "zorder_layout",
-    # --- last green r3 (25) ---
-    "categorical_encode", "cdc_latest_snapshot", "cdc_scd2_history",
-    "doc_chunk_overlap", "embedding_centroids", "embedding_stats",
-    "events_funnel", "events_rolling_1h", "multimodal_audio_energy",
-    "multimodal_frame_sample", "pii_redact", "quality_gate_verdict",
-    "recursive_cte_order_chain", "sample_stratified", "sequence_packing",
-    "streaming_click_purchase_join", "streaming_click_purchase_left_join",
-    "streaming_foreach_batch_upsert", "streaming_static_enrich",
-    "streaming_tokenize_lineitem", "text_repetition", "text_token_count",
-    "text_word_entropy", "tfidf_top_terms", "zscore_normalize",
-    # --- judge-named r4 cohort (10) ---
-    "geo_cell_rollup", "geo_grid_distance_join", "geo_hilbert_layout",
-    "geo_zone_stats", "inverted_index", "streaming_cdc_latest",
-    "streaming_dedup_within_watermark", "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers", "variant_extract_events",
-    # --- r10 rewrite target: external re-cert of the bucketed as-of ---
-    "asof_join_directions",
+    # r11 drift rotation (VERDICT r10 item 1): pure re-sample round onto
+    # the true driver-staleness tail. Composition per
+    # scripts/rotate_window.py staleness table: the FULL last-green-r4
+    # cohort (37 — now the stalest greens after r10 re-certified r2/r3),
+    # then every lane the r10 verdict names by hand (the r5 cohort's
+    # bm25_search / dedup_minhash_portable / winnowing_fingerprint /
+    # corpus_global_shuffle / sql_udf_discounted_revenue, the saved-model
+    # serve + SQL-scripting lanes, and the basket/star twins the judge
+    # re-verified locally but wants driver-certified), then the stalest
+    # r5 remainder alphabetically to fill 50.
+    # --- last green r4 (37, complete cohort) ---
+    "benford_first_digit", "bpe_merges", "constraint_audit",
+    "containment_pairs", "count_min_sketch", "customer_rfm_segments",
+    "decision_tree_calibration", "dedup_exact_hash",
+    "duplicate_ngram_spans", "eigencentrality_parts",
+    "entity_resolution_clusters", "event_lateness_profile",
+    "feature_hashing_bow", "graph_bfs_hops", "hybrid_rrf_search",
+    "join_null_skew_split", "join_skew_salted", "k_anonymity_audit",
+    "ks_two_sample", "perplexity_band_filter", "pseudonymize_users",
+    "psi_numeric_drift", "quantile_bin_map_in_arrow",
+    "quantile_bin_pandas_udf", "quantile_bin_per_group",
+    "quantile_bin_scalable", "quantile_normalize_doclen",
+    "sequence_gap_audit", "shard_manifest", "similarity_filtered_topk",
+    "streaming_topk_events", "streaming_tumbling_window",
+    "tokenize_generated", "tpch_q17_small_quantity",
+    "tpch_q20_excess_suppliers", "url_canonicalize_dedup",
+    "xml_roundtrip_events",
+    # --- judge-named r5 lanes (5) ---
+    "bm25_search", "corpus_global_shuffle", "dedup_minhash_portable",
+    "sql_udf_discounted_revenue", "winnowing_fingerprint",
+    # --- judge-named saved-model serve + SQL-scripting (last green r6) ---
+    "quantile_bin_saved_model", "sql_scripting_threshold_report",
+    # --- judge-named basket/star twins (last green r8) ---
+    "dedup_components_star", "orders_market_basket_guarded",
+    # --- stalest r5 remainder, alphabetical fillers to 50 ---
+    "auc_quality_screen", "bootstrap_mean_ci", "burstiness_top_terms",
+    "category_drift_report",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
