@@ -369,16 +369,19 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
     # hypervisor (fresh-page faults at ~0.15 GB/s) vs 2-3.5 s with the
     # 6g Xms==Xmx + AlwaysPreTouch default.
     env.setdefault("SPARK_DRIVER_MEMORY", "6g")
-    # Best-of-N with early stop: this box is a microVM whose IO/CPU are
-    # stolen by invisible host-level neighbors — identical code measured
-    # ref_total 15.8 s -> 25 s -> 89 s within one hour while a raw-IO
-    # probe swung 24 MB/s -> 274 MB/s fsync. The baseline's numbers are
-    # single runs on a dedicated box, so the QUIET-host run is the
-    # apples-to-apples one; every attempt is reported (ref_total_runs)
-    # so weather stays visible.
+    # Median-of-N, every attempt runs (VERDICT r10 item 4): this box is
+    # a microVM whose IO/CPU are stolen by invisible host-level
+    # neighbors — identical code measured ref_total 3.30-6.04 s across
+    # 12 same-HEAD runs in round 10, and the single-shot headline landed
+    # 28% off the certified number on weather alone. The headline is now
+    # the MEDIAN attempt (the best-of-N early-stop protocol this
+    # replaces favored the quiet-host tail); every attempt's total and
+    # its own in-subprocess CPU gauge are disclosed (ref_total_runs /
+    # ref_calib_cpu_runs) so the spread stays visible per run.
     attempts = int(os.environ.get("SPARK_GRAFT_REF_ATTEMPTS", "3"))
-    best: dict[str, float] | None = None
+    runs: list[dict[str, float]] = []
     totals: list[float] = []
+    calibs: list[float] = []
     for _ in range(max(1, attempts)):
         try:
             proc = subprocess.run(
@@ -391,19 +394,25 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
         except Exception as exc:
             print(f"bench: ref subprocess failed ({exc})", file=sys.stderr)
             continue
+        runs.append(run)
         totals.append(round(run.get("ref_total", -1.0), 4))
-        if best is None or run["ref_total"] < best["ref_total"]:
-            best = run
-        if best["ref_total"] < 7.0:  # already a quiet-host number
-            break
-    if best is None:
+        calibs.append(round(run.get("ref_calib_cpu", -1.0), 4))
+    if not runs:
         print("bench: all ref subprocesses failed; in-process fallback",
               file=sys.stderr)
         parent_spark.catalog.clearCache()
-        best = run_ref_section(parent_spark)
-        totals.append(round(best.get("ref_total", -1.0), 4))
-    best["ref_total_runs"] = totals  # type: ignore[assignment]
-    return best
+        runs = [run_ref_section(parent_spark)]
+        totals = [round(runs[0].get("ref_total", -1.0), 4)]
+        calibs = [round(runs[0].get("ref_calib_cpu", -1.0), 4)]
+    # Headline = the median RUN (lower median for even counts), so the
+    # phase split (ref_fit/ref_transform/ref_warm_read) stays internally
+    # consistent with the headline total instead of mixing attempts.
+    med = sorted(runs, key=lambda r: r.get("ref_total", float("inf")))[
+        (len(runs) - 1) // 2
+    ]
+    med["ref_total_runs"] = totals  # type: ignore[assignment]
+    med["ref_calib_cpu_runs"] = calibs  # type: ignore[assignment]
+    return med
 
 
 def ref_only_main() -> None:
@@ -434,7 +443,16 @@ def ref_only_main() -> None:
         wdf, [f"col_{i}" for i in range(20)], bins=100, sample_rows=50_000
     )
     bucketize(wdf, wb).write.format("noop").mode("overwrite").save()
-    print(json.dumps(run_ref_section(spark)))
+    # Per-run host-weather gauge (VERDICT r10 item 4 disclosure): the
+    # same fixed CPU workload the parent measures once, re-measured
+    # inside EVERY ref subprocess so each attempt's total can be read
+    # against the host state it actually ran under.
+    tc = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr("max(xxhash64(id))").collect()
+    calib = time.perf_counter() - tc
+    out = run_ref_section(spark)
+    out["ref_calib_cpu"] = calib
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -496,14 +514,15 @@ def main() -> None:
         timings.update(_ref_section_subprocess(spark))
 
     # --- flagship pipeline, phase-timed like etl_benchmark.py:87-90 ---
-    # Same best-of-N + early-stop + full-disclosure protocol as the ref
-    # section (ADVICE r4: the two headline numbers must share one
-    # measurement policy, or the reported ratio mixes a min with a
-    # single draw). Every attempt's total is reported in
-    # flagship_total_runs; the phase split comes from the best attempt.
+    # Same median-of-N full-disclosure protocol as the ref section
+    # (ADVICE r4: the two headline numbers must share one measurement
+    # policy, or the reported ratio mixes policies; VERDICT r10 item 4
+    # moved both from best-of-N-with-early-stop to median-of-N). Every
+    # attempt's total is reported in flagship_total_runs; the phase
+    # split comes from the median attempt so total and split agree.
     attempts = int(os.environ.get("SPARK_GRAFT_REF_ATTEMPTS", "3"))
-    flagship_total = float("inf")
     flagship_runs: list[float] = []
+    flagship_phases: list[tuple[float, float, float]] = []
     n = 0
     for _ in range(max(1, attempts)):
         t0 = time.perf_counter()
@@ -523,15 +542,17 @@ def main() -> None:
             t3 = time.perf_counter()
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-        total = t3 - t0
-        flagship_runs.append(round(total, 4))
-        if total < flagship_total:
-            flagship_total = total
-            timings["flagship_read"] = t1 - t0
-            timings["flagship_fit"] = t2 - t1
-            timings["flagship_transform_write"] = t3 - t2
-        if flagship_total < 4.0:  # already a quiet-host number
-            break
+        flagship_runs.append(round(t3 - t0, 4))
+        flagship_phases.append((t1 - t0, t2 - t1, t3 - t2))
+    med_i = sorted(
+        range(len(flagship_runs)), key=lambda i: flagship_runs[i]
+    )[(len(flagship_runs) - 1) // 2]
+    flagship_total = flagship_runs[med_i]
+    (
+        timings["flagship_read"],
+        timings["flagship_fit"],
+        timings["flagship_transform_write"],
+    ) = flagship_phases[med_i]
     timings["flagship_total_runs"] = flagship_runs  # type: ignore[assignment]
 
     # --- headline queries (forced via noop-equivalent count) ---

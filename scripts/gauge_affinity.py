@@ -1,0 +1,129 @@
+"""Generate scripts/gauge_affinity.json — the per-query gauge
+classification bench_diff's two-gauge weather normalization reads
+(VERDICT r10 item 5).
+
+For every query appearing in the committed bench-disclosure series
+alongside both calibration gauges, correlates the query's log-time
+series with each gauge's log-time series across snapshots. The series
+source is the git history of BENCH_LOCAL.json (every committed full
+disclosure, ~3 per round since r4) — the driver's BENCH_r*.json
+artifacts keep only a 2000-char stdout tail and are unusable here. A query is
+assigned the gauge it tracks when the evidence is unambiguous:
+
+- at least MIN_POINTS rounds of co-observation (cross-round variance is
+  the signal; two points fit anything);
+- Pearson r >= MIN_CORR against the winning gauge;
+- the winning gauge beats the other by MIN_MARGIN (a lane that tracks
+  both equally is really tracking "the host is slow" — the scalar
+  median already handles that).
+
+Everything else is omitted and falls back to bench_diff's median host
+factor. The map is ADVISORY-ONLY input (bench_diff's exit code stays on
+raw flags), so a misclassification can at worst mislabel a flag's
+adjudication hint, never hide or invent an exit-code regression.
+
+Code rewrites pollute a lane's series (the time change is the CODE, not
+the host) — that noise pushes correlation DOWN, so rewritten lanes
+naturally drop to the median fallback rather than misclassify.
+
+Usage: python scripts/gauge_affinity.py   (writes gauge_affinity.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "scripts", "gauge_affinity.json")
+GAUGES = ("calib_cpu_parallel", "calib_mem_bandwidth")
+MIN_POINTS = 5
+MIN_CORR = 0.5
+MIN_MARGIN = 0.1
+
+
+def _series() -> list[dict[str, float]]:
+    import subprocess
+
+    revs = subprocess.run(
+        ["git", "-C", REPO, "log", "--format=%H", "--", "BENCH_LOCAL.json"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    snaps: list[dict[str, float]] = []
+    seen: set[str] = set()
+    for rev in revs:
+        blob = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev}:BENCH_LOCAL.json"],
+            capture_output=True, text=True,
+        ).stdout
+        if not blob or blob in seen:  # dedupe commits that carried the
+            continue                  # same disclosure forward unchanged
+        seen.add(blob)
+        try:
+            doc = json.loads(blob)
+        except ValueError:
+            continue
+        q = {
+            k: float(v)
+            for k, v in doc.get("queries", {}).items()
+            if not isinstance(v, list) and isinstance(v, (int, float))
+            and float(v) > 0
+        }
+        if all(g in q for g in GAUGES):
+            snaps.append(q)
+    return snaps
+
+
+def _pearson(xs: list[float], ys: list[float]) -> float:
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    if sxx <= 0 or syy <= 0:
+        return 0.0
+    return sxy / math.sqrt(sxx * syy)
+
+
+def main() -> int:
+    snaps = _series()
+    names = sorted({n for q in snaps for n in q} - set(GAUGES))
+    out: dict[str, dict] = {}
+    for name in names:
+        rows = [
+            (math.log(q[name]), math.log(q[GAUGES[0]]), math.log(q[GAUGES[1]]))
+            for q in snaps
+            if name in q
+        ]
+        if len(rows) < MIN_POINTS:
+            continue
+        t = [r[0] for r in rows]
+        corr = {
+            GAUGES[0]: _pearson(t, [r[1] for r in rows]),
+            GAUGES[1]: _pearson(t, [r[2] for r in rows]),
+        }
+        best = max(GAUGES, key=lambda g: corr[g])
+        other = GAUGES[1] if best == GAUGES[0] else GAUGES[0]
+        if corr[best] >= MIN_CORR and corr[best] - corr[other] >= MIN_MARGIN:
+            out[name] = {
+                "gauge": best,
+                "corr": round(corr[best], 3),
+                "corr_other": round(corr[other], 3),
+                "n": len(rows),
+            }
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    cpu = sum(1 for r in out.values() if r["gauge"] == GAUGES[0])
+    print(
+        f"{len(names)} lanes seen | {len(out)} classified "
+        f"({cpu} cpu / {len(out) - cpu} mem) | "
+        f"{len(names) - len(out)} median-fallback -> {OUT}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

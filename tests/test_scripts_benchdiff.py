@@ -62,14 +62,94 @@ def test_all_regressed_falls_back_to_min_ratio(tmp_path, capsys):
     # Degenerate case: every shared query tripped the raw flag (host
     # 2.5x slower AND one lane regressed further). The fallback must
     # anchor on the SMALLEST ratio — a full-set median would land
-    # inside the regressed mass and erase the real flag.
+    # inside the regressed mass and erase the real flag — and must be
+    # LABELED as the min-ratio fallback, not as a median (ADVICE r11).
     old = {"a": 2.0, "b": 2.0}
     new = {"a": 5.0, "b": 6.4}
     rc, out = _run(tmp_path, old, new, capsys)
     assert rc == 1
-    assert "weather factor (median ratio): 2.50x" in out
+    assert "weather factor (min ratio, all regressed): 2.50x" in out
+    assert "(median ratio)" not in out
     assert "1 flags survive normalization" in out
     assert "CODE-SHAPED 1.28x  b" in out
+
+
+def test_abs_floor_exempt_fast_lanes_excluded_from_anchor(tmp_path, capsys):
+    # ADVICE r11: a broad code regression concentrated in SUB-SECOND
+    # lanes is exempt from the raw flag only via ABS_FLOOR — those lanes
+    # must still be excluded from the median anchor, or their inflated
+    # ratios launder the one slow-lane flag as weather. 6 fast lanes
+    # regress 3x (0.1s -> 0.3s, abs growth 0.2 < floor), 4 steady lanes
+    # define the true factor (~1.0), one slow lane regresses 3x.
+    old = {f"fast{i}": 0.1 for i in range(6)}
+    old.update({f"steady{i}": 2.0 for i in range(4)})
+    old["slow"] = 5.0
+    new = {f"fast{i}": 0.3 for i in range(6)}
+    new.update({f"steady{i}": 2.02 for i in range(4)})
+    new["slow"] = 15.0
+    rc, out = _run(tmp_path, old, new, capsys)
+    assert rc == 1
+    # pre-fix anchor = median over everything not raw-flagged = the six
+    # 3.0 ratios + four 1.01 ratios -> ~3.0, erasing the slow-lane flag
+    assert "weather factor (median ratio): 1.01x" in out
+    assert "CODE-SHAPED" in out and "slow" in out
+
+
+def _run_with_gauges(tmp_path, old, new, old_g, new_g, affinity, capsys,
+                     monkeypatch):
+    op, np_ = tmp_path / "old.json", tmp_path / "new.json"
+    op.write_text(json.dumps({"queries": {**old, **old_g}}))
+    np_.write_text(json.dumps({"queries": {**new, **new_g}}))
+    aff = tmp_path / "affinity.json"
+    aff.write_text(json.dumps(
+        {k: {"gauge": v, "corr": 0.9, "n": 8} for k, v in affinity.items()}
+    ))
+    monkeypatch.setattr(bench_diff, "AFFINITY_PATH", str(aff))
+    rc = bench_diff.main([str(op), str(np_)])
+    return rc, capsys.readouterr().out
+
+
+def test_cpu_degraded_host_unflags_untouched_cpu_lane(tmp_path, capsys,
+                                                      monkeypatch):
+    # VERDICT r10 item 5 scenario (the grouped_linear_regression
+    # adjudication): CPU gauge 1.7x degraded, mem gauge steady; an
+    # untouched CPU-bound lane reads 1.8x slower while the IO/mem-bound
+    # majority is steady, so the scalar median (~1.0) under-corrects and
+    # the lane survives as a false CODE-SHAPED flag. With the lane's
+    # committed cpu affinity, its OWN gauge's drift normalizes it away.
+    old = {"cpu_lane": 2.0}
+    old.update({f"mem{i}": 2.0 for i in range(6)})
+    new = {"cpu_lane": 3.6}  # 1.8x, abs growth 1.6 > floor
+    new.update({f"mem{i}": 2.02 for i in range(6)})
+    rc, out = _run_with_gauges(
+        tmp_path, old, new,
+        {"calib_cpu_parallel": 0.6, "calib_mem_bandwidth": 8.0},
+        {"calib_cpu_parallel": 1.02, "calib_mem_bandwidth": 8.1},
+        {"cpu_lane": "calib_cpu_parallel"}, capsys, monkeypatch,
+    )
+    assert rc == 1  # raw flag still fires — exit code contract unchanged
+    assert "gauge drift: cpu_parallel=1.70x" in out
+    assert "0 flags survive normalization" in out
+
+
+def test_real_regression_in_cpu_lane_still_survives_gauge(tmp_path, capsys,
+                                                          monkeypatch):
+    # The gauge is measured independently of the lane: a 3x code
+    # regression in a cpu-affine lane on a host whose cpu gauge drifted
+    # only 1.1x must STILL survive (no laundering through affinity).
+    old = {"cpu_lane": 2.0}
+    old.update({f"mem{i}": 2.0 for i in range(6)})
+    new = {"cpu_lane": 6.0}
+    new.update({f"mem{i}": 2.02 for i in range(6)})
+    rc, out = _run_with_gauges(
+        tmp_path, old, new,
+        {"calib_cpu_parallel": 0.6, "calib_mem_bandwidth": 8.0},
+        {"calib_cpu_parallel": 0.66, "calib_mem_bandwidth": 8.1},
+        {"cpu_lane": "calib_cpu_parallel"}, capsys, monkeypatch,
+    )
+    assert rc == 1
+    assert "1 flags survive normalization" in out
+    assert "cpu_lane" in out and "[cpu_parallel factor]" in out
 
 
 if __name__ == "__main__":
