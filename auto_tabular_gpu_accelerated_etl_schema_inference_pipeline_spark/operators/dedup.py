@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle, load_table, pinned_shuffle_width
 
 JACCARD_THRESHOLD = 0.95
 MINHASH_K = 32          # number of hash functions
@@ -227,7 +227,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixed-width repartition (exempt from AQE coalescing) so
         # verification runs at full cluster width. The mask branch
         # stays exchange-free — its verify is inline bit ops.
-        par = spark.sparkContext.defaultParallelism
+        par = pinned_shuffle_width(spark)
         verified = (
             cand.select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])

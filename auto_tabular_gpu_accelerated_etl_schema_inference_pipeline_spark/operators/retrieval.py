@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle, load_table, pinned_shuffle_width
 
 #: cap on stored postings per token — the sorted PREFIX is deterministic,
 #: so both engines agree on which doc_ids survive the cap.
@@ -79,7 +79,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (B ~ max_token_df / target_task_rows) — the cap algebra is
     # B-invariant (union of per-bucket minima ⊇ global minima for ANY
     # B), so raising it is a config change, not a correctness change.
-    n_buckets = min(max(32, spark.sparkContext.defaultParallelism), 1024)
+    n_buckets = pinned_shuffle_width(spark)
     # The bucket is a NAMED column (not an inline pmod expression): each
     # inline use would be a distinct internal attribute, splitting the
     # two window functions into two WindowExec passes over two sorts.

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_events, load_table
+from ..session import (
+    configure_for_oracle,
+    load_events,
+    load_table,
+    pinned_shuffle_width,
+)
 
 SESSION_GAP_MIN = 30
 
@@ -129,7 +134,7 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-width repartitions + merge hint make it a deterministic SMJ
     # at cluster width and keep AQE's byte-coalescing off the ~10x
     # fan-out feeding the per-event ranking window.
-    par = spark.sparkContext.defaultParallelism
+    par = pinned_shuffle_width(spark)
     ev = (
         ev.select("event_id", "user_id", "ts")
         .repartition(par, "user_id")
@@ -223,7 +228,7 @@ def asof_directions_join_form(ev: DataFrame, orders: DataFrame) -> DataFrame:
     coalescing lesson, PLANS.md r9) — measured 22 s / 26.5 s / 70 s at
     the probe's 100x scale for the SAME query. Pinned: 10.8-14.5 s, and
     the explicit-width exchange is AQE-coalescing-exempt by contract."""
-    par = ev.sparkSession.sparkContext.defaultParallelism
+    par = pinned_shuffle_width(ev.sparkSession)
     # hint("merge") closes the remaining degree of freedom: without it
     # AQE still flips the pre-partitioned join to a broadcast hash join
     # when runtime stats dip under the threshold — broadcasting the

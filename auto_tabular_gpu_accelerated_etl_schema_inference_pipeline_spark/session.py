@@ -208,6 +208,19 @@ def forked_session(spark: SparkSession, purpose: str) -> SparkSession:
     return s
 
 
+def pinned_shuffle_width(spark: SparkSession) -> int:
+    """Width for plan-pinning fixed-width repartitions (the anti-flap
+    exchanges of the as-of / PPJoin / retrieval families), floored and
+    capped (ADVICE r11): raw defaultParallelism is wrong at BOTH ends on
+    a real cluster — under dynamic allocation it can be tiny at plan
+    time (executors not yet registered), hard-coding a width that
+    defeats the straggler rationale the pin exists for; and on a
+    10k-core cluster an uncapped width turns every pinned exchange into
+    200k-file shuffles. min(max(32, par), 1024) — the derivation
+    retrieval.py:82 already shipped, now the one shared rule."""
+    return min(max(32, spark.sparkContext.defaultParallelism), 1024)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference O3, etl_benchmark.py:27): schema comes from
     the parquet footer; Catalyst pushes filters/projections into the scan."""

@@ -223,3 +223,30 @@ def test_forked_session_syncs_confs_on_first_creation(spark):
         assert again.conf.get("spark.sql.shuffle.partitions") == "11"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_pinned_shuffle_width_floor_and_cap(spark):
+    """ADVICE r11: the anti-flap fixed-width exchanges (as-of, PPJoin
+    verify, retrieval buckets) share one floored+capped derivation —
+    raw defaultParallelism hard-codes a tiny width when dynamic
+    allocation hasn't registered executors at plan time, and an
+    uncapped one turns pinned exchanges into 200k-file shuffles on a
+    10k-core cluster."""
+    from unittest import mock
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        pinned_shuffle_width,
+    )
+
+    real = spark.sparkContext.defaultParallelism
+    assert pinned_shuffle_width(spark) == min(max(32, real), 1024)
+    with mock.patch.object(
+        type(spark.sparkContext), "defaultParallelism",
+        new_callable=mock.PropertyMock,
+    ) as par:
+        par.return_value = 2  # pre-registration dynamic allocation
+        assert pinned_shuffle_width(spark) == 32
+        par.return_value = 10_000  # wide cluster
+        assert pinned_shuffle_width(spark) == 1024
+        par.return_value = 128
+        assert pinned_shuffle_width(spark) == 128

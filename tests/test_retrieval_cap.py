@@ -55,14 +55,23 @@ def test_bucket_stage_is_one_window_pass(spark, hot_corpus_dir):
     """rn_b and cnt_b must share one WindowExec over one sort (ADVICE
     r10 / VERDICT r9 item 8): partitioning by an inline pmod expression
     instead of the named bucket column silently splits them into two
-    passes — same output, one extra whole-relation sort."""
-    plan = (
-        q_inverted_index(spark, hot_corpus_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    windows = [l for l in plan.splitlines() if "+- Window " in l]
-    sorts = [l for l in plan.splitlines() if "+- Sort " in l]
-    assert len(windows) == 1, windows
-    assert len(sorts) == 1, sorts
+    passes — same output, one extra whole-relation sort.
+
+    collect() first and assert on the FINAL plan section (ADVICE r11):
+    reading executedPlan() on an unexecuted dataframe pins the AQE
+    INITIAL plan (isFinalPlan=false), so a runtime join-strategy flip
+    adding SMJ sorts would go undetected — the sibling as-of plan pins
+    in test_plans.py collect() for exactly this reason."""
+    import re
+
+    df = q_inverted_index(spark, hot_corpus_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    final = plan.split("== Initial Plan ==")[0]
+    # the final plan prints codegen'd nodes with a *(N) span prefix the
+    # initial plan doesn't have — match both renderings
+    windows = re.findall(r"\+- (?:\*\(\d+\) )?Window ", final)
+    sorts = re.findall(r"\+- (?:\*\(\d+\) )?Sort ", final)
+    assert len(windows) == 1, final
+    assert len(sorts) == 1, final
