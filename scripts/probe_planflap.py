@@ -42,12 +42,41 @@ flap-specific twists):
   the borderline-broadcast pressure this audit exists to vary).
 
 Contract (self-enforced, exit 1 on violation):
-1. per lane, max(session time) / min(session time) <= SPREAD_BOUND
-   (1.5, the verdict's bar);
-2. per lane, every session reports the SAME plan signature.
-A violated lane gets pinned (fixed-width repartition + join hint, the
-as-of pattern) and the probe re-run; the committed artifact is the
-post-pin state with the pre-pin evidence in `history`.
+1. per lane, every session — INCLUDING weather-degraded ones — reports
+   the SAME plan signature and the SAME row count (a different plan
+   drawn under memory pressure is still a flap; host noise cannot
+   manufacture one);
+2. per lane, max/min of the per-session statistic <= SPREAD_BOUND
+   (1.5, the verdict's bar) over GAUGE-VALID sessions only, where the
+   per-session statistic is the MIN of LANE_REPS repeated timed
+   executions (each repetition re-invokes the registry callable, so
+   each is a fresh planning pass and a fresh signature sample).
+Why min-of-K: host steal on this microVM is nonstationary WITHIN a
+session — run 2 measured a session whose start-of-session gauges were
+the run's second-quietest, yet its first two lanes ran 1.6-2.4x slow
+and its last three at normal speed (a transient that no session-level
+gauge can see). Steal is additive noise, so the min over repetitions
+estimates the plan's noise-free cost; a genuinely flapped or
+width-starved plan is slow on EVERY repetition and still trips the
+bound. Classic benchmarking statistics, same reason bench.py's
+headline went median-of-N this round.
+Gauge validity (the bench.py discipline — gauges measured 0.63->2.14
+within hours in r10): each session measures BOTH calibration gauges
+(parallel-CPU xxhash, in-partition noop sort); a session is valid iff
+each gauge is <= its slack x the run's minimum for that gauge. Slacks
+differ per gauge because their measured self-variance differs: across
+10 sessions of run 2 the CPU gauge spanned 0.65-1.29 (2x) while the
+bandwidth gauge spanned 10.0-30.9 (3.1x) — slack 1.5 on the CPU gauge,
+2.0 on the bandwidth gauge. The orchestrator keeps launching fresh
+sessions (up to MAX_ATTEMPTS) until SESSIONS are valid; invalid
+sessions are fully disclosed and still count toward contract 1.
+Run-1/run-2 evidence for all of the above lives in `history` in the
+committed artifact: 15 sessions, ZERO flaps (one signature, one row
+count per lane throughout), every raw-spread trip traceable to steal.
+A lane that violates contract 1 (or 2 on valid sessions) gets pinned
+(fixed-width repartition + join hint, the as-of pattern) and the probe
+re-run; the committed artifact is the post-pin state with the pre-pin
+evidence in `history`.
 
 Usage:
   python scripts/probe_planflap.py PROBE_PLANFLAP_r11.json   # orchestrate
@@ -73,7 +102,13 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_FLAP_REPS", "10"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_FLAP_SESSIONS", "5"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_FLAP_MAX_ATTEMPTS", "10"))
+LANE_REPS = int(os.environ.get("SPARK_GRAFT_FLAP_LANE_REPS", "3"))
 SPREAD_BOUND = 1.5
+#: session valid iff each gauge <= slack x run minimum for that gauge;
+#: slack sized from each gauge's measured self-variance (docstring)
+GAUGE_SLACKS = {"calib_cpu_parallel": 1.5, "calib_mem_bandwidth": 2.0}
+GAUGES = tuple(GAUGE_SLACKS)
 SHIFT_DAYS = 4000  # per-replica calendar shift (> the fixture's span)
 
 #: lane -> the scaled tables it reads (others are symlinked)
@@ -165,31 +200,55 @@ def session_main(scaled_dir: str) -> int:
 
     spark = get_spark(app_name="probe_planflap_session")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    # both bench.py weather gauges: ALU-bound and bandwidth-bound work
+    # degrade independently on this host (r4 finding), and the lanes
+    # here are shuffle/decode-heavy — CPU alone under-detects steal
     t0 = time.perf_counter()
     spark.range(2_000_000_000).selectExpr("max(xxhash64(id))").collect()
-    calib = round(time.perf_counter() - t0, 4)
+    calib_cpu = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "xxhash64(id) AS k"
+    ).sortWithinPartitions("k").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    calib_mem = round(time.perf_counter() - t0, 4)
 
     queries = entrymod.queries()
-    out: dict = {"calib_cpu_parallel": calib, "lanes": {}}
+    out: dict = {
+        "calib_cpu_parallel": calib_cpu,
+        "calib_mem_bandwidth": calib_mem,
+        "lanes": {},
+    }
     for name, tables in TARGETS.items():
         # untimed warm scan of the lane's scaled inputs
         for t in tables:
             df = spark.read.parquet(os.path.join(scaled_dir, f"{t}.parquet"))
             df.select(F.count(F.xxhash64(*df.columns))).collect()
-        # the timer covers the CALLABLE too: iterative lanes (LPA) do
-        # their join rounds eagerly inside it via localCheckpoint, and
-        # the returned frame is a trivial Scan ExistingRDD
-        t0 = time.perf_counter()
-        qdf = queries[name](spark, scaled_dir)
-        n = qdf._jdf.queryExecution().executedPlan().execute().count()
-        elapsed = round(time.perf_counter() - t0, 3)
-        plan = qdf._jdf.queryExecution().executedPlan().toString()
-        if "AdaptiveSparkPlan" in plan:
-            assert "isFinalPlan=true" in plan, plan[:300]
+        # min-of-K repetitions (docstring contract 2): each repetition
+        # re-invokes the registry callable — a fresh planning pass, so
+        # every rep contributes a signature sample. The timer covers
+        # the CALLABLE too: iterative lanes (LPA) do their join rounds
+        # eagerly inside it via localCheckpoint, and the returned frame
+        # is a trivial Scan ExistingRDD
+        times: list[float] = []
+        sigs: list[str] = []
+        rows: set[int] = set()
+        for _ in range(LANE_REPS):
+            t0 = time.perf_counter()
+            qdf = queries[name](spark, scaled_dir)
+            n = qdf._jdf.queryExecution().executedPlan().execute().count()
+            times.append(round(time.perf_counter() - t0, 3))
+            plan = qdf._jdf.queryExecution().executedPlan().toString()
+            if "AdaptiveSparkPlan" in plan:
+                assert "isFinalPlan=true" in plan, plan[:300]
+            sigs.append(plan_signature(plan))
+            rows.add(n)
         out["lanes"][name] = {
-            "t": elapsed,
-            "rows": n,
-            "sig": plan_signature(plan),
+            "t": min(times),
+            "times": times,
+            "rows": sorted(rows),
+            "sigs": sorted(set(sigs)),
         }
         import gc
 
@@ -235,7 +294,18 @@ def main() -> int:
         env = dict(os.environ)
         env.setdefault("SPARK_DRIVER_MEMORY", "16g")
         sessions: list[dict] = []
-        for i in range(SESSIONS):
+
+        def _valid_idx() -> list[int]:
+            # valid iff EVERY gauge is within its slack of the run's
+            # minimum for that gauge (the quietest session this run saw)
+            mins = {g: min(s[g] for s in sessions) for g in GAUGES}
+            return [
+                i
+                for i, s in enumerate(sessions)
+                if all(s[g] <= GAUGE_SLACKS[g] * mins[g] for g in GAUGES)
+            ]
+
+        for i in range(MAX_ATTEMPTS):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--session", d],
                 capture_output=True, text=True, timeout=3600, env=env,
@@ -259,22 +329,42 @@ def main() -> int:
                 return 1
             rec = json.loads(line)
             sessions.append(rec)
-            print(f"# session {i}: calib={rec['calib_cpu_parallel']} "
+            print(f"# session {i}: cpu={rec['calib_cpu_parallel']} "
+                  f"mem={rec['calib_mem_bandwidth']} "
                   + json.dumps(rec["lanes"]), file=sys.stderr, flush=True)
-        out["session_calibs"] = [s["calib_cpu_parallel"] for s in sessions]
+            if len(_valid_idx()) >= SESSIONS:
+                break
+        valid = _valid_idx()
+        out["session_gauges"] = [
+            {g: s[g] for g in GAUGES} for s in sessions
+        ]
+        out["gauge_valid_sessions"] = valid
+        out["gauge_slacks"] = GAUGE_SLACKS
+        out["lane_reps"] = LANE_REPS
 
         lanes: dict = {}
         violations: list[str] = []
         for name in TARGETS:
-            ts = [s["lanes"][name]["t"] for s in sessions]
-            sigs = [s["lanes"][name]["sig"] for s in sessions]
-            rows = {s["lanes"][name]["rows"] for s in sessions}
-            spread = max(ts) / max(min(ts), 1e-9)
+            ts = [s["lanes"][name]["t"] for s in sessions]  # min-of-K
+            vts = [ts[i] for i in valid]
+            # contract 1 over ALL sessions and ALL repetitions: a flap
+            # under memory pressure is still a flap — weather cannot
+            # manufacture a different physical plan or row count
+            sigs = sorted(
+                {g for s in sessions for g in s["lanes"][name]["sigs"]}
+            )
+            rows = sorted(
+                {r for s in sessions for r in s["lanes"][name]["rows"]}
+            )
+            spread = max(vts) / max(min(vts), 1e-9)
             rec = {
                 "times": ts,
+                "rep_times": [s["lanes"][name]["times"] for s in sessions],
+                "valid_times": vts,
+                "spread_all": round(max(ts) / max(min(ts), 1e-9), 3),
                 "spread": round(spread, 3),
-                "signatures": sorted(set(sigs)),
-                "rows": sorted(rows),
+                "signatures": sigs,
+                "rows": rows,
             }
             rec["ok"] = (
                 spread <= SPREAD_BOUND
@@ -286,7 +376,11 @@ def main() -> int:
             lanes[name] = rec
         out["lanes"] = lanes
         out["violations"] = violations
-        out["pass"] = not violations
+        # fewer than 2 valid sessions means the spread contract never
+        # really ran — fail loudly rather than certify on one sample
+        out["pass"] = not violations and len(valid) >= 2
+        if len(valid) < 2:
+            out["error"] = "fewer than 2 gauge-valid sessions"
         _write(out, dest)
         return 1 if violations else 0
     finally:
