@@ -502,6 +502,31 @@ def main() -> None:
         "overwrite"
     ).save()
     timings["calib_mem_bandwidth"] = time.perf_counter() - tc
+    # Third gauge: cold-disk sequential read. Round-11 discovery: an
+    # IO-throughput collapse (cold reads ~150 MB/s vs the >1.4 GB/s
+    # good phases) is invisible to BOTH gauges above — CPU intact,
+    # in-memory bandwidth intact — yet it dominates the ref lane,
+    # whose 1.5 GB file this box evicts right after writing. Measure
+    # the device directly, no Spark in the loop: write 256 MB, fsync,
+    # evict exactly that file's pages with posix_fadvise(DONTNEED)
+    # (works unprivileged; pages are clean post-fsync), then time a
+    # plain sequential re-read. ~0.2 s on a healthy device, tens of
+    # seconds mid-storm — the adjudication signal for ref_warm_read
+    # and every other disk-bound disclosure.
+    io_path = "/tmp/spark_graft_calib_io.bin"
+    blob = b"\xa5" * (8 << 20)
+    with open(io_path, "wb") as fh:
+        for _ in range(32):
+            fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(io_path, "rb") as fh:
+        os.posix_fadvise(fh.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+        tc = time.perf_counter()
+        while fh.read(8 << 20):
+            pass
+        timings["calib_disk_cold_read"] = time.perf_counter() - tc
+    os.remove(io_path)
 
     # --- reference-scale workload FIRST (fresh subprocess JVM) ---
     # Run before the 50 headline queries: each reference benchmark run is

@@ -38,7 +38,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "scripts", "gauge_affinity.json")
-GAUGES = ("calib_cpu_parallel", "calib_mem_bandwidth")
+GAUGES = ("calib_cpu_parallel", "calib_mem_bandwidth", "calib_disk_cold_read")
 MIN_POINTS = 5
 MIN_CORR = 0.5
 MIN_MARGIN = 0.1
