@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table, pinned_shuffle_width
+from ..session import (
+    configure_for_oracle,
+    load_table,
+    pinned_shuffle_width,
+    spread_small_scan,
+)
 
 JACCARD_THRESHOLD = 0.95
 MINHASH_K = 32          # number of hash functions
@@ -48,7 +53,11 @@ REPS_PER_BUCKET = 16    # candidate partners per (band, bucket) in the
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
-    return load_table(spark, sf_dir, "documents")
+    # spread an under-split scan across the session's cores (r12, guide
+    # §2.5): the document lanes are expression-bound (tokenize/hash per
+    # row), and a single-row-group parquet file otherwise serializes
+    # them onto one core; no-op at production split counts
+    return spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
 
 
 def _norm_text():
@@ -399,11 +408,20 @@ def _minhash_toks_bands(
     squares it."""
     r = MINHASH_K // MINHASH_BANDS
     toks = F.array_distinct(F.split(_norm_text(), " "))
-    toks_df = docs.select("doc_id", toks.alias("toks"))
-    sigs = docs.select(
+    # Materialize the token arrays FIRST and derive the signatures from
+    # the materialized COLUMN (r12, guide §1.2 per-task work): the 32
+    # array_min(transform(...)) slots are higher-order functions —
+    # excluded from both whole-stage codegen and common-subexpression
+    # elimination — so inlining the split+distinct EXPRESSION into each
+    # slot re-evaluated the tokenization 33x per row (measured: the
+    # signature pass dropped ~5x at sf0.1 when the slots read a pinned
+    # column instead). The pinned frame is also what the verify stage
+    # broadcasts, so this materialization was already paid below.
+    toks_df = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
+    sigs = toks_df.select(
         "doc_id",
-        _minhash_sig_col(toks, MINHASH_K).alias("sig"),
-        F.size(toks).alias("sz"),
+        _minhash_sig_col(F.col("toks"), MINHASH_K).alias("sig"),
+        F.size("toks").alias("sz"),
     )
     extra = ["sig", "sz"] if carry_sig else []
     bands = sigs.select(
@@ -423,7 +441,15 @@ def _minhash_toks_bands(
             )
         ).alias("bb"),
     ).select("doc_id", *extra, "bb.band", "bb.bucket")
-    return toks_df, bands
+    # Materialize bands too (r12, guide §2.4/§5): it feeds the two sides
+    # of the candidate self-join plus the rep-cap window, and Catalyst
+    # shares no subtrees across DAG branches, so uncached the signature
+    # pipeline re-ran up to 5x per query (measured: the near-dedup stage
+    # of training_data_prep dropped ~2.5x at sf0.1 with the pins). Both
+    # pinned frames are the SMALL by-construction artifacts (ids +
+    # 32-slot sigs / per-doc distinct tokens, never raw text) —
+    # output-sized, same class the verify broadcast already assumes.
+    return toks_df, bands.localCheckpoint()
 
 
 def minhash_near_dup_pairs(docs: DataFrame) -> DataFrame:
@@ -1207,10 +1233,18 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    jac = to_rep_pairs(near_dup_pairs(spark, sf_dir).select("a_id", "b_id"))
+    # Each detector's rep-pair set is consumed TWICE below (once in the
+    # union that enumerates all pairs, once as its flag join) — pin the
+    # three bounded relations so the census runs each detector once
+    # instead of twice (r12, guide §2.4; containment was the worst
+    # offender: unlike the other two it has no session memo, so its
+    # whole mask-group pipeline re-ran per consumer).
+    jac = to_rep_pairs(
+        near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    ).localCheckpoint()
     mh = to_rep_pairs(
         minhash_portable_pairs(spark, sf_dir).select("a_id", "b_id")
-    )
+    ).localCheckpoint()
     ct = (
         q_containment_pairs(spark, sf_dir)
         .select(
@@ -1218,6 +1252,7 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("subset_rep", "superset_rep").alias("y"),
         )
         .distinct()
+        .localCheckpoint()
     )
     allp = jac.unionByName(mh).unionByName(ct).distinct()
     flags = (

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_events, load_table
+from ..session import (
+    configure_for_oracle,
+    load_events,
+    load_table,
+    spread_small_scan,
+)
 
 #: regexes shared verbatim by Spark (Java regex) and DuckDB (RE2) — the
 #: subset syntax below parses identically in both.
@@ -49,7 +54,11 @@ GROUP_SAMPLE_N = 5
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
-    return load_table(spark, sf_dir, "documents")
+    # spread an under-split scan across the session's cores (r12, guide
+    # §2.5): the document lanes are expression-bound (tokenize/hash per
+    # row), and a single-row-group parquet file otherwise serializes
+    # them onto one core; no-op at production split counts
+    return spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -512,9 +512,20 @@ def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    remaining = pres
+    # The covered-term set is bounded by K × terms-per-pick (a few
+    # hundred strings), so hold it on the DRIVER and filter the pinned
+    # presence table with an InSet predicate instead of re-materializing
+    # the whole anti-joined relation every round (r12, guide §2.4: the
+    # old shape paid one anti-join shuffle + one full localCheckpoint
+    # rewrite of `pres` per round; now each round is one map-side filter
+    # + partial agg + a bounded collect of the pick's terms). Same
+    # greedy, same tie-break, identical output.
+    covered: set[str] = set()
     out, cum = [], 0
     for rnd in range(1, MAXCOVER_K + 1):
+        remaining = (
+            pres.filter(~F.col("w").isin(*covered)) if covered else pres
+        )
         pick = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -527,12 +538,12 @@ def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc, gain = pick[0]["doc_id"], pick[0]["gain"]
         cum += gain
         out.append((rnd, doc, gain, cum))
-        picked_terms = remaining.filter(
-            F.col("doc_id") == doc
-        ).select("w")
-        remaining = remaining.join(
-            picked_terms, "w", "left_anti"
-        ).localCheckpoint()
+        covered.update(
+            r["w"]
+            for r in remaining.filter(F.col("doc_id") == doc)
+            .select("w")
+            .collect()
+        )
     return spark.createDataFrame(
         out, "round bigint, doc_id bigint, gain bigint, covered_terms bigint"
     )

@@ -141,6 +141,13 @@ def q_transpose_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
             F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
         )
+        # Pin the bounded (3-row) profile: downstream it is executed SIX
+        # times uncached — transpose's schema-inference collect, the
+        # pivot-values job, both sides of the agreement assert, and the
+        # returned plan — and the double-countDistinct agg over lineitem
+        # is the entire cost of this lane (r12, guide §2.4; measured
+        # ~3.8 s -> ~1 s at sf0.1).
+        .localCheckpoint()
     )
     long = prof.unpivot(
         ["l_returnflag"],

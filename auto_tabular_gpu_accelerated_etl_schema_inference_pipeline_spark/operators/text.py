@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle, load_table, spread_small_scan
 
 #: tiny stopword list used by quality scoring (public-domain common words)
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
@@ -34,7 +34,11 @@ LANG_MARKERS = {
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
-    return load_table(spark, sf_dir, "documents")
+    # spread an under-split scan across the session's cores (r12, guide
+    # §2.5): the document lanes are expression-bound (tokenize/hash per
+    # row), and a single-row-group parquet file otherwise serializes
+    # them onto one core; no-op at production split counts
+    return spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
 
 
 def _tokens():

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from .operators.dedup import minhash_near_dup_drop_ids
 from .operators.model import QuantileBinModel
 from .operators.text import STOPWORDS
-from .session import load_table
+from .session import load_table, spread_small_scan
 
 
 def quality_filter(
@@ -75,8 +75,17 @@ def prepare_training_data(
 ) -> DataFrame:
     """documents + lineitem-derived numeric features -> one tokenized,
     deduped, quality-filtered training table."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs = quality_filter(docs)
+    # spread an under-split scan across cores before the expression-
+    # bound quality gate (r12, guide §2.5; no-op at production split
+    # counts)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    # Pin the quality-filtered corpus before exact dedup (r12, guide
+    # §2.4): dedup_exact_keep_first consumes its input TWICE (the digest
+    # aggregation and the semi-join's probe side), so uncached the
+    # scan + quality-gate expressions ran twice. localCheckpoint is a
+    # local materialization — no shuffle of text — and downstream
+    # branches read it instead of re-scanning parquet.
+    docs = quality_filter(docs).localCheckpoint()
     # persist: the near-dedup stage references this frame from several
     # self-join branches (signatures, bands, verification) — without the
     # cache each branch re-runs the filter+dedup lineage from parquet

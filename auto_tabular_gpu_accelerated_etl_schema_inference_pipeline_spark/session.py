@@ -221,6 +221,23 @@ def pinned_shuffle_width(spark: SparkSession) -> int:
     return min(max(32, spark.sparkContext.defaultParallelism), 1024)
 
 
+def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a scan whose split count is far below the
+    session's parallelism (guide §2.5 input skew: a small or
+    single-row-group parquet file yields ONE scan partition, serializing
+    every downstream expression — tokenization, hashing, regex — onto
+    one core of local[32]). Scale-adaptive by construction: a
+    production-scale table arrives as >= parallelism splits, making this
+    a no-op; only genuinely under-split inputs pay the one extra (tiny)
+    exchange. Used by the text/document lanes whose per-row expression
+    work dominates; NOT wired into load_table, because plan-pinned lanes
+    (as-of family, retrieval) count their exchanges."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= par:
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference O3, etl_benchmark.py:27): schema comes from
     the parquet footer; Catalyst pushes filters/projections into the scan."""

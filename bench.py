@@ -262,6 +262,36 @@ HEADLINE = [
 ]
 
 
+def disk_cold_read_gauge() -> float:
+    """Cold-disk sequential-read gauge: write 256 MB to a per-run temp
+    file, fsync, evict exactly that file's pages with
+    posix_fadvise(DONTNEED) (works unprivileged; pages are clean
+    post-fsync), then time a plain sequential re-read. ~0.2 s on a
+    healthy device, tens of seconds mid-storm. Per-run tempfile +
+    try/finally so concurrent bench/solo_bench runs cannot race on one
+    path and an exception cannot leak the 256 MB file (ADVICE r11)."""
+    fd, io_path = tempfile.mkstemp(prefix="spark_graft_calib_io_",
+                                   suffix=".bin")
+    try:
+        blob = b"\xa5" * (8 << 20)
+        with os.fdopen(fd, "wb") as fh:
+            for _ in range(32):
+                fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(io_path, "rb") as fh:
+            os.posix_fadvise(fh.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+            tc = time.perf_counter()
+            while fh.read(8 << 20):
+                pass
+            return time.perf_counter() - tc
+    finally:
+        try:
+            os.remove(io_path)
+        except OSError:
+            pass
+
+
 def run_ref_section(spark) -> dict[str, float]:
     """Reference-scale workload: 10M rows x 20 cols, 100 bins — the exact
     shape behind BASELINE.md (etl_benchmark.py ROWS/COLS/BINS). Two-phase
@@ -382,6 +412,7 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
     runs: list[dict[str, float]] = []
     totals: list[float] = []
     calibs: list[float] = []
+    disk_calibs: list[float] = []
     for _ in range(max(1, attempts)):
         try:
             proc = subprocess.run(
@@ -397,6 +428,7 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
         runs.append(run)
         totals.append(round(run.get("ref_total", -1.0), 4))
         calibs.append(round(run.get("ref_calib_cpu", -1.0), 4))
+        disk_calibs.append(round(run.get("ref_calib_disk", -1.0), 4))
     if not runs:
         print("bench: all ref subprocesses failed; in-process fallback",
               file=sys.stderr)
@@ -404,6 +436,7 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
         runs = [run_ref_section(parent_spark)]
         totals = [round(runs[0].get("ref_total", -1.0), 4)]
         calibs = [round(runs[0].get("ref_calib_cpu", -1.0), 4)]
+        disk_calibs = [-1.0]
     # Headline = the median RUN (lower median for even counts), so the
     # phase split (ref_fit/ref_transform/ref_warm_read) stays internally
     # consistent with the headline total instead of mixing attempts.
@@ -412,6 +445,7 @@ def _ref_section_subprocess(parent_spark) -> dict[str, float]:
     ]
     med["ref_total_runs"] = totals  # type: ignore[assignment]
     med["ref_calib_cpu_runs"] = calibs  # type: ignore[assignment]
+    med["ref_calib_disk_runs"] = disk_calibs  # type: ignore[assignment]
     return med
 
 
@@ -450,8 +484,13 @@ def ref_only_main() -> None:
     tc = time.perf_counter()
     spark.range(2_000_000_000).selectExpr("max(xxhash64(id))").collect()
     calib = time.perf_counter() - tc
+    # Per-attempt disk gauge (VERDICT r11 item 1): each ref attempt's
+    # total is read against the IO state it actually ran under,
+    # mirroring ref_calib_cpu.
+    calib_disk = disk_cold_read_gauge()
     out = run_ref_section(spark)
     out["ref_calib_cpu"] = calib
+    out["ref_calib_disk"] = calib_disk
     print(json.dumps(out))
 
 
@@ -506,27 +545,15 @@ def main() -> None:
     # IO-throughput collapse (cold reads ~150 MB/s vs the >1.4 GB/s
     # good phases) is invisible to BOTH gauges above — CPU intact,
     # in-memory bandwidth intact — yet it dominates the ref lane,
-    # whose 1.5 GB file this box evicts right after writing. Measure
-    # the device directly, no Spark in the loop: write 256 MB, fsync,
-    # evict exactly that file's pages with posix_fadvise(DONTNEED)
-    # (works unprivileged; pages are clean post-fsync), then time a
-    # plain sequential re-read. ~0.2 s on a healthy device, tens of
-    # seconds mid-storm — the adjudication signal for ref_warm_read
-    # and every other disk-bound disclosure.
-    io_path = "/tmp/spark_graft_calib_io.bin"
-    blob = b"\xa5" * (8 << 20)
-    with open(io_path, "wb") as fh:
-        for _ in range(32):
-            fh.write(blob)
-        fh.flush()
-        os.fsync(fh.fileno())
-    with open(io_path, "rb") as fh:
-        os.posix_fadvise(fh.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
-        tc = time.perf_counter()
-        while fh.read(8 << 20):
-            pass
-        timings["calib_disk_cold_read"] = time.perf_counter() - tc
-    os.remove(io_path)
+    # whose 1.5 GB file this box evicts right after writing.
+    # ~0.2 s on a healthy device, tens of seconds mid-storm — the
+    # adjudication signal for ref_warm_read and every other disk-bound
+    # disclosure. r11 postmortem: IO weather on this box swings ~7x
+    # between samples, so ONE sample at bench start cannot bracket a
+    # ~25-minute run — sample at start AND end (VERDICT r11 item 1),
+    # disclose both, and mark the artifact weather-invalid when the
+    # bracket spread exceeds 2x.
+    timings["calib_disk_cold_read"] = disk_cold_read_gauge()
 
     # --- reference-scale workload FIRST (fresh subprocess JVM) ---
     # Run before the 50 headline queries: each reference benchmark run is
@@ -594,6 +621,26 @@ def main() -> None:
         except Exception as exc:  # a broken bench entry shouldn't kill the run
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    # Closing bracket sample of the disk gauge (VERDICT r11 item 1): the
+    # start sample alone cannot certify a ~25-minute window on a host
+    # whose IO weather swings ~7x between samples.
+    timings["calib_disk_cold_read_end"] = disk_cold_read_gauge()
+    disk_runs = [
+        round(timings["calib_disk_cold_read"], 4),
+        round(timings["calib_disk_cold_read_end"], 4),
+    ]
+    bracket_spread = max(disk_runs) / max(min(disk_runs), 1e-9)
+    timings["calib_disk_cold_read_runs"] = disk_runs  # type: ignore[assignment]
+    timings["calib_disk_bracket_spread"] = bracket_spread
+    # weather_valid is the artifact's own verdict on itself: >2x intra-
+    # run IO spread means per-lane seconds are not comparable across
+    # rounds and the disclosure should be re-run, not trusted.
+    timings["weather_valid"] = 1.0 if bracket_spread <= 2.0 else 0.0
+    if bracket_spread > 2.0:
+        print(f"bench: WEATHER-INVALID — disk gauge bracket {disk_runs} "
+              f"spread {bracket_spread:.2f}x > 2x; re-run in a calmer "
+              "window", file=sys.stderr)
 
     result = {
         "metric": "flagship_tokenize_total",

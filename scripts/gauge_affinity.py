@@ -71,7 +71,11 @@ def _series() -> list[dict[str, float]]:
             if not isinstance(v, list) and isinstance(v, (int, float))
             and float(v) > 0
         }
-        if all(g in q for g in GAUGES):
+        # co-observation is per gauge-pair below, so a snapshot only
+        # needs SOME gauges — requiring all three would drop every
+        # pre-r11 snapshot (none carries calib_disk_cold_read) and
+        # silently regenerate an empty map (ADVICE r11)
+        if sum(1 for g in GAUGES if g in q) >= 2:
             snaps.append(q)
     return snaps
 
@@ -92,34 +96,41 @@ def main() -> int:
     names = sorted({n for q in snaps for n in q} - set(GAUGES))
     out: dict[str, dict] = {}
     for name in names:
-        rows = [
-            (math.log(q[name]), math.log(q[GAUGES[0]]), math.log(q[GAUGES[1]]))
-            for q in snaps
-            if name in q
-        ]
-        if len(rows) < MIN_POINTS:
-            continue
-        t = [r[0] for r in rows]
-        corr = {
-            GAUGES[0]: _pearson(t, [r[1] for r in rows]),
-            GAUGES[1]: _pearson(t, [r[2] for r in rows]),
-        }
-        best = max(GAUGES, key=lambda g: corr[g])
-        other = GAUGES[1] if best == GAUGES[0] else GAUGES[0]
+        # per-pair co-observation: each gauge's correlation uses the
+        # snapshots where BOTH the lane and THAT gauge were observed
+        # (the disk gauge only exists from r11 on — ADVICE r11)
+        corr: dict[str, float] = {}
+        npts: dict[str, int] = {}
+        for g in GAUGES:
+            rows = [
+                (math.log(q[name]), math.log(q[g]))
+                for q in snaps
+                if name in q and g in q
+            ]
+            npts[g] = len(rows)
+            if len(rows) < MIN_POINTS:
+                continue
+            corr[g] = _pearson([r[0] for r in rows], [r[1] for r in rows])
+        if len(corr) < 2:
+            continue  # margin needs a runner-up; fall back to median
+        best = max(corr, key=lambda g: corr[g])
+        other = max((g for g in corr if g != best), key=lambda g: corr[g])
         if corr[best] >= MIN_CORR and corr[best] - corr[other] >= MIN_MARGIN:
             out[name] = {
                 "gauge": best,
                 "corr": round(corr[best], 3),
                 "corr_other": round(corr[other], 3),
-                "n": len(rows),
+                "n": npts[best],
             }
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    cpu = sum(1 for r in out.values() if r["gauge"] == GAUGES[0])
+    by_gauge = {g: sum(1 for r in out.values() if r["gauge"] == g)
+                for g in GAUGES}
     print(
         f"{len(names)} lanes seen | {len(out)} classified "
-        f"({cpu} cpu / {len(out) - cpu} mem) | "
+        f"({by_gauge[GAUGES[0]]} cpu / {by_gauge[GAUGES[1]]} mem / "
+        f"{by_gauge[GAUGES[2]]} disk) | "
         f"{len(names) - len(out)} median-fallback -> {OUT}"
     )
     return 0

@@ -360,6 +360,16 @@ def main() -> int:
         out["gauge_slacks"] = GAUGE_SLACKS
         out["lane_reps"] = LANE_REPS
 
+        if not valid:
+            # per-gauge minima can come from DIFFERENT sessions, so zero
+            # sessions can satisfy both slacks at once — record, write
+            # the artifact, and fail loudly instead of crashing on
+            # max([]) below (ADVICE r11)
+            out["pass"] = False
+            out["error"] = "zero gauge-valid sessions"
+            _write(out, dest)
+            return 1
+
         lanes: dict = {}
         violations: list[str] = []
         for name in TARGETS:
@@ -400,7 +410,9 @@ def main() -> int:
         if len(valid) < 2:
             out["error"] = "fewer than 2 gauge-valid sessions"
         _write(out, dest)
-        return 1 if violations else 0
+        # exit code must agree with pass: <2 valid sessions means the
+        # spread contract never really ran (ADVICE r11)
+        return 1 if (violations or len(valid) < 2) else 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -41,21 +41,11 @@ def main(names: list[str]) -> None:
     ).write.format("noop").mode("overwrite").save()
     out["calib_mem_bandwidth"] = round(time.perf_counter() - t0, 4)
     # disk cold-read gauge (bench.py's third gauge, r11): adjudicates
-    # IO-bound flags that neither CPU nor in-memory bandwidth explains
-    io_path = "/tmp/spark_graft_calib_io.bin"
-    blob = b"\xa5" * (8 << 20)
-    with open(io_path, "wb") as fh:
-        for _ in range(32):
-            fh.write(blob)
-        fh.flush()
-        os.fsync(fh.fileno())
-    with open(io_path, "rb") as fh:
-        os.posix_fadvise(fh.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
-        t0 = time.perf_counter()
-        while fh.read(8 << 20):
-            pass
-        out["calib_disk_cold_read"] = round(time.perf_counter() - t0, 4)
-    os.remove(io_path)
+    # IO-bound flags that neither CPU nor in-memory bandwidth explains;
+    # shared helper = per-run tempfile + try/finally (ADVICE r11)
+    from bench import disk_cold_read_gauge
+
+    out["calib_disk_cold_read"] = round(disk_cold_read_gauge(), 4)
 
     queries = entrymod.queries()
     for name in names:

@@ -375,15 +375,25 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
 
 
 def test_top_ngram_cover_map_only(spark, sf_dir):
-    """The per-doc argmax runs inside array expressions: no exchange, no
-    window, no join anywhere in the plan."""
+    """The per-doc argmax runs inside array expressions: no KEYED
+    exchange, no window, no join anywhere in the plan. The one allowed
+    exchange is the round-robin input spread (r12, session.
+    spread_small_scan) — it redistributes an under-split scan without
+    introducing any key-based shuffle, so the map-only discipline this
+    pin protects (no data movement keyed on row content) still holds."""
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.text import (
         q_text_top_ngram_cover,
     )
 
     df = q_text_top_ngram_cover(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Exchange" not in plan, plan
+    # every Exchange must be the round-robin spread, never keyed
+    import re as _re
+
+    n_exch = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exch == plan.count("RoundRobinPartitioning"), plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
 
