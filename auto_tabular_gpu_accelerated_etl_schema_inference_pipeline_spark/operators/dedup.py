@@ -920,8 +920,9 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the band-bucket join and the bounded verified-pair
     output; the per-doc token arrays ride along for verification
     (bounded by doc length) — full text never shuffles."""
-    configure_for_oracle(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # _docs spreads an under-split scan (r12, guide §2.5): the 16-way
+    # md5 minhash fold below otherwise runs on the single scan core
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.array_sort(
@@ -1063,8 +1064,8 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable); banding and the capped bucket join follow
     the minhash-portable shape; verification is a bit op on two
     8-byte signatures riding the pair rows."""
-    configure_for_oracle(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # _docs spreads an under-split scan (r12, guide §2.5)
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(

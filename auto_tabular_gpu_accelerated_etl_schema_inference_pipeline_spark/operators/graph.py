@@ -544,42 +544,79 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: only, so a cyclic-graph closure (see dedup_components' oracle) would
 #: not terminate — the DataFrame hash-min loop remains the right tool
 #: for cyclic reachability, recursion the right tool for chains/DAGs.
-_RCTE_ORDER_CHAIN_SQL = """
-WITH RECURSIVE o AS (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    row_number() OVER (PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM orders WHERE o_custkey < 200
-),
+#: the shared recursion text (byte-identical on both engines); the
+#: bounded `o` spine — one row per qualifying order, with its chain
+#: position — is materialized per engine's own idiom FIRST (DuckDB: AS
+#: MATERIALIZED; Spark: a checkpointed temp view), because Spark
+#: re-plans a plain CTE per recursion level: with `o` inlined, every one
+#: of the ~18 levels re-ran the parquet scan AND the row_number window
+#: (measured 6.5 s -> 2.6 s at sf0.1 when the spine joins a pinned
+#: 2050-row relation instead — the exact holt-spine remedy, r12 guide
+#: §2.4).
+_RCTE_WALK_SQL = """
 walk(o_custkey, o_orderkey, rn, chain_total_cents) AS (
   SELECT o_custkey, o_orderkey, rn,
     CAST(round(o_totalprice * 100) AS BIGINT)
-  FROM o WHERE rn = 1
+  FROM {o} WHERE rn = 1
   UNION ALL
   SELECT t.o_custkey, t.o_orderkey, t.rn,
     w.chain_total_cents + CAST(round(t.o_totalprice * 100) AS BIGINT)
-  FROM walk w JOIN o t ON t.o_custkey = w.o_custkey AND t.rn = w.rn + 1
+  FROM walk w JOIN {o} t ON t.o_custkey = w.o_custkey AND t.rn = w.rn + 1
 )
 SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS chain_pos,
   chain_total_cents
 FROM walk
 """
 
+_RCTE_ORDER_CHAIN_SQL = (
+    """
+WITH RECURSIVE o AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 200
+),
+"""
+    + _RCTE_WALK_SQL.format(o="o")
+)
+
 
 def q_recursive_cte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linked-list traversal as ONE recursive SQL query (Spark 4's WITH
     RECURSIVE): walk each customer's orders in date order accumulating
     an exact running total in cents. The recursion text is byte-
-    identical on both engines. Iteration as a PLAN (not a driver loop)
-    is the right surface for chain/DAG walks — org hierarchies, BOM
-    explosions, event funnels; for cyclic graphs Spark's UNION-ALL-only
-    recursion diverges, and the DataFrame hash-min loop in
-    connected_components() is the scalable alternative."""
-    from ..session import configure_for_oracle, load_table
+    identical on both engines (the bounded `o` spine is materialized
+    per engine idiom first — see _RCTE_WALK_SQL). Iteration as a PLAN
+    (not a driver loop) is the right surface for chain/DAG walks — org
+    hierarchies, BOM explosions, event funnels; for cyclic graphs
+    Spark's UNION-ALL-only recursion diverges, and the DataFrame
+    hash-min loop in connected_components() is the scalable
+    alternative."""
+    from pyspark.sql import Window as W
 
-    configure_for_oracle(spark)
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RCTE_ORDER_CHAIN_SQL)
+    from ..session import configure_for_oracle, forked_session, load_table
+
+    s = forked_session(spark, "graph.rcte_order_chain")
+    configure_for_oracle(s)
+    o = (
+        load_table(s, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number()
+            .over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            )
+            .alias("rn"),
+        )
+        .localCheckpoint()
+    )
+    o.createOrReplaceTempView("rcte_order_spine")
+    return s.sql(
+        "WITH RECURSIVE " + _RCTE_WALK_SQL.format(o="rcte_order_spine")
+    )
 
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

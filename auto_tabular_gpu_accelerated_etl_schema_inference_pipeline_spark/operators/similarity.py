@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import configure_for_oracle, load_table
+from ..session import configure_for_oracle, load_table, spread_small_scan
 
 TOP_K = 5
 N_QUERIES = 5           # vec_id < 5 are the query vectors
@@ -42,7 +42,13 @@ LSH_PLANES = 8
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    # spread an under-split scan across cores (r12, guide §2.5): the
+    # similarity lanes are expression-bound (per-row folds over 64-dim
+    # vectors), and a single-row-group parquet file otherwise serializes
+    # them onto one core; no-op at production split counts
+    return spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), spark
+    )
 
 
 def _dbl_vec(col):
@@ -1401,6 +1407,11 @@ def q_similarity_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * PLSH_SCALE).cast("bigint"),
         ).alias("e"),
     ).withColumn("n2_q", idot(F.col("e"), F.col("e")))
+    # Pin the quantized vectors: q is consumed THREE times (the banded
+    # signature build and both verify-side broadcasts), and uncached
+    # each consumer re-ran the quantize+norm fold over the embeddings
+    # scan (r12, guide §2.4).
+    q = q.localCheckpoint()
     # ONE expr string for the 32×64 ±1 matrix: building it element-wise
     # with F.lit costs 2048 py4j round-trips PER INVOCATION (~2-3 s of
     # pure driver time); a single parsed literal is milliseconds
