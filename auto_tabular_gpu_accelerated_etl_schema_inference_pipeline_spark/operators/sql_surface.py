@@ -146,7 +146,7 @@ def q_transpose_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pivot-values job, both sides of the agreement assert, and the
         # returned plan — and the double-countDistinct agg over lineitem
         # is the entire cost of this lane (r12, guide §2.4; measured
-        # ~3.8 s -> ~1 s at sf0.1).
+        # solo x3 ~3.8 s -> ~1.7 s at sf0.1).
         .localCheckpoint()
     )
     long = prof.unpivot(

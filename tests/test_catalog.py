@@ -250,3 +250,25 @@ def test_pinned_shuffle_width_floor_and_cap(spark):
         assert pinned_shuffle_width(spark) == 1024
         par.return_value = 128
         assert pinned_shuffle_width(spark) == 128
+
+
+def test_spread_small_scan_adaptive(spark, sf_dir):
+    """spread_small_scan (r12): an under-split scan is round-robin
+    repartitioned to the session's parallelism; an input already at or
+    near parallelism is returned UNCHANGED (the production no-op path —
+    at scale a table arrives as >= parallelism splits and must not pay
+    an extra exchange). Row content is identical either way."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+        spread_small_scan,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < par  # fixture is under-split
+    spread = spread_small_scan(docs, spark)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == docs.count()
+
+    wide = docs.repartition(par)  # already at parallelism
+    assert spread_small_scan(wide, spark) is wide
