@@ -57,7 +57,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.5): the document lanes are expression-bound (tokenize/hash per
     # row), and a single-row-group parquet file otherwise serializes
     # them onto one core; no-op at production split counts
-    return spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    return spread_small_scan(
+        load_table(spark, sf_dir, "documents"), spark,
+        key=f"{sf_dir}/documents.parquet",  # memoized probe (ADVICE r12)
+    )
 
 
 def _norm_text():

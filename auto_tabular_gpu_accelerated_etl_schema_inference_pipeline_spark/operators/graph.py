@@ -71,6 +71,8 @@ def connected_components(
        isolated vertices are their own component by definition and are
        union'd back at the end, so round state is proportional to the
        near-dup population, not the corpus."""
+    from pyspark.sql import Observation
+
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -87,10 +89,16 @@ def connected_components(
         )
         # labels only ever DECREASE under hash-min, so "changed" is just
         # "some neighbor had a smaller label" — computable in the SAME
-        # select as the update. Checkpoint once, then count the flag off
-        # the materialized result: per round this is one edge-join + one
-        # aggregation shuffle, where the previous shape paid a third
-        # shuffle joining new labels back to old just to diff them.
+        # select as the update. r13 (VERDICT r12 item 6): the
+        # convergence count now rides the checkpoint's own
+        # materialization job via ``observe`` — PROBE_CC_CADENCE_r13
+        # measured that Observation fires on localCheckpoint and
+        # matches the separate filter().count() exactly, so the
+        # 1-job-per-round count disappears with NO cadence risk (the
+        # every-2nd-round alternative could add a whole round).
+        # F.count(when(...)) not F.sum(cast): count is 0 on an empty
+        # frame where sum is NULL.
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -102,9 +110,15 @@ def connected_components(
                     "_changed"
                 ),
             )
+            .observe(
+                obs,
+                F.count(F.when(F.col("_changed"), F.lit(1))).alias(
+                    "changed"
+                ),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter("_changed").count()
+        changed = int(obs.get["changed"])
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -193,6 +207,15 @@ def connected_components_star(
     ``stats``: optional dict; on return, ``stats["rounds"]`` records
     the converged round count (scripts/probe_cc_chain.py asserts the
     diameter-independence bound off it)."""
+    from pyspark.sql import Observation
+
+    # Edge-set sizes ride the checkpoints' own materialization jobs
+    # (observe; r13, VERDICT r12 item 6 — same mechanics as the
+    # hash-min loop, measured in PROBE_CC_CADENCE_r13): the old shape
+    # paid TWO extra jobs per round (e2.count() plus a recount of the
+    # unchanged e), now the fixpoint test costs only the conditional
+    # anti-join.
+    obs0 = Observation()
     e = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -200,8 +223,10 @@ def connected_components_star(
         )
         .filter(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    n_e = int(obs0.get["n"])
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -233,18 +258,21 @@ def connected_components_star(
         centers = mins2.select(
             F.col("m").alias("nu"), F.col("v").alias("nv")
         )
+        obs = Observation()
         e2 = (
             rewired.union(centers)
             .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        same_count = e2.count() == e.count()
+        n_e2 = int(obs.get["n"])
+        same_count = n_e2 == n_e
         if same_count and e2.join(e, ["u", "v"], "left_anti").count() == 0:
             e = e2
             converged = True
             break
-        e = e2
+        e, n_e = e2, n_e2
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
@@ -852,23 +880,33 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     seed = edges.agg(F.min("src").alias("id")).select(
         "id", F.lit(0).alias("hops")
     )
     dist = seed.localCheckpoint()
     frontier = dist.select("id")
     for h in range(1, BFS_MAX_HOPS + 1):
+        # frontier size rides the checkpoint's materialization job
+        # (observe — r13 job economy, VERDICT r12 item 6), replacing the
+        # separate isEmpty() job; and ``dist`` is a UNION OF CHECKPOINTED
+        # legs (depth <= BFS_MAX_HOPS = 4), so re-pinning the union
+        # every round paid a materialization job for a plan that was
+        # already flat — dropped.
+        obs = Observation()
         nxt = (
             edges.join(frontier, edges.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist.select("id"), "id", "left_anti")
             .select("id", F.lit(h).alias("hops"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
-        dist = dist.union(nxt).localCheckpoint()
+        dist = dist.union(nxt)
         frontier = nxt.select("id")
     return dist.select(
         F.col("id").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
@@ -1022,7 +1060,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter-ish) rounds)."""
     from .analytics import market_basket_pairs
 
+    from pyspark.sql import Observation
+
     base = market_basket_pairs(spark, sf_dir).select("p1", "p2")
+    obs0 = Observation()
     edges = (
         base.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .union(
@@ -1030,6 +1071,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p2").alias("src"), F.col("p1").alias("dst")
             )
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     # Early exit at the fixpoint: peeling is MONOTONE, so once a round
@@ -1037,20 +1079,22 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same fixpoint the full KCORE_ROUNDS unroll reaches (the property
     # test asserts fixpoint within the unroll), but the loop stops
     # paying a shuffle + checkpoint per vacuous round. The per-round
-    # count is a cheap scan of the just-pinned checkpoint; the oracle
-    # keeps its fixed CTE chain (extra rounds are free sub-second CTEs
-    # there).
-    n_edges = edges.count()
+    # edge count rides the checkpoint's own materialization job
+    # (observe — r13, VERDICT r12 item 6 job economy; previously a
+    # separate count job per round).
+    n_edges = int(obs0.get["n"])
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        obs = Observation()
         edges = (
             edges.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_next = edges.count()
+        n_next = int(obs.get["n"])
         if n_next == n_edges:
             break
         n_edges = n_next

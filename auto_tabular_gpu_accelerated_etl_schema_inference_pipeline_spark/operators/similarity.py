@@ -40,14 +40,25 @@ COSINE_DUP_THRESHOLD = 0.30   # fixture embeddings are near-orthogonal (max pair
 LSH_PLANES = 8
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     configure_for_oracle(spark)
+    base = load_table(spark, sf_dir, "embeddings")
+    if not spread:
+        # Arrow lanes and bounded collects take the RAW scan (r13,
+        # VERDICT r12 item 1): a query-vector collect wants the pushed
+        # filter straight off the parquet scan (no exchange job), and a
+        # mapInPandas corpus pass wants FEW FAT Arrow batches for its
+        # per-batch BLAS matmul — spreading it to 32 partitions forked
+        # 32 Python workers for work one batch loop does faster
+        # (guide §4: batch sizes large enough for vectorization).
+        return base
     # spread an under-split scan across cores (r12, guide §2.5): the
-    # similarity lanes are expression-bound (per-row folds over 64-dim
-    # vectors), and a single-row-group parquet file otherwise serializes
-    # them onto one core; no-op at production split counts
+    # expression-bound lanes (per-row codegen folds over 64-dim vectors)
+    # otherwise serialize onto one core; no-op at production split counts
     return spread_small_scan(
-        load_table(spark, sf_dir, "embeddings"), spark
+        base, spark, key=f"{sf_dir}/embeddings.parquet"
     )
 
 
@@ -106,7 +117,13 @@ def q_similarity_topk_cosine_arrow(
     import numpy as np
     import pandas as pd
 
-    emb = _emb(spark, sf_dir)
+    # UNspread scan on both sides (r13, VERDICT r12 item 1): the 5-row
+    # query collect rides the pushed filter (vec_id < 5) directly off
+    # the parquet scan — no repartition job in front of a bounded
+    # driver fetch — and the mapInPandas corpus pass keeps few fat
+    # Arrow batches for its one-matmul-per-batch BLAS loop instead of
+    # fanning into 32 Python workers (guide §4).
+    emb = _emb(spark, sf_dir, spread=False)
     qrows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -374,14 +391,22 @@ def q_similarity_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Spread corpus for the TAG pass (unlike the topk Arrow lane): the
+    # band tagging emits 8x its input rows into a (band, sig) shuffle,
+    # and that shuffle WRITE is the serial bottleneck on a 1-split scan
+    # (A/B r13: spread 1.7-2.1 s steady vs unspread 2.3-2.8 s — the
+    # explode+write parallelism outweighs the extra Python workers).
     emb = _emb(spark, sf_dir)
 
     # Bits per band scale with corpus size so the expected bucket stays
     # ~LSH_TARGET_BUCKET rows (lsh_band_bits; scale behavior measured by
-    # scripts/probe_lsh.py at 10 M vectors). The count() is the cheap
-    # fit-like action that sizes the plan (parquet row-count metadata
-    # only).
-    band_bits = lsh_band_bits(emb.count())
+    # scripts/probe_lsh.py at 10 M vectors). The count() runs on the RAW
+    # scan, NOT the spread frame: against the bare parquet relation it
+    # is a metadata-only row-count (r12's spread scan made it a
+    # scan+exchange+agg job — r13 restores the cheap fit-like action).
+    band_bits = lsh_band_bits(
+        load_table(spark, sf_dir, "embeddings").count()
+    )
     threshold = COSINE_DUP_THRESHOLD
     tagged = lsh_tag_bands(emb, band_bits)
 
@@ -522,6 +547,43 @@ GROUP BY ex.vec_id, ex.label
 SEMDEDUP_K = 8
 
 
+def _semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup assignment pass, PRE-pin: (vec_id, cluster_id, v, nrm).
+    Factored out so the broadcast-seed plan pin (tests/test_plans.py::
+    test_semdedup_broadcasts_seeds) can inspect the assignment plan —
+    in q_semdedup_embedding the eager localCheckpoint hides this
+    subtree behind a LogicalRDD."""
+    emb = _emb(spark, sf_dir)
+    vm = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    vecs = emb.select("vec_id", vm.alias("vm"), _dbl_vec("embedding").alias("v"))
+    seeds = vecs.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("vm").alias("cvec")
+    )
+    ssd = F.aggregate(
+        F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", F.struct(ssd.alias("ssd"), "cid").alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("m"), F.first("v").alias("v"))
+        # norm hoisted out of the pair stage: computed once per vector
+        # here, so each candidate pair pays ONE dot-product fold, not
+        # three (the pair stage is the quadratic part — 3x matters)
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster_id"),
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+    )
+
+
 def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication = partition
     the embedding space into clusters, then search for near-duplicates
@@ -548,35 +610,17 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same generic remedy applies: route (cluster_id, vec_id) through
     analytics.basket_pair_stream_guarded and join vectors back by id
     (parity of that generator pinned in tests/test_properties.py)."""
-    emb = _emb(spark, sf_dir)
-    vm = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
-    )
-    vecs = emb.select("vec_id", vm.alias("vm"), _dbl_vec("embedding").alias("v"))
-    seeds = vecs.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("vm").alias("cvec")
-    )
-    ssd = F.aggregate(
-        F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "v", F.struct(ssd.alias("ssd"), "cid").alias("sc"))
-        .groupBy("vec_id")
-        .agg(F.min("sc").alias("m"), F.first("v").alias("v"))
-        # norm hoisted out of the pair stage: computed once per vector
-        # here, so each candidate pair pays ONE dot-product fold, not
-        # three (the pair stage is the quadratic part — 3x matters)
-        .select(
-            "vec_id",
-            F.col("m.cid").alias("cluster_id"),
-            "v",
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-        )
-    )
+    assigned = _semdedup_assigned(spark, sf_dir)
+    # Pin the assignment (r13, guide §2.4): ``assigned`` fans out to
+    # THREE consumers (both pair-join sides + the final output join),
+    # and Catalyst shares no subtrees across DAG branches — unpinned,
+    # the seed crossJoin (8x rows) + argmin aggregation lineage ran 3x.
+    # Size class: O(n) rows x (64 doubles + id + norm) — the same class
+    # as the corpus itself; at production scale swap for
+    # persist(MEMORY_AND_DISK) if executor-local checkpoint storage is
+    # a concern (the SemDeDup shape NEEDS the assigned vectors on both
+    # pair sides, so no bounded projection exists).
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         "cluster_id",
@@ -1410,7 +1454,16 @@ def q_similarity_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the quantized vectors: q is consumed THREE times (the banded
     # signature build and both verify-side broadcasts), and uncached
     # each consumer re-ran the quantize+norm fold over the embeddings
-    # scan (r12, guide §2.4).
+    # scan (r12, guide §2.4). Size class: O(n) rows x 64 BIGINTs (~2x
+    # the raw embeddings) — the one unbounded frame this lane pins; no
+    # bounded projection exists (every consumer needs the full vector).
+    # r13 re-examined the pin mode per VERDICT r12 item 4: a
+    # persist(MEMORY_AND_DISK) variant was A/B-measured SLOWER
+    # (steady 2.6-3.1 s vs 2.1-2.6 s for the checkpoint — columnar
+    # cache encode on 64-element arrays costs more than the local
+    # checkpoint write), so the checkpoint stays; on a real cluster
+    # where executor loss matters, persist is the right swap and costs
+    # ~20% of this lane.
     q = q.localCheckpoint()
     # ONE expr string for the 32×64 ±1 matrix: building it element-wise
     # with F.lit costs 2048 py4j round-trips PER INVOCATION (~2-3 s of

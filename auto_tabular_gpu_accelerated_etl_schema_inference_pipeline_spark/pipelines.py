@@ -42,19 +42,6 @@ def quality_filter(
     )
 
 
-def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
-    """Keep the min-doc_id representative of each distinct normalized
-    text. Shuffle key = md5 digest, never the document body."""
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    reps = (
-        docs.select("doc_id", fp.alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return docs.join(reps, "doc_id", "left_semi")
-
-
 def dedup_near_remove(docs: DataFrame) -> DataFrame:
     """Drop near-duplicates of each LSH bucket's min-id representative
     (MinHash-LSH buckets, exact-Jaccard verified >= threshold against
@@ -78,18 +65,36 @@ def prepare_training_data(
     # spread an under-split scan across cores before the expression-
     # bound quality gate (r12, guide §2.5; no-op at production split
     # counts)
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), spark)
-    # Pin the quality-filtered corpus before exact dedup (r12, guide
-    # §2.4): dedup_exact_keep_first consumes its input TWICE (the digest
-    # aggregation and the semi-join's probe side), so uncached the
-    # scan + quality-gate expressions ran twice. localCheckpoint is a
-    # local materialization — no shuffle of text — and downstream
-    # branches read it instead of re-scanning parquet.
-    docs = quality_filter(docs).localCheckpoint()
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), spark,
+        key=f"{sf_dir}/documents.parquet",  # memoized probe (ADVICE r12)
+    )
+    # Exact dedup via a BOUNDED pin (r13, VERDICT r12 item 4: the r12
+    # shape localCheckpointed the full quality-filtered TEXT corpus —
+    # size-of-data to executor-local storage). Guide §8 discipline:
+    # decide with small rows, move big rows once. The quality gate +
+    # digest run ONCE, projected to (doc_id, fp) — ids + 16-byte
+    # digests, the bounded decision table — and that is all that pins;
+    # the winner set is a min-per-digest over the pinned table; the
+    # text-bearing rows then move once through a semi-join keyed on the
+    # unique doc_id (reps ⊆ quality survivors, so the raw scan needs no
+    # second quality-gate evaluation). Size class of the pin: O(n) rows
+    # x ~40 bytes (no text).
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    keyed = (
+        quality_filter(docs).select("doc_id", fp.alias("fp"))
+        .localCheckpoint()
+    )
+    reps = (
+        keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     # persist: the near-dedup stage references this frame from several
     # self-join branches (signatures, bands, verification) — without the
-    # cache each branch re-runs the filter+dedup lineage from parquet
-    base = dedup_exact_keep_first(docs).persist()
+    # cache each branch re-runs the scan+semi-join lineage from parquet.
+    # persist (MEMORY_AND_DISK) rather than localCheckpoint: spill-safe,
+    # lineage preserved, and released explicitly below.
+    base = docs.join(reps, "doc_id", "left_semi").persist()
     docs = base
     if near_dedup:
         # persist the near-deduped corpus too: fit, transform and the

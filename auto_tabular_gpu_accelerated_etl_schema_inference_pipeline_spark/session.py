@@ -221,7 +221,20 @@ def pinned_shuffle_width(spark: SparkSession) -> int:
     return min(max(32, spark.sparkContext.defaultParallelism), 1024)
 
 
-def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+#: memo for spread_small_scan's split-count probe: (applicationId,
+#: startTime, key, parallelism) -> bool(under-split). df.rdd forces full
+#: analysis + physical planning on the DRIVER per call (ADVICE r12), and
+#: the _docs()/_emb() loaders paid that on every query construction;
+#: the split count of a fixture table is stable for a context's
+#: lifetime, so one probe per (context, table, parallelism) suffices.
+#: Bounded: |tables| x |sf_dirs| live entries; dead-context entries are
+#: purged on insert (the session_memo discipline).
+_SPREAD_MEMO: dict = {}
+
+
+def spread_small_scan(
+    df: DataFrame, spark: SparkSession, key: str | None = None
+) -> DataFrame:
     """Round-robin repartition a scan whose split count is far below the
     session's parallelism (guide §2.5 input skew: a small or
     single-row-group parquet file yields ONE scan partition, serializing
@@ -231,11 +244,31 @@ def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     a no-op; only genuinely under-split inputs pay the one extra (tiny)
     exchange. Used by the text/document lanes whose per-row expression
     work dominates; NOT wired into load_table, because plan-pinned lanes
-    (as-of family, retrieval) count their exchanges."""
+    (as-of family, retrieval) count their exchanges.
+
+    ``key``: optional stable identity of the scan (the table path).
+    When given, the under-split verdict is memoized per (context, key,
+    parallelism) so repeated query constructions skip the driver-side
+    ``df.rdd`` planning probe (ADVICE r12). Callers must pass a key that
+    uniquely identifies the FILE SET being scanned; the memo assumes the
+    split count of that file set is stable within one SparkContext
+    (true for the immutable fixture tables; a session that rewrites a
+    table in place must not pass a key)."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 <= par:
-        return df.repartition(par)
-    return df
+    if key is None:
+        if df.rdd.getNumPartitions() * 4 <= par:
+            return df.repartition(par)
+        return df
+    sc = spark.sparkContext
+    ctx = (sc.applicationId, sc.startTime)
+    k = (*ctx, key, par)
+    under = _SPREAD_MEMO.get(k)
+    if under is None:
+        for old in [ok for ok in _SPREAD_MEMO if ok[:2] != ctx]:
+            del _SPREAD_MEMO[old]  # dead-context entries
+        under = df.rdd.getNumPartitions() * 4 <= par
+        _SPREAD_MEMO[k] = under
+    return df.repartition(par) if under else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,8 +1,9 @@
 """Dump .explain("formatted") for named registry queries to
-plans/r12/<name>_<suffix>.txt — the optimization round's before/after
-plan evidence (the judge reads these files; it cannot run Spark).
+plans/<round>/<name>_<suffix>.txt — the optimization round's
+before/after plan evidence (the judge reads these files; it cannot run
+Spark). Round dir defaults to r13; override with --round.
 
-Usage: python scripts/plan_dump.py --suffix before name1 name2 ...
+Usage: python scripts/plan_dump.py [--round r13] --suffix before name1 ...
 """
 
 from __future__ import annotations
@@ -18,11 +19,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main(argv: list[str]) -> int:
     suffix = "before"
+    round_dir = "r13"
+    if "--round" in argv:
+        i = argv.index("--round")
+        round_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     if "--suffix" in argv:
         i = argv.index("--suffix")
         suffix = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (

@@ -272,3 +272,70 @@ def test_spread_small_scan_adaptive(spark, sf_dir):
 
     wide = docs.repartition(par)  # already at parallelism
     assert spread_small_scan(wide, spark) is wide
+
+
+def test_spread_small_scan_memo(spark, sf_dir):
+    """r13 (ADVICE r12): with a ``key``, the under-split probe runs at
+    most once per (context, key, parallelism) — the memo must return
+    the same decision as the unmemoized path, and a second call with
+    the same key must not re-probe (df.rdd forces full driver-side
+    planning per call)."""
+    from unittest import mock
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark import (
+        session as sess,
+    )
+
+    docs = sess.load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    key = f"{sf_dir}/documents.parquet#test_memo"
+    spread1 = sess.spread_small_scan(docs, spark, key=key)
+    assert spread1.rdd.getNumPartitions() == par
+    # second call: the probe (DataFrame.rdd) must not be touched
+    with mock.patch.object(
+        type(docs), "rdd", new_callable=mock.PropertyMock
+    ) as rdd_probe:
+        spread2 = sess.spread_small_scan(docs, spark, key=key)
+        rdd_probe.assert_not_called()
+    assert spread2.rdd.getNumPartitions() == par
+    # a different parallelism would be a different memo slot
+    assert (
+        spark.sparkContext.applicationId,
+        spark.sparkContext.startTime,
+        key,
+        par,
+    ) in sess._SPREAD_MEMO
+
+
+def test_observe_fires_on_localcheckpoint(spark):
+    """r13 mechanics pin (PROBE_CC_CADENCE_r13): the iterative graph
+    loops fold their convergence counts into the round's eager
+    localCheckpoint job via ``observe`` — this test pins the Spark
+    behavior that makes the separate count job redundant. If a Spark
+    upgrade ever stopped populating observed metrics from the
+    checkpoint's materialization job, the loops would hang rather than
+    miscount (Observation.get blocks), and this test catches it first."""
+    import threading
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    pinned = (
+        spark.range(0, 5000)
+        .select(F.col("id"), (F.col("id") % 3 == 0).alias("_changed"))
+        .observe(
+            obs, F.count(F.when(F.col("_changed"), F.lit(1))).alias("c")
+        )
+        .localCheckpoint()
+    )
+    box = {}
+
+    def _get():
+        box["val"] = obs.get
+
+    t = threading.Thread(target=_get, daemon=True)
+    t.start()
+    t.join(30)
+    assert not t.is_alive(), "observe did not fire on localCheckpoint"
+    assert box["val"]["c"] == pinned.filter("_changed").count() == 1667
