@@ -271,6 +271,28 @@ def spread_small_scan(
     return df.repartition(par) if under else df
 
 
+#: memo for parquet_schema: (applicationId, startTime, path) -> schema.
+#: A footer read costs ~70 ms of driver time per call, and every
+#: streaming lane re-derived its source schema on every construction;
+#: fixture files are immutable for a context's lifetime. Dead-context
+#: entries purged on insert (the _SPREAD_MEMO discipline).
+_SCHEMA_MEMO: dict = {}
+
+
+def parquet_schema(spark: SparkSession, path: str):
+    """Memoized schema of a parquet file/dir (driver footer read)."""
+    sc = spark.sparkContext
+    ctx = (sc.applicationId, sc.startTime)
+    k = (*ctx, path)
+    schema = _SCHEMA_MEMO.get(k)
+    if schema is None:
+        for old in [ok for ok in _SCHEMA_MEMO if ok[:2] != ctx]:
+            del _SCHEMA_MEMO[old]
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[k] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference O3, etl_benchmark.py:27): schema comes from
     the parquet footer; Catalyst pushes filters/projections into the scan."""

@@ -424,7 +424,9 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(build, split_dir)
         except OSError:  # another process won the race
             shutil.rmtree(build, ignore_errors=True)
-    schema = spark.read.parquet(src).schema
+    from ..session import parquet_schema
+
+    schema = parquet_schema(spark, src)  # memoized footer read (r13)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

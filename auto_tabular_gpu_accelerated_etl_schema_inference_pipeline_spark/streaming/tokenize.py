@@ -34,7 +34,9 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Bounded file stream over a fixture table (the events-stream
     symlink-dir pattern, generalized)."""
     src = os.path.join(sf_dir, f"{table}.parquet")
-    schema = spark.read.parquet(src).schema
+    from ..session import parquet_schema
+
+    schema = parquet_schema(spark, src)  # memoized footer read (r13)
     tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), f"{table}_stream_{tag}")
     os.makedirs(stream_dir, exist_ok=True)
@@ -65,18 +67,33 @@ def q_streaming_tokenize_lineitem(
     bounds = persisted_exact_boundaries(spark, sf_dir)
     stream = _table_stream(spark, sf_dir, "lineitem")
     tokens = bucketize(stream, bounds, keep_cols=LINEITEM_KEYS)
-    name = "stream_tokenize_out"
+    # Parquet file sink, not the memory sink (r13, guide §5 "the driver
+    # should do almost no data work": the memory sink COLLECTED the
+    # full 600k-row tokenized output to the driver per drain — A/B
+    # 3.1-3.9 s vs 1.5-1.7 s with a distributed file sink; row set
+    # identical, value-verified by the oracle). This is also the
+    # production topology the lane's docstring claims: a stream
+    # tokenizer lands rows in a table, it does not collect them.
+    # The data dir must outlive this call (the returned DataFrame reads
+    # it lazily); the single-use checkpoint is removed after stop.
+    out_dir = tempfile.mkdtemp(prefix="stream_tokenize_out_")
+    data_dir = os.path.join(out_dir, "data")
+    ckpt_dir = os.path.join(out_dir, "ckpt")
     q = (
         tokens.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.read.parquet(data_dir)
 
 
 _PROBS = ",".join(str(i / 100) for i in range(101))

@@ -31,7 +31,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     to microsecond timestamps with exact integer division."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(src).schema
+    # memoized footer read (r13): every streaming lane re-derived this
+    # schema per construction, ~70 ms of driver time each
+    from ..session import parquet_schema
+
+    batch_schema = parquet_schema(spark, src)
     # file-stream sources must be directories: expose the fixture file
     # through a symlink in a per-sf_dir cached dir (deterministic name ->
     # created once, reused by every later stream over the same fixtures;
