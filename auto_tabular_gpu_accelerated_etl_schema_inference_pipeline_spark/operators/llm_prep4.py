@@ -477,6 +477,12 @@ FROM z GROUP BY source
 #: greedy max-coverage selection: number of documents to pick
 MAXCOVER_K = 5
 
+#: max covered-term count served as a driver-held In-list filter; past
+#: this the greedy loop switches to a broadcast anti-join (the In-list
+#: is serialized into EVERY task of the round — fine for a few thousand
+#: strings, a scalability regression beyond; ADVICE r12)
+_MAXCOVER_INSET_MAX = 4096
+
 
 def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximum-coverage data selection (the submodular
@@ -494,10 +500,17 @@ def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the (doc, term) presence relation materializes ONCE
     (localCheckpoint — it is the inverted-index build every selection
-    pass shares); each round is one anti-join against the covered-term
-    set + one per-doc count + a TakeOrdered(1) argmax (1-row driver
-    collect — bounded state, the quantile-fit pattern); the covered set
-    grows by the pick's terms only. K rounds ⇒ K bounded shuffles."""
+    pass shares); each round filters the pinned presence table against
+    the driver-held covered-term set (an In-list/InSet predicate — the
+    literal set ships with the task, so it must stay small) + one
+    per-doc count + a TakeOrdered(1) argmax (1-row driver collect —
+    bounded state, the quantile-fit pattern); the covered set grows by
+    the pick's terms only. When the covered set outgrows the In-list
+    (> _MAXCOVER_INSET_MAX terms), the round falls back to a broadcast
+    anti-join — same rows, distributed membership test (ADVICE r12:
+    a plan-serialized set that grows with every pick's vocabulary is a
+    scalability regression past a few thousand terms). K rounds ⇒ K
+    bounded shuffles."""
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     arr = F.split(F.lower(F.trim(F.col("text"))), " ")
@@ -519,13 +532,26 @@ def q_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # old shape paid one anti-join shuffle + one full localCheckpoint
     # rewrite of `pres` per round; now each round is one map-side filter
     # + partial agg + a bounded collect of the pick's terms). Same
-    # greedy, same tie-break, identical output.
+    # greedy, same tie-break, identical output. NULL-safety note
+    # (ADVICE r12): ~isin(...) drops NULL terms where the old anti-join
+    # kept them — unreachable here because `w` comes from explode over
+    # concat of split output (never NULL by construction); guard with
+    # isNotNull if term derivation ever changes. Past
+    # _MAXCOVER_INSET_MAX covered terms the In-list would bloat every
+    # serialized task, so the round falls back to a broadcast anti-join
+    # (identical rows: both are "w not in covered" over non-null w).
     covered: set[str] = set()
     out, cum = [], 0
     for rnd in range(1, MAXCOVER_K + 1):
-        remaining = (
-            pres.filter(~F.col("w").isin(*covered)) if covered else pres
-        )
+        if not covered:
+            remaining = pres
+        elif len(covered) <= _MAXCOVER_INSET_MAX:
+            remaining = pres.filter(~F.col("w").isin(*covered))
+        else:
+            cov_df = spark.createDataFrame(
+                [(w,) for w in covered], "w string"
+            )
+            remaining = pres.join(F.broadcast(cov_df), "w", "left_anti")
         pick = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))

@@ -56,18 +56,20 @@ def _cpu_gauge(spark) -> float:
 
 def _arrow_micro(spark) -> float:
     """Minimal ArrowEvalPython job: isolates Python-worker spawn +
-    Arrow init from any real query logic."""
-    import pandas as pd
+    Arrow init from any real query logic. The udf is built via the
+    shared kernels module — this script carries ``from __future__
+    import annotations``, under which pandas_udf type-hint inference
+    fails (the repo-wide gotcha; kernels live hint-free)."""
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("double")
-    def _plus1(s: pd.Series) -> pd.Series:
-        return s + 1.0
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.functions.udf_kernels import (
+        probe_plus1_pandas_udf,
+    )
 
     t0 = time.perf_counter()
-    spark.range(1000).select(_plus1(F.col("id").cast("double"))).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    spark.range(1000).select(
+        probe_plus1_pandas_udf()(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 4)
 
 

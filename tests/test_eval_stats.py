@@ -491,3 +491,28 @@ def test_funnel_significance_counts_consistent(spark, sf_dir):
         assert 0 <= r["x0"] <= r["n0"] and 0 <= r["x1"] <= r["n1"]
         # non-degenerate at session granularity on the shipped fixtures
         assert r["z_milli"] is not None
+
+
+def test_max_cover_antijoin_fallback_equivalent(spark, sf_dir):
+    """r13 (ADVICE r12): past _MAXCOVER_INSET_MAX covered terms the
+    greedy loop switches from the driver-held In-list filter to a
+    broadcast anti-join. Forcing the fallback from round 2 onward must
+    yield the identical selection — both shapes express "w not in
+    covered" over non-null terms."""
+    from unittest import mock
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators import (
+        llm_prep4,
+    )
+
+    base = sorted(
+        map(tuple, llm_prep4.q_max_cover_selection(spark, sf_dir).collect())
+    )
+    with mock.patch.object(llm_prep4, "_MAXCOVER_INSET_MAX", 0):
+        forced = sorted(
+            map(
+                tuple,
+                llm_prep4.q_max_cover_selection(spark, sf_dir).collect(),
+            )
+        )
+    assert base == forced and len(base) >= 1
