@@ -238,43 +238,44 @@ _DRIVER_VERIFIED = frozenset(
 # from the registry are ignored. Queries verified this round move to
 # _DRIVER_VERIFIED next round and the window rotates to the remainder.
 _PRIORITY_WINDOW = [
-    # r11 drift rotation (VERDICT r10 item 1): pure re-sample round onto
-    # the true driver-staleness tail. Composition per
-    # scripts/rotate_window.py staleness table: the FULL last-green-r4
-    # cohort (37 — now the stalest greens after r10 re-certified r2/r3),
-    # then every lane the r10 verdict names by hand (the r5 cohort's
-    # bm25_search / dedup_minhash_portable / winnowing_fingerprint /
-    # corpus_global_shuffle / sql_udf_discounted_revenue, the saved-model
-    # serve + SQL-scripting lanes, and the basket/star twins the judge
-    # re-verified locally but wants driver-certified), then the stalest
-    # r5 remainder alphabetically to fill 50.
-    # --- last green r4 (37, complete cohort) ---
-    "benford_first_digit", "bpe_merges", "constraint_audit",
-    "containment_pairs", "count_min_sketch", "customer_rfm_segments",
-    "decision_tree_calibration", "dedup_exact_hash",
-    "duplicate_ngram_spans", "eigencentrality_parts",
-    "entity_resolution_clusters", "event_lateness_profile",
-    "feature_hashing_bow", "graph_bfs_hops", "hybrid_rrf_search",
-    "join_null_skew_split", "join_skew_salted", "k_anonymity_audit",
-    "ks_two_sample", "perplexity_band_filter", "pseudonymize_users",
-    "psi_numeric_drift", "quantile_bin_map_in_arrow",
-    "quantile_bin_pandas_udf", "quantile_bin_per_group",
-    "quantile_bin_scalable", "quantile_normalize_doclen",
-    "sequence_gap_audit", "shard_manifest", "similarity_filtered_topk",
-    "streaming_topk_events", "streaming_tumbling_window",
-    "tokenize_generated", "tpch_q17_small_quantity",
-    "tpch_q20_excess_suppliers", "url_canonicalize_dedup",
-    "xml_roundtrip_events",
-    # --- judge-named r5 lanes (5) ---
-    "bm25_search", "corpus_global_shuffle", "dedup_minhash_portable",
-    "sql_udf_discounted_revenue", "winnowing_fingerprint",
-    # --- judge-named saved-model serve + SQL-scripting (last green r6) ---
-    "quantile_bin_saved_model", "sql_scripting_threshold_report",
-    # --- judge-named basket/star twins (last green r8) ---
-    "dedup_components_star", "orders_market_basket_guarded",
-    # --- stalest r5 remainder, alphabetical fillers to 50 ---
-    "auc_quality_screen", "bootstrap_mean_ci", "burstiness_top_terms",
-    "category_drift_report",
+    # r13 rotation (VERDICT r12 item 7): the window moves onto (a) the
+    # five oracle-backed lanes the r12 optimization round REWROTE —
+    # until now they carried only pytest-parity evidence, no external
+    # driver sample (training_data_prep, the sixth rewrite, is
+    # rows-only by design; its value-verified composite twin
+    # corpus_curation_report stands in); (b) every oracle-backed lane
+    # round 13 touched (Arrow/_emb fixes, semdedup pin, streaming sink
+    # + schema memo, observe-based graph loops, spread-memo loaders);
+    # (c) the stalest r5-green cohort as drift fillers (per
+    # scripts/rotate_window.py; the r12 window already re-certified the
+    # full r4 cohort).
+    # --- (a) r12 rewrites, externally unsampled ---
+    "recursive_cte_order_chain", "max_cover_selection",
+    "transpose_flag_profile", "similarity_lsh_portable",
+    "dedup_detector_agreement",
+    # --- (b) r13-touched lanes ---
+    "semdedup_embedding", "similarity_topk_cosine",
+    "embedding_centroids", "embedding_dim_profile", "embedding_stats",
+    "silhouette_by_label", "matryoshka_dim_quality",
+    "triplet_margin_violations", "ann_hubness_report",
+    "similarity_pq_adc_topk", "similarity_filtered_topk",
+    "corpus_curation_report", "streaming_tokenize_lineitem",
+    "streaming_tumbling_window", "streaming_hll_distinct",
+    "streaming_stateful_user_totals", "streaming_static_enrich",
+    "streaming_sprt_monitor", "streaming_dedup_keys",
+    "dedup_components", "dedup_components_star", "graph_kcore",
+    "graph_bfs_hops", "dedup_minhash_portable",
+    "dedup_simhash_portable", "dedup_exact_hash",
+    "text_top_ngram_cover", "bpe_merges",
+    # --- (c) stalest r5 greens, drift fillers to 50 ---
+    "cep_pattern_match", "chi2_term_source", "cohens_kappa_raters",
+    "collation_lcase_distinct", "contamination_report",
+    "context_length_sweep", "cross_source_dup_matrix",
+    "cuped_adjusted_metric", "dedup_cluster_sizes",
+    "dedup_survivorship", "dsir_importance_weights",
+    "events_rolling_median", "funnel_step_significance",
+    "histogram_equal_width", "hll_portable_distinct",
+    "incremental_join_view", "js_divergence_by_source",
 ]
 
 _PKG = __name__.rsplit(".", 1)[0]
