@@ -2081,22 +2081,24 @@ FROM agg
 """
 
 
-#: Holt's linear-trend smoothing as ONE recursive SQL text both engines
-#: run VERBATIM (the recursive_cte_order_chain parity pattern, applied
-#: to an iterative STATS recurrence): α = 2/10, β = 1/10, state in
-#: exact micro-units, every step's division written as the
-#: truncation-identity (v − v%10)/10 — integer-exact in BOTH engines
-#: (the quotient is < 2^53, so even DuckDB's float division is exact;
-#: % is C-style truncating remainder in both). The 30-row daily spine
-#: bounds the recursion (well under Spark's 100-level default) and the
-#: single-partition row_number window (spine-sized by construction —
-#: the KS-window discipline).
-#: The recursion CORE is one shared text; each engine materializes the
-#: 30-row daily spine its own idiomatic way first (DuckDB: AS
-#: MATERIALIZED CTEs — its default inlining would re-run the events
-#: aggregate per level, the r4 batch-15 hazard; Spark: a checkpointed
-#: temp view — Spark re-plans a plain CTE per recursion level, which
-#: measured 9 s of repeated full-table aggregation for a 30-row walk).
+#: Holt's linear-trend smoothing: α = 2/10, β = 1/10, state in exact
+#: micro-units, every step's division written as the truncation-
+#: identity (v − v%10)/10 — integer-exact in BOTH engines (the quotient
+#: is < 2^53, so even DuckDB's float division is exact; % is C-style
+#: truncating remainder in both).
+#: The ORACLE runs the recurrence as this recursive CTE over a
+#: MATERIALIZED 30-row daily spine (DuckDB's default CTE inlining would
+#: re-run the events aggregate per level, the r4 batch-15 hazard).
+#: Spark replays the IDENTICAL arithmetic as an ordered array fold
+#: (r13, guide §1.2 "fix the distributed algorithm first"): Spark
+#: re-plans a recursive CTE per UnionLoop level — even with the spine
+#: checkpoint-materialized (the r12 shape) the ~30-level walk measured
+#: ~4.5 s of per-level re-planning for a 30-row result, against a
+#: ~0.6 s single-plan fold (the q_events_cusum_changepoints
+#: state-append pattern). The step expressions below are assembled
+#: from the same (v − v%10)/10 truncation text, so the two engines
+#: still execute the same integer arithmetic — only the iteration
+#: mechanism differs (plan recursion vs array fold).
 _HOLT_WALK_SQL = """
 walk(rn, d, x, l_mu, b_mu) AS (
   SELECT rn, d, x, x * 1000000, CAST(0 AS BIGINT) FROM {spine}
@@ -2131,39 +2133,59 @@ WITH RECURSIVE daily AS MATERIALIZED (
     + _HOLT_WALK_SQL.format(spine="spine")
 )
 
+#: the Holt step, assembled from the SAME truncation-identity text the
+#: oracle recursion uses ((v − v%10)/10 == trunc-toward-zero div 10 —
+#: % is truncating remainder in both engines, the dividend is an exact
+#: multiple of 10, and the quotient is < 2^53 so the float division is
+#: exact):  l' = (2·x·10⁶ + 8·(l+b)) ÷ 10,  b' = (l' − l + 9·b) ÷ 10
+_HOLT_L_PREV = "element_at(acc, -1).l"
+_HOLT_B_PREV = "element_at(acc, -1).b"
+_HOLT_A1 = f"(2 * e.x * 1000000 + 8 * ({_HOLT_L_PREV} + {_HOLT_B_PREV}))"
+_HOLT_L_NEW = f"CAST(({_HOLT_A1} - ({_HOLT_A1} % 10)) / 10 AS BIGINT)"
+_HOLT_A2 = f"({_HOLT_L_NEW} - {_HOLT_L_PREV} + 9 * {_HOLT_B_PREV})"
+_HOLT_B_NEW = f"CAST(({_HOLT_A2} - ({_HOLT_A2} % 10)) / 10 AS BIGINT)"
+_HOLT_FOLD = f"""aggregate(
+  slice(arr, 2, size(arr) - 1),
+  array(named_struct('l', element_at(arr, 1).x * 1000000,
+                     'b', CAST(0 AS BIGINT))),
+  (acc, e) -> concat(acc, array(
+    named_struct('l', {_HOLT_L_NEW}, 'b', {_HOLT_B_NEW})))
+)"""
+
 
 def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing of the daily event
     count (level + trend state, the step beyond events_ses_forecast's
-    level-only SES): the recursion text is SHARED byte-for-byte with
-    the oracle (the recursive_cte_order_chain parity pattern applied to
-    an iterative statistics recurrence) — iteration as a PLAN, state as
-    two exact micro-unit integers per day, forecast = level + trend.
-    The bounded spine (one row per day) is checkpoint-materialized
-    before the walk so the 30-level recursion joins 30 rows per level
-    instead of re-aggregating the events table per level."""
-    # cached forked session: the spine temp view stays scoped to this
-    # lane instead of persisting on (and potentially clobbering a name
-    # in) the caller's shared session — and reusing ONE fork per
-    # context (forked_session) means repeated bench/sweep runs replace
-    # the view (freeing the prior checkpointed spine) instead of
-    # accumulating a JVM SessionState per invocation
-    from ..session import forked_session
-
-    s = forked_session(spark, "timeseries.holt")
-    configure_for_oracle(s)
-    ev = load_events(s, sf_dir)
+    level-only SES): state as two exact micro-unit integers per day,
+    forecast = level + trend. The oracle runs the recurrence as a
+    recursive CTE; Spark replays the identical integer arithmetic as
+    an ordered array fold that APPENDS each (level, trend) state (the
+    q_events_cusum_changepoints pattern), exploded back to one row per
+    day zipped with its (day, count) — r13: the recursive-CTE plan
+    re-planned ~30 UnionLoop levels per run (~4.5 s for a 30-row walk,
+    measured to be re-planning cost, not exchange cost — r12 A/B);
+    the fold is one plan, one bounded single-row aggregate. Fold state
+    is the day-level series — bounded by calendar span, not event
+    volume (the SES/CUSUM state-bound argument)."""
+    configure_for_oracle(spark)
+    ev = load_events(spark, sf_dir)
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    spine = daily.select(
-        "d",
-        "x",
-        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
-    ).localCheckpoint()
-    spine.createOrReplaceTempView("holt_spine")
-    return s.sql(
-        "WITH RECURSIVE " + _HOLT_WALK_SQL.format(spine="holt_spine")
+    g = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("arr")
+    )
+    rows = g.select(
+        F.explode(
+            F.arrays_zip(F.col("arr"), F.expr(_HOLT_FOLD).alias("st"))
+        ).alias("z")
+    )
+    return rows.select(
+        F.col("z.arr.d").cast("date").alias("day"),
+        F.col("z.arr.x").alias("n_events"),
+        F.col("z.st.l").alias("level_mu"),
+        F.col("z.st.b").alias("trend_mu"),
+        (F.col("z.st.l") + F.col("z.st.b")).alias("forecast_next_mu"),
     )
 
 

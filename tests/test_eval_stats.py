@@ -516,3 +516,37 @@ def test_max_cover_antijoin_fallback_equivalent(spark, sf_dir):
             )
         )
     assert base == forced and len(base) >= 1
+
+
+def test_holt_fold_matches_python_replay(spark, sf_dir):
+    """r13: events_holt_linear runs as an ordered array fold instead of
+    a recursive CTE. The fold must replay the recursion's exact integer
+    arithmetic — l' = (2x·10⁶ + 8(l+b)) ÷10, b' = (l' − l + 9b) ÷10,
+    every ÷ a trunc-toward-zero division — so replaying it in Python
+    over the same daily counts must reproduce every row bit-for-bit
+    (the DuckDB oracle additionally certifies the recursion itself in
+    test_oracle_parity; this pins the FOLD against an independent
+    implementation)."""
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators.timeseries import (
+        q_events_holt_linear,
+    )
+
+    out = sorted(
+        q_events_holt_linear(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert len(out) >= 2
+
+    def tdiv10(a: int) -> int:
+        q = abs(a) // 10
+        return q if a >= 0 else -q
+
+    l = out[0]["n_events"] * 1000000
+    b = 0
+    assert out[0]["level_mu"] == l and out[0]["trend_mu"] == 0
+    for row in out[1:]:
+        l_new = tdiv10(2 * row["n_events"] * 1000000 + 8 * (l + b))
+        b = tdiv10(l_new - l + 9 * b)
+        l = l_new
+        assert row["level_mu"] == l, row
+        assert row["trend_mu"] == b, row
+        assert row["forecast_next_mu"] == l + b, row

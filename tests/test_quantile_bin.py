@@ -480,3 +480,34 @@ def test_auto_tokenize_lane_rejects_partial_artifact(spark, sf_dir, monkeypatch)
     )
     with pytest.raises(ValueError, match="does not cover"):
         q_auto_tokenize_lineitem(spark, sf_dir)
+
+
+def test_persisted_boundaries_precomputed_seed(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """r13: q_quantile_bin_scalable seeds the persisted boundary
+    artifact with the fit it already paid for. Contract: (a) a model
+    seeded via ``precomputed`` is bit-identical to one built from
+    scratch; (b) ``precomputed`` is IGNORED when the model already
+    exists (it is a build-cost shortcut, never an override)."""
+    import tempfile
+
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.operators import (
+        quantile_bin_queries as qbq,
+    )
+    from auto_tabular_gpu_accelerated_etl_schema_inference_pipeline_spark.session import (
+        load_table,
+    )
+
+    built = qbq.persisted_exact_boundaries(spark, sf_dir)  # real artifact
+    fit = qbq._exact_rounded_boundaries(load_table(spark, sf_dir, "lineitem"))
+    assert fit == built  # the seed invariant the scalable lane relies on
+
+    # fresh model namespace: same fixture, empty /tmp
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    seeded = qbq.persisted_exact_boundaries(spark, sf_dir, precomputed=fit)
+    assert seeded == built
+    # model now exists — a bogus precomputed must NOT override it
+    again = qbq.persisted_exact_boundaries(
+        spark, sf_dir, precomputed={"bogus": [1.0]}
+    )
+    assert again == built

@@ -132,6 +132,33 @@ def test_cpu_degraded_host_unflags_untouched_cpu_lane(tmp_path, capsys,
     assert "0 flags survive normalization" in out
 
 
+def test_io_degraded_host_unflags_untouched_disk_lane(tmp_path, capsys,
+                                                      monkeypatch):
+    # VERDICT r11 item 2 / r12 item 8 scenario (the r11 disk-throughput
+    # collapse): disk gauge 3x degraded, cpu/mem gauges steady; an
+    # untouched disk-affine lane reads 2.5x slower while the compute-
+    # bound majority is steady, so the scalar median (~1.0) under-
+    # corrects and the lane would survive as a false CODE-SHAPED flag.
+    # With the lane's committed disk affinity, its OWN gauge's drift
+    # normalizes it away (advisory view only — the raw-flag exit code
+    # contract is unchanged).
+    old = {"disk_lane": 2.0}
+    old.update({f"cpu{i}": 2.0 for i in range(6)})
+    new = {"disk_lane": 5.0}  # 2.5x, abs growth 3.0 > floor
+    new.update({f"cpu{i}": 2.02 for i in range(6)})
+    rc, out = _run_with_gauges(
+        tmp_path, old, new,
+        {"calib_cpu_parallel": 0.7, "calib_mem_bandwidth": 8.0,
+         "calib_disk_cold_read": 0.12},
+        {"calib_cpu_parallel": 0.71, "calib_mem_bandwidth": 8.1,
+         "calib_disk_cold_read": 0.36},
+        {"disk_lane": "calib_disk_cold_read"}, capsys, monkeypatch,
+    )
+    assert rc == 1  # raw flag still fires — exit code contract unchanged
+    assert "disk_cold_read=3.00x" in out
+    assert "0 flags survive normalization" in out
+
+
 def test_real_regression_in_cpu_lane_still_survives_gauge(tmp_path, capsys,
                                                           monkeypatch):
     # The gauge is measured independently of the lane: a 3x code
