@@ -283,6 +283,24 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-pinned containment relation (subset_rep,
+    superset_rep, group sizes) — computed at most once per session via
+    session_memo and reused by its two consumers
+    (containment_pairs itself and dedup_detector_agreement's census) —
+    r13, the near_dup_pairs/minhash_portable_pairs discipline: uncached,
+    the detector census re-ran the whole mask-group containment
+    pipeline (~1.5 s) on every invocation."""
+    from ..session import session_memo
+
+    return session_memo(
+        spark,
+        "containment_pairs",
+        sf_dir,
+        lambda: q_containment_pairs(spark, sf_dir),
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment join at the DISTINCT-set level: which token sets
     are proper subsets of which (the quote/excerpt-detection primitive —
@@ -1250,7 +1268,7 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_portable_pairs(spark, sf_dir).select("a_id", "b_id")
     ).localCheckpoint()
     ct = (
-        q_containment_pairs(spark, sf_dir)
+        containment_pairs(spark, sf_dir)
         .select(
             F.least("subset_rep", "superset_rep").alias("x"),
             F.greatest("subset_rep", "superset_rep").alias("y"),
@@ -1328,7 +1346,7 @@ QUERIES = {
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_minhash_portable": minhash_portable_pairs,  # memoized
     "dedup_transitivity_audit": q_dedup_transitivity_audit,
-    "containment_pairs": q_containment_pairs,
+    "containment_pairs": containment_pairs,  # memoized containment relation
     "dedup_exact": q_dedup_exact,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "dedup_char_shingle_jaccard": q_dedup_char_shingle_jaccard,
