@@ -559,9 +559,17 @@ def save_boundaries(
         for c, vals in bounds.items()
         for i, v in enumerate(vals)
     ]
+    # One-slice parallelize, NOT createDataFrame(rows).coalesce(1): the
+    # plain createDataFrame spreads the pickled rows over default-
+    # parallelism slices, and coalesce(1) then evaluates all 32 parent
+    # slices SERIALLY inside one task — one Python-worker round-trip
+    # each, measured 5.3 s for a 400-row model vs 0.4 s single-slice
+    # (r13; the cost landed in every first-on-box model build).
     (
-        spark.createDataFrame(rows, "col string, idx int, value double")
-        .coalesce(1)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "col string, idx int, value double",
+        )
         .write.mode("overwrite")
         .parquet(path)
     )
